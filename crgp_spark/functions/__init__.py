@@ -1,0 +1,55 @@
+"""Column-expression helpers shared engine-wide. All JVM-side
+(``pyspark.sql.functions``) — no Python UDFs here."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def participant(role: Column | str = "role", tool: Column | str = "tool") -> Column:
+    """Effective participant of a turn: ``coalesce(nullif(tool,''), role)``
+    (BASELINE.json input_hint / SURVEY.md §7.1)."""
+    role_c = F.col(role) if isinstance(role, str) else role
+    tool_c = F.col(tool) if isinstance(tool, str) else tool
+    return F.coalesce(F.nullif(tool_c, F.lit("")), role_c)
+
+
+def ts_micros(ts: Column | str = "ts") -> Column:
+    """Timestamp → integer microseconds, the engine's ordering-math type
+    (the reference uses plain integer epochs, ``twitter/tweet.rs:23-24``)."""
+    ts_c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(ts_c)
+
+
+def vid(conv_id: Column | str, turn_idx: Column | str) -> Column:
+    """64-bit vertex id for a turn: ``xxhash64(conv_id, turn_idx)``.
+
+    Matches the reference's integer-ID vertex model (``UserID = i64``,
+    ``twitter/mod.rs:21``) while staying derivable without a global
+    id-assignment shuffle. At 10^12 turns the expected number of 64-bit
+    collisions is ~3e4 (birthday bound); callers that need zero collisions
+    at that scale should keep the natural key ``(conv_id, turn_idx)``
+    alongside, which every engine table does.
+    """
+    c = F.col(conv_id) if isinstance(conv_id, str) else conv_id
+    t = F.col(turn_idx) if isinstance(turn_idx, str) else turn_idx
+    return F.xxhash64(c, t)
+
+
+def salt_for(src: Column | str, dst: Column | str, n_salt: Column) -> Column:
+    """Salt replica index for an edge: splits a hub source's out-adjacency
+    across ``n_salt`` partitions by hashing the *destination*, so the same
+    (src, salt) pair always lands together but a hub fans out
+    (SURVEY.md R1; the degree-adaptive analog of the reference's per-key
+    probe-side choice, ``reconstruct.rs:79``)."""
+    s = F.col(src) if isinstance(src, str) else src
+    d = F.col(dst) if isinstance(dst, str) else dst
+    return F.pmod(F.xxhash64(d, s), n_salt).cast("int")
+
+
+def part_id(src: Column | str, salt: Column | str, n_parts: int) -> Column:
+    """Graph partition of an edge: salted hash of src (north rule)."""
+    s = F.col(src) if isinstance(src, str) else src
+    sa = F.col(salt) if isinstance(salt, str) else salt
+    return F.pmod(F.xxhash64(s, sa), F.lit(n_parts)).cast("int")
