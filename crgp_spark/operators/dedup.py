@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all expressed as declarative
+DataFrame pipelines so Catalyst handles pushdown/combine, and all built
+ONLY from constructs with exact ANSI-SQL twins (``md5``, string min,
+array ops) so every variant is verifiable against the DuckDB oracle.
+
+Scale design notes (100 TB):
+- exact/fingerprint dedup: one map-side-combinable groupBy on a 128-bit
+  digest — the canonical first pass.
+- MinHash/LSH: signatures are per-row (embarrassingly parallel); the
+  only shuffle is the band-bucket self-join, whose fan-out is bounded by
+  bucket size; hot buckets are exactly the AQE skew-join case.
+- pairwise verification joins re-shuffle only LSH candidates, never the
+  full corpus.
+- MinHash here uses the *lexicographic minimum of md5 hex digests* as
+  the hash family (one salt per hash index). md5 is uniform, so min-hex
+  is a valid minwise sketch, and — unlike integer hash mixing — it is
+  bit-identical in every SQL engine, which makes the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crgp_spark.operators.textstats import normalize_text, tokens
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of the normalized text (array<string>);
+    shorter-than-k docs yield their whole text as one shingle."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n == 0, F.array().cast("array<string>")).otherwise(grams)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest: one surviving (minimum)
+    doc_id per distinct text. Returns (keep_id, n_dupes)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}): MinHash signature — per hash index i,
+    the minimum md5 hex digest of ``shingle || '#i'``."""
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing at least one LSH
+    band (bands = consecutive groups of ``band_size`` signature slots)."""
+    sigs = minhash_signatures(docs, text_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig_{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = bands.select(F.col("doc_id").alias("a"), "band", "key")
+    r = bands.select(F.col("doc_id").alias("b"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (all pairs
+    sharing >=1 shingle when ``candidates`` is None). Returns
+    (a, b, inter, uni) with inter/uni integer shingle counts and
+    inter > threshold*uni — integer-only output so oracle comparison is
+    exact."""
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    if candidates is None:
+        ex = sh.select("doc_id", F.explode("sh").alias("s"))
+        candidates = (
+            ex.alias("l")
+            .join(ex.alias("r"), "s")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+            )
+            .distinct()
+        )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    out = (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+        .filter(F.col("inter") > F.lit(threshold) * F.col("uni"))
+    )
+    return out.select("a", "b", "inter", "uni")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate removal: LSH candidates -> exact
+    Jaccard verification -> drop the larger doc_id of every verified
+    pair. Returns surviving (doc_id)."""
+    cands = lsh_candidate_pairs(docs, text_col, n_hashes, band_size, k)
+    verified = jaccard_pairs(docs, cands, text_col, k, threshold)
+    losers = verified.select(F.col("b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", n_bits: int = 32, k: int = 3
+) -> DataFrame:
+    """(doc_id, simhash): n_bit SimHash as a bit string. Bit j of a
+    shingle comes from the j-th bit of its md5 hex digest (4 bits per
+    hex digit via ``instr``-based digit decoding — exact in SQL too);
+    document bit j = majority vote across shingles."""
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("s"))
+    sh = sh.select("doc_id", F.md5("s").alias("h"))
+    # hex digit j/4 of the digest, bit (3 - j%4) of that digit — written
+    # as floor/pow/mod integer arithmetic that is bit-identical in the
+    # DuckDB oracle (no engine-specific shift operators).
+    hexval = (
+        F.expr("instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1))")
+        - 1
+    )
+    bit = F.pmod(
+        F.floor(
+            hexval.cast("double")
+            / F.pow(F.lit(2.0), (3 - F.pmod(F.col("j"), F.lit(4))).cast("double"))
+        ).cast("int"),
+        F.lit(2),
+    )
+    bits = sh.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("j"),
+    ).select("doc_id", "j", bit.alias("bit"))
+    votes = bits.groupBy("doc_id", "j").agg(
+        (F.sum(F.col("bit") * 2 - 1)).alias("v")
+    )
+    out = votes.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("j", (F.col("v") > 0).cast("int").alias("b")))
+                ),
+                lambda x: x["b"].cast("string"),
+            ),
+        ).alias("simhash")
+    )
+    return out

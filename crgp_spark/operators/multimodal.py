@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched kernels
+(``mapInPandas``) — schema, partitioning, UDF signatures and batch
+shapes are real and tested; the actual codec step is STUBBED because no
+image/audio libraries ship in this environment.
+
+``decode_image(..., fake=True)`` substitutes a deterministic fake
+decoder (hash-derived pixels) so the full pipeline — binary payload →
+decode → feature extraction → fixed-length feature vector — runs end to
+end with real Arrow batches; ``fake=False`` raises NotImplementedError
+at the decode step, marking exactly where PIL/libav would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), False),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "media_id long, format string, n_bytes long, "
+    f"features array<double>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
+
+
+def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic binary payload + metadata from a document
+    table — the test stand-in for reading real media files (the real
+    source would be ``spark.read.format('binaryFile')``)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.element_at(
+                F.array(F.lit("png"), F.lit("jpeg"), F.lit("wav")),
+                (F.pmod(F.xxhash64("doc_id"), F.lit(3)) + 1).cast("int"),
+            ).alias("format"),
+            (F.pmod(F.xxhash64("doc_id", F.lit("w")), F.lit(64)) + 4)
+            .cast("int")
+            .alias("width"),
+            (F.pmod(F.xxhash64("doc_id", F.lit("h")), F.lit(64)) + 4)
+            .cast("int")
+            .alias("height"),
+            (F.pmod(F.xxhash64("doc_id", F.lit("f")), F.lit(8)) + 1)
+            .cast("int")
+            .alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic fake pixel buffer from the payload digest."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * 8)[:256], dtype=np.uint8)
+    return raw.astype(np.float64) / 255.0
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary payload -> fixed-length feature vector, as a mapInPandas
+    kernel (Arrow batches in/out; one pass, no shuffle). With
+    ``fake=False`` this raises NotImplementedError where a real decoder
+    (PIL / soundfile / pyav) would be called."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nb = [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                nb.append(len(data))
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/libav — not available; "
+                        "use fake=True for the deterministic test decoder"
+                    )
+                px = _fake_decode(data)
+                # 16-bin mean-pooled "embedding" of the fake pixels
+                feats.append(px.reshape(FEATURE_DIM, -1).mean(axis=1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [m["format"] for m in pdf["meta"]],
+                    "n_bytes": nb,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2, fake: bool = True) -> DataFrame:
+    """Video-style frame sampling: split the payload into ``n_frames``
+    chunks and keep every ``every``-th — the Spark-side shape of a real
+    frame extractor (seek + decode per sampled frame)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if not fake:
+                    raise NotImplementedError("real frame decode not available")
+                data = bytes(payload)
+                n = max(int(meta["n_frames"]), 1)
+                step = max(len(data) // n, 1)
+                for i in range(0, n, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(data[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

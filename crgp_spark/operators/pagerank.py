@@ -1,0 +1,284 @@
+"""PageRank over the influence-edge table (north-rule extension; the
+reference computes only the edge table itself).
+
+Two interchangeable physical paths, one logical algorithm
+(power iteration with damping ``α`` and dangling-mass redistribution)::
+
+    rank'(v) = (1-α)/N + α * ( Σ_{u→v} rank(u)/outdeg(u) + dangling/N )
+
+converged when ``max_v |rank'(v) - rank(v)| < tol``.
+
+- ``pagerank`` (default, "csr"): salted per-partition CSR blocks; the
+  gather-scatter runs as a vectorized NumPy kernel over Arrow batches
+  (``applyInPandas``), with blocks held in executor-process memory across
+  supersteps (see operators/pack.py) — the engine path the north rule
+  specifies. Per superstep: one exchange-free state-distribution join, one
+  Arrow kernel with in-kernel map-side combine, one shuffle
+  (``groupBy(dst)``), then exchange-free joins against cached vertex and
+  old-state tables.
+- ``pagerank_df``: the same logical plan in pure DataFrame ops (JVM
+  whole-stage codegen, no Python) — used to cross-check the kernel path
+  and as a baseline in benchmarks.
+
+Determinism (SURVEY.md R2): the in-kernel combine sums via
+``np.bincount`` in sorted-dst order (fixed per partition); residual
+cross-partition reorder noise is ~1e-15, far under the 1e-6 tolerance, so
+results are `allclose`-stable across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crgp_spark.config import EngineConfig
+from crgp_spark.operators.pack import load_block, pack_csr, placement
+from crgp_spark.plans.superstep import LoopResult, StepOutcome, run_loop
+
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("partial", T.DoubleType(), False),
+    ]
+)
+
+
+def _make_gather(pack_path: str):
+    """Per-partition gather-scatter kernel: ranks of this partition's
+    sources in, per-destination partial contributions out (map-side
+    combined in sorted-dst order)."""
+
+    def gather(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part"].iloc[0])
+        blk = load_block(pack_path, part)
+        src_ids, indptr, dst, deg = (
+            blk["src_ids"],
+            blk["indptr"],
+            blk["dst"],
+            blk["src_deg"],
+        )
+        # Align incoming ranks to the block's sorted source order.
+        order = np.argsort(pdf["src"].to_numpy(), kind="stable")
+        src = pdf["src"].to_numpy()[order]
+        rank = pdf["rank"].to_numpy()[order]
+        if len(src) == len(src_ids) and np.array_equal(src, src_ids):
+            w = rank / deg
+        else:  # partial state delivery — align sparsely
+            pos = np.searchsorted(src_ids, src)
+            w = np.zeros(len(src_ids), dtype=np.float64)
+            valid = (pos < len(src_ids)) & (src_ids[np.minimum(pos, len(src_ids) - 1)] == src)
+            w[pos[valid]] = rank[valid] / deg[pos[valid]]
+        contrib = np.repeat(w, np.diff(indptr))
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        return pd.DataFrame(
+            {"part": np.full(len(uniq), part, dtype=np.int32), "dst": uniq, "partial": sums}
+        )
+
+    return gather
+
+
+def vertex_universe(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .repartition(cfg.shuffle_partitions, "vid")
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    resume: bool = False,
+    algo_name: str = "pagerank",
+) -> LoopResult:
+    """CSR-kernel PageRank with delta checkpoints, lineage and resume.
+
+    Returns state ``(vid, rank)``; ranks sum to 1.
+    """
+    cfg = cfg or EngineConfig()
+    pack_path = os.path.join(cfg.checkpoint_dir, algo_name, "graph")
+
+    stats_file = os.path.join(pack_path, "_pack_stats.json")
+    if not (resume and os.path.exists(stats_file)):
+        pack_stats = pack_csr(edges.select("src", "dst"), cfg, pack_path)
+    else:
+        import json
+
+        with open(stats_file) as f:
+            pack_stats = json.load(f)
+
+    blocks_meta = {
+        int(r["part"]): int(r["n_edges"])
+        for r in spark.read.parquet(pack_path).select("part", "n_edges").collect()
+    }
+    mean_edges = max(pack_stats["mean_edges"], 1.0)
+
+    verts = vertex_universe(edges, cfg).persist()
+    n = verts.count()
+    pl = placement(edges.select("src", "dst"), cfg).persist()
+    pl.count()
+    gather = _make_gather(pack_path)
+    alpha, tol = cfg.damping, cfg.tol
+
+    def init_state() -> DataFrame:
+        return verts.select("vid", F.lit(1.0 / n).alias("rank"))
+
+    def step(state: DataFrame, it: int) -> StepOutcome:
+        ranks_parts = pl.join(state, pl["src"] == state["vid"]).select(
+            "part", "src", "rank"
+        )
+        msgs = ranks_parts.groupBy("part").applyInPandas(gather, MSG_SCHEMA).persist()
+
+        tot = msgs.agg(
+            F.sum("partial").alias("tot"), F.count(F.lit(1)).alias("n_msgs")
+        ).first()
+        total_contrib = float(tot["tot"] or 0.0)
+        dangling = max(0.0, 1.0 - total_contrib)
+
+        part_rows = msgs.groupBy("part").agg(
+            F.count(F.lit(1)).alias("messages_sent")
+        ).collect()
+
+        sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
+        new_state = (
+            verts.join(sums, verts["vid"] == sums["dst"], "left")
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank_new"),
+            )
+            .join(state.select("vid", F.col("rank").alias("rank_old")), "vid")
+            .select(
+                "vid",
+                F.col("rank_new").alias("rank"),
+                # `_changed` drives delta-checkpoint content and must be
+                # EXACT (any bit change) — filtering by tolerance here
+                # would drop sub-tol drift and corrupt resumed state.
+                (F.col("rank_new") != F.col("rank_old")).alias("_changed"),
+                F.abs(F.col("rank_new") - F.col("rank_old")).alias("_delta"),
+            )
+        )
+        new_state = new_state.localCheckpoint(eager=True)
+        agg = new_state.agg(
+            F.max("_delta").alias("max_delta"),
+            F.sum((F.col("_delta") > tol).cast("long")).alias("frontier"),
+        ).first()
+        msgs.unpersist()
+
+        max_delta = float(agg["max_delta"] or 0.0)
+        frontier = int(agg["frontier"] or 0)
+        lineage = spark.createDataFrame(
+            [
+                (
+                    algo_name,
+                    it,
+                    int(r["part"]),
+                    blocks_meta.get(int(r["part"]), 0),
+                    int(r["messages_sent"]),
+                    frontier,
+                    blocks_meta.get(int(r["part"]), 0) / mean_edges,
+                )
+                for r in part_rows
+            ],
+            schema="algo string, iteration int, partition_id int, edges_scanned long, "
+            "messages_sent long, frontier_size long, skew_ratio double",
+        )
+        metrics = {
+            "max_delta": max_delta,
+            "frontier": frontier,
+            "messages": int(tot["n_msgs"]),
+            "dangling_mass": dangling,
+            "converged": max_delta < tol,
+        }
+        return StepOutcome(new_state.drop("_delta"), lineage, metrics)
+
+    result = run_loop(spark, algo_name, cfg, init_state, step, resume=resume)
+    verts.unpersist()
+    pl.unpersist()
+    return result
+
+
+def pagerank_df(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    max_iterations: int | None = None,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Pure-DataFrame PageRank (no Python in the loop body) — reference
+    implementation for cross-checks and the JVM-only baseline in
+    benchmarks. ``fixed_iterations`` disables the convergence test (used
+    by the DuckDB-oracle driver query, whose SQL unrolls the same fixed
+    number of iterations). Returns ``(vid, rank)``."""
+    cfg = cfg or EngineConfig()
+    alpha, tol = cfg.damping, cfg.tol
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = (
+        edges.select("src", "dst")
+        .join(deg, "src")
+        .repartition(cfg.shuffle_partitions, "src")
+        .persist()
+    )
+    e.count()
+    verts = vertex_universe(edges, cfg).persist()
+    n = verts.count()
+    # vertices with no out-edges (dangling) — static
+    dangling_vids = verts.join(
+        deg.select(F.col("src").alias("vid")), "vid", "left_anti"
+    ).persist()
+
+    ranks = verts.select("vid", F.lit(1.0 / n).alias("rank")).persist()
+    ranks.count()
+
+    n_iter = fixed_iterations or max_iterations or cfg.max_iterations
+    for _it in range(n_iter):
+        d_row = ranks.join(dangling_vids, "vid", "left_semi").agg(F.sum("rank")).first()
+        dangling = float(d_row[0] or 0.0)
+        msgs = e.join(ranks, e["src"] == ranks["vid"]).select(
+            "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
+        )
+        sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
+        new_ranks = (
+            verts.join(sums, verts["vid"] == sums["dst"], "left")
+            .select(
+                "vid",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # plan truncation per iteration
+        )
+        if fixed_iterations is None:
+            delta = (
+                new_ranks.join(ranks.select("vid", F.col("rank").alias("r0")), "vid")
+                .agg(F.max(F.abs(F.col("rank") - F.col("r0"))))
+                .first()[0]
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+            if float(delta or 0.0) < tol:
+                break
+        else:
+            new_ranks.count()
+            ranks.unpersist()
+            ranks = new_ranks
+
+    e.unpersist()
+    verts.unpersist()
+    dangling_vids.unpersist()
+    return ranks

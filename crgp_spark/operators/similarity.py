@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane) variant as the scale path.
+
+The dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (no
+Python); the hyperplanes of the LSH variant are deterministic
+hash-derived pseudo-random values materialized as literal arrays, so
+bucketing is reproducible with no RNG state — the same trick the
+synthetic generator uses.
+
+Scale notes: brute-force is O(Q·N) — correct for small Q (the exact
+baseline / re-ranker). The LSH path buckets the corpus once
+(embarrassingly parallel), then only joins within buckets; recall is
+tunable by number of tables/bits. At 10^9+ vectors, bucket the corpus
+table once and reuse across query batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, sim). Ranking is
+    fully deterministic: similarity rounded to 6 decimals, ties broken by
+    neighbor id — so results are integer-comparable across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5), derived
+    from sha256 — no RNG state, reproducible everywhere."""
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{b}:{d}".encode()).digest()
+            row.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: the sign pattern of the vector against
+    ``n_bits`` fixed hyperplanes, as a bit-string."""
+    bits = []
+    for plane in _hyperplanes(dim, n_bits, seed):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append((_dot(F.col(vec_col), p) >= 0).cast("int").cast("string"))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    buckets across ``n_tables`` independent hash tables (standard
+    multi-table LSH — recall grows with tables, cost with bucket
+    collisions). Same output shape/determinism as ``knn_bruteforce``."""
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q0 = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cand = None
+    for t in range(n_tables):
+        c = lsh_bucket(c0, dim, n_bits, seed + 1000 * t, "cv").withColumn(
+            "tbl", F.lit(t)
+        )
+        q = lsh_bucket(q0, dim, n_bits, seed + 1000 * t, "qv").withColumn(
+            "tbl", F.lit(t)
+        )
+        p = q.join(c.select("neighbor_id", "bucket", "tbl"), ["tbl", "bucket"]).select(
+            "query_id", "neighbor_id"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    scored = (
+        cand.distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(q0, "query_id")
+        .join(c0, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter_bits: int | None = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (a < b) with cosine > threshold.
+    With ``prefilter_bits`` set (requires ``dim``), pairs are generated
+    only within LSH buckets (the 100 TB path); ``prefilter_bits=None``
+    compares all pairs (exact, used by the oracle check)."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if prefilter_bits:
+        if dim is None:
+            raise ValueError("dim required when prefiltering")
+        v = lsh_bucket(v, dim, prefilter_bits, vec_col="v")
+        join_on = ["bucket"]
+        l = v.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+        r = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+        pairs = l.join(r, join_on).filter(F.col("a") < F.col("b"))
+    else:
+        l = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        r = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        pairs = l.crossJoin(r).filter(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    ).filter(F.col("sim") > threshold)

@@ -1,0 +1,124 @@
+"""Text analysis over document tables: token counting, quality scoring,
+language-ID heuristic, fingerprinting — the text half of a
+training-data pipeline (first-class per the task brief; the reference
+has no text ops, its strings are parsed-and-discarded,
+``twitter/get.rs:56-76``).
+
+Every function is pure JVM expressions (``pyspark.sql.functions``), no
+UDFs — so at 100 TB these run inside whole-stage codegen at scan speed,
+and each has an exact ANSI-SQL twin used by the DuckDB oracle harness
+(expressions below are deliberately restricted to constructs with
+identical semantics in both engines; e.g. ``md5``, simple regex classes,
+integer arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets (shared with the SQL oracle)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "en", "un", "por"],
+    "fr": ["le", "la", "les", "des", "et", "une", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+}
+
+_PUNCT_RE = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_distinct_tokens, avg_token_len)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size(toks)
+            ),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+    0.4·min(1, tokens/50) + 0.3·type-token-ratio + 0.2·(1 − punct-ratio)
+    + 0.1·stopword-presence. Rounded to 4 decimals (identical arithmetic
+    in the SQL oracle)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), _PUNCT_RE, "")
+    )
+    ttr = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    )
+    en_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]))
+    )
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok.cast("double") / 50)
+        + F.lit(0.3) * ttr
+        + F.lit(0.2) * (F.lit(1.0) - punct.cast("double") / n_chars)
+        + F.lit(0.1) * F.when(en_stop > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: the language whose marker words hit
+    the most distinct matches wins; ties resolve in fixed order
+    en > es > fr > de; zero hits -> 'und'."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["es"] == best, F.lit("es"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alphanumeric
+    runs collapsed to single spaces, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the normalized text; identical duplicate
+    detection key in Spark and the SQL oracle."""
+    return docs.select(
+        "doc_id", F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )

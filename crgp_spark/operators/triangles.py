@@ -1,0 +1,88 @@
+"""Exact triangle counting via degree orientation + two-hop join —
+north-rule extension.
+
+Each undirected edge is oriented from the endpoint with smaller
+``(degree, id)`` to the larger, so every triangle has exactly one apex
+with two out-edges; wedges (two out-edges of one apex) are then
+semi-joined against the edge set. The orientation bounds the join fan-out
+by the graph's degeneracy instead of its max degree — the standard trick
+that makes triangle counting survive power-law graphs at scale (a hub of
+degree d contributes O(d·degeneracy) wedges, not O(d²)).
+
+All DataFrame ops (distinct → groupBy degree → joins); Catalyst/AQE pick
+the join strategies; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from lower (degree, id) to higher."""
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.withColumnsRenamed({"vid": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"vid": "b", "deg": "deg_b"}), "b")
+    )
+    fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    return e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangles(
+    spark: SparkSession, edges: DataFrame, cfg=None
+) -> tuple[int, DataFrame]:
+    """Returns ``(global_count, per_vertex)`` with
+    ``per_vertex(vid, triangles)`` — exact, treating the edge table as an
+    undirected simple graph."""
+    o = oriented_edges(edges).persist()
+    und = _undirected(edges)
+
+    e1 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("w1"))
+    e2 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("w2"))
+    wedges = e1.join(e2, "apex").filter(F.col("w1") < F.col("w2"))
+    tri = wedges.join(
+        und,
+        (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")),
+        "left_semi",
+    ).persist()
+
+    total = tri.count()
+    per_vertex = (
+        tri.select(F.col("apex").alias("vid"))
+        .unionByName(tri.select(F.col("w1").alias("vid")))
+        .unionByName(tri.select(F.col("w2").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    # vertices in no triangle -> 0
+    all_v = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    per_vertex = all_v.join(per_vertex, "vid", "left").select(
+        "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+    o.unpersist()
+    return total, per_vertex

@@ -1,0 +1,102 @@
+"""Generic Pregel-style superstep driver — the engine's heart
+(SURVEY.md §7.2 M3).
+
+Spark has no iterative operator, so iteration is driver-side control flow:
+each superstep is a declarative DataFrame computation ending in a barrier
+(the checkpoint write / metrics action) — the analog of the reference's
+per-epoch batch loop + probe barrier (``reconstruction/run.rs:118-129``,
+``timely_extensions/sync.rs:27-41``), with three upgrades the reference
+lacks: atomic delta checkpoints, per-partition lineage rows, and resume.
+
+Algorithms plug in two functions:
+
+``init_state_fn() -> DataFrame``
+    initial state; must have a ``vid`` long column + value columns.
+
+``step_fn(state, iteration) -> StepOutcome``
+    one superstep. Returns the FULL new state with an extra ``_changed``
+    boolean column (the frontier), optional lineage rows, and metrics —
+    must contain ``converged: bool``. The returned state MUST be
+    materialized with a TRUNCATED plan (``localCheckpoint(eager=True)``
+    or a parquet round-trip): without truncation the lineage tree deepens
+    every superstep and Catalyst overflows the JVM stack after a few
+    dozen iterations — the classic Spark iterative-algorithm trap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crgp_spark.config import EngineConfig
+from crgp_spark.plans.checkpoint import CheckpointManager
+
+
+@dataclass
+class StepOutcome:
+    state: DataFrame  # vid + value cols + `_changed` bool
+    lineage: DataFrame | None
+    metrics: dict
+
+
+@dataclass
+class LoopResult:
+    state: DataFrame  # converged (or max-iteration) state, no `_changed`
+    history: list[dict]
+    iterations: int
+    converged: bool
+    resumed_from: int | None
+
+
+def run_loop(
+    spark: SparkSession,
+    algo: str,
+    cfg: EngineConfig,
+    init_state_fn: Callable[[], DataFrame],
+    step_fn: Callable[[DataFrame, int], StepOutcome],
+    resume: bool = False,
+    max_iterations: int | None = None,
+) -> LoopResult:
+    cm = CheckpointManager(cfg.checkpoint_dir, algo, cfg.snapshot_every)
+    start_it, state, resumed_from = 0, None, None
+
+    if resume:
+        last = cm.latest()
+        if last is not None:
+            state = cm.load_state(spark, last).persist()
+            if last.converged:
+                return LoopResult(state, [last.metrics], last.iteration + 1, True, last.iteration)
+            start_it = last.iteration + 1
+            resumed_from = last.iteration
+    if state is None:
+        state = init_state_fn().persist()
+
+    history: list[dict] = []
+    n_commits = 0
+    converged = False
+    it = start_it - 1
+    for it in range(start_it, max_iterations or cfg.max_iterations):
+        out = step_fn(state, it)
+        new_state = out.state
+        converged = bool(out.metrics.get("converged"))
+
+        if (it - start_it) % cfg.checkpoint_every == 0 or converged:
+            kind = "full" if (n_commits % cfg.snapshot_every == 0 or converged) else "delta"
+            to_write = (
+                new_state.drop("_changed")
+                if kind == "full"
+                else new_state.filter(F.col("_changed")).drop("_changed")
+            )
+            cm.commit(it, to_write, out.lineage, kind, converged, out.metrics)
+            n_commits += 1
+
+        history.append({**out.metrics, "iteration": it})
+        state.unpersist()
+        state = new_state
+        if converged:
+            break
+
+    return LoopResult(state.drop("_changed"), history, it + 1, converged, resumed_from)

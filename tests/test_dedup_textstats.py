@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crgp_spark.operators import dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (3, "completely different content about spark engines and data"),
+        (4, "el gato de la casa que corre por los tejados de madrid"),
+        (5, ""),
+        (6, "le chat est dans la maison et les oiseaux dans le jardin"),
+        (7, "short text"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(base, columns=["doc_id", "text"])
+    ).persist()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.keep_id: r.n_dupes for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0,1 collapse, min id kept
+    assert 1 not in out
+    assert sum(out.values()) == 8
+
+
+def test_shingles_and_jaccard(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in got  # identical
+    for r in pairs:
+        assert r.inter <= r.uni
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    cands = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in cands  # identical docs always share every band
+    survivors = {r.doc_id for r in dedup.minhash_dedup(docs).collect()}
+    assert 0 in survivors and 1 not in survivors
+    assert 3 in survivors and 4 in survivors
+
+
+def test_simhash_properties(spark, docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, n_bits=32).collect()}
+    assert out[0] == out[1]  # identical text -> identical simhash
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in out.values())
+    # near-dup closer than unrelated
+    ham = lambda x, y: sum(a != b for a, b in zip(x, y))
+    assert ham(out[0], out[2]) < ham(out[0], out[3])
+
+
+def test_token_stats(spark, docs):
+    out = {r.doc_id: r for r in textstats.token_stats(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[5].n_tokens == 0
+    assert out[7].n_tokens == 2
+    assert out[0].n_distinct_tokens == 8  # 'the' twice
+
+
+def test_quality_and_langid(spark, docs):
+    q = {r.doc_id: r.quality for r in textstats.quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[3] > q[5]  # real text beats empty
+    langs = {r.doc_id: r.pred_lang for r in textstats.lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+    assert langs[6] == "fr"
+    assert langs[5] == "und"
+
+
+def test_fingerprint_normalisation(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "Hello,   World!"), (1, "hello world"), (2, "other")],
+            columns=["doc_id", "text"],
+        )
+    )
+    fp = {r.doc_id: r.fp for r in textstats.fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crgp_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(17)
+    n = 120
+    base = rng.normal(size=(n, DIM)).astype(np.float32)
+    base[5] = base[0] + 1e-4  # a deliberate near-duplicate of vec 0
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(map(float, v)) for v in base]}
+    )
+    return spark.createDataFrame(pdf).persist()
+
+
+def _np_topk(pdf, qid, k):
+    vecs = {int(r.vec_id): np.array(r.embedding) for r in pdf}
+    q = vecs[qid]
+    sims = {
+        i: round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+        for i, v in vecs.items()
+        if i != qid
+    }
+    return [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+def test_bruteforce_matches_numpy(spark, vectors):
+    rows = vectors.collect()
+    queries = vectors.filter(F.col("vec_id") < 3)
+    out = knn_bruteforce(vectors, queries, k=5).collect()
+    for qid in range(3):
+        got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
+        assert got == _np_topk(rows, qid, 5)
+
+
+def test_lsh_recall_reasonable(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 20)
+    bf = knn_bruteforce(vectors, queries, k=3).collect()
+    lsh = knn_lsh(vectors, queries, DIM, k=3, n_bits=4).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & lsh_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    assert hits / total > 0.3  # approximate but not useless
+
+
+def test_neardup_pairs(spark, vectors):
+    exact = embedding_neardup_pairs(vectors, threshold=0.99, prefilter_bits=None)
+    got = {(r.a, r.b) for r in exact.collect()}
+    assert (0, 5) in got
+    # LSH-prefiltered result is a subset of exact
+    approx = embedding_neardup_pairs(
+        vectors, threshold=0.99, prefilter_bits=4, dim=DIM
+    )
+    assert {(r.a, r.b) for r in approx.collect()} <= got
