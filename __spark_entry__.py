@@ -1,38 +1,613 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (top influential turns by
+out-degree of the derived influence-edge table) at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives each one's DuckDB-runnable ANSI-SQL
+twin over the same parquet tables.
+
+Vertex ids in the driver queries use the NATURAL encoding
+``vid = user_id * 100000 + turn_idx`` (conversations here are derived
+from the ``events`` table, one per user) instead of the engine's
+``xxhash64`` ids, because the oracle SQL must reproduce them exactly and
+``xxhash64`` has no DuckDB twin. Both encodings are injective; the
+engine's algorithms are id-agnostic.
+
+All compared outputs are integers/strings or explicitly-rounded doubles
+so the driver's value hash is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crgp_spark.config import EngineConfig
+from crgp_spark.derive import derive_edge_turns, first_activations
+from crgp_spark.functions import decimal_round
+from crgp_spark.generator import transcripts_from_events
+from crgp_spark.operators.components import connected_components
+from crgp_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from crgp_spark.operators.labelprop import label_propagation
+from crgp_spark.operators.pagerank import pagerank_df
+from crgp_spark.operators.similarity import embedding_neardup_pairs, knn_bruteforce
+from crgp_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from crgp_spark.operators.triangles import triangles
+
+
+# ---------------------------------------------------------------------------
+# Shared Spark-side building blocks
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _edge_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence edges in natural-key form over events-derived
+    transcripts (conversation = user, turn order = (ts, event_id))."""
+    return derive_edge_turns(transcripts_from_events(_events(spark, sf_dir)))
+
+
+def _uid(conv_col: str) -> F.Column:
+    return F.substring(F.col(conv_col), 2, 20).cast("long")
+
+
+def _edges_vid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived edges as (src, dst) long vids: uid*100000 + turn_idx."""
+    e = _edge_turns(spark, sf_dir)
+    return e.select(
+        (_uid("conv_id") * 100000 + F.col("src_turn")).alias("src"),
+        (_uid("conv_id") * 100000 + F.col("dst_turn")).alias("dst"),
+    )
+
+
+def _graph_cfg() -> EngineConfig:
+    return EngineConfig(
+        shuffle_partitions=8,
+        graph_partitions=8,
+        checkpoint_dir="/tmp/crgp_ckpt_entry",
+        checkpoint_every=10_000,  # driver queries need no mid-run commits
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle-SQL building blocks (DuckDB dialect-safe ANSI)
+
+# events → turns (the transcripts_from_events mapping, generator.py)
+_SQL_TURNS = """
+turns AS (
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           user_id AS uid,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+           event_type AS participant,
+           ts
+    FROM events
+)"""
+
+# turns → first activation per (conversation, participant)   [derive.py]
+_SQL_ACTS = """
+acts AS (
+    SELECT conv_id, uid, participant, MIN(turn_idx) AS act_turn
+    FROM turns GROUP BY conv_id, uid, participant
+),
+acts_ts AS (
+    SELECT a.conv_id, a.uid, a.participant, a.act_turn, t.ts AS act_ts
+    FROM acts a JOIN turns t
+      ON t.conv_id = a.conv_id AND t.turn_idx = a.act_turn
+)"""
+
+# turns → conversation originator (opener participant)
+_SQL_ORIG = """
+orig AS (
+    SELECT conv_id, MIN(turn_idx) AS orig_turn,
+           MIN_BY(participant, turn_idx) AS orig_participant
+    FROM turns GROUP BY conv_id
+)"""
+
+# the full influence-edge derivation (derive.py::derive_edge_turns):
+# edge q → turn t iff q is another participant of the conversation and
+# (first_activation(q).ts < t.ts  OR  q = originator)
+_SQL_EDGES = f"""
+{_SQL_TURNS},
+{_SQL_ACTS},
+{_SQL_ORIG},
+edges AS (
+    SELECT t.conv_id,
+           t.uid,
+           a.act_turn AS src_turn,
+           a.participant AS src_participant,
+           t.turn_idx AS dst_turn,
+           t.participant AS dst_participant,
+           o.orig_turn
+    FROM turns t
+    JOIN orig o ON o.conv_id = t.conv_id
+    JOIN acts_ts a ON a.conv_id = t.conv_id AND a.participant <> t.participant
+    WHERE t.turn_idx <> o.orig_turn
+      AND (a.act_ts < t.ts OR a.participant = o.orig_participant)
+)"""
+
+# edges in natural-vid long form
+_SQL_EVID = f"""
+{_SQL_EDGES},
+e AS (
+    SELECT uid * 100000 + src_turn AS src, uid * 100000 + dst_turn AS dst
+    FROM edges
+)"""
+
+
+def _sql_evid() -> str:
+    # e carries one row per derived edge (src,dst unique per edge)
+    return _SQL_EVID
+
+
+# word k-gram shingles of normalized text (dedup.py::word_shingles, k=3)
+_SQL_SHINGLES = """
+ntext AS (
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+    FROM documents
+),
+tk AS (
+    SELECT doc_id,
+           CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+    FROM ntext
+),
+sh AS (
+    SELECT DISTINCT doc_id, s
+    FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(tk) - 3, 0) + 1),
+                                     i -> ARRAY_TO_STRING(tk[i + 1 : i + 3], ' '))) AS s
+        FROM tk WHERE LEN(tk) > 0
+    )
+)"""
+
+# 4-slot MinHash signatures from the shingle set (dedup.py)
+_SQL_MINHASH = f"""
+{_SQL_SHINGLES},
+sig AS (
+    SELECT doc_id,
+           MIN(MD5(s || '#0')) AS sig_0,
+           MIN(MD5(s || '#1')) AS sig_1,
+           MIN(MD5(s || '#2')) AS sig_2,
+           MIN(MD5(s || '#3')) AS sig_3
+    FROM sh GROUP BY doc_id
+)"""
+
+# embeddings exploded to (vec_id, i, x_double) + norms
+_SQL_EMB = """
+ex AS (
+    SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+    FROM embeddings, RANGE(64) t(i)
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+)"""
+
+_PR_ALPHA = 0.85
+_PR_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    """PageRank with dangling-mass redistribution, 3 iterations unrolled
+    (pagerank_df's exact formula; operators/pagerank.py)."""
+    parts = [
+        _sql_evid(),
+        """,
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+r0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS rank FROM verts)""",
+    ]
+    a = _PR_ALPHA
+    for it in range(_PR_ITERS):
+        p, c = f"r{it}", f"r{it + 1}"
+        parts.append(
+            f""",
+dang{it} AS (
+    SELECT COALESCE(SUM(r.rank), 0) AS dm FROM {p} r
+    LEFT JOIN deg ON deg.src = r.vid WHERE deg.src IS NULL
+),
+m{it} AS (
+    SELECT e.dst AS vid, SUM(r.rank / deg.d) AS c
+    FROM e JOIN deg ON deg.src = e.src JOIN {p} r ON r.vid = e.src
+    GROUP BY e.dst
+),
+{c} AS (
+    SELECT v.vid,
+           {1.0 - a} / (SELECT n FROM nv)
+           + {a} * (COALESCE(m.c, 0) + (SELECT dm FROM dang{it}) / (SELECT n FROM nv)) AS rank
+    FROM verts v LEFT JOIN m{it} m ON m.vid = v.vid
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT vid, FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS rank FROM r{_PR_ITERS}"
+    )
+
+
+def _sql_labelprop() -> str:
+    """Synchronous min-tie-break label propagation, 2 supersteps unrolled
+    (operators/labelprop.py)."""
+    parts = [
+        _sql_evid(),
+        """,
+und AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+nbrs AS (
+    SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und)
+),
+verts AS (SELECT DISTINCT src AS vid FROM nbrs),
+l0 AS (SELECT vid, vid AS label FROM verts)""",
+    ]
+    for it in range(2):
+        p, c = f"l{it}", f"l{it + 1}"
+        parts.append(
+            f""",
+hist{it} AS (
+    SELECT n.src AS v, l.label, COUNT(*) AS cnt
+    FROM nbrs n JOIN {p} l ON l.vid = n.dst GROUP BY n.src, l.label
+),
+pick{it} AS (
+    SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn
+        FROM hist{it}
+    ) WHERE rn = 1
+),
+{c} AS (
+    SELECT l.vid, COALESCE(p.label, l.label) AS label
+    FROM {p} l LEFT JOIN pick{it} p ON p.v = l.vid
+)"""
+        )
+    return "WITH " + "".join(parts) + "\nSELECT vid, label FROM l2"
+
+
+# ---------------------------------------------------------------------------
+# entry / queries / oracle_sql
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top-20 most influential
+    turns of the transcript-derived influence-edge table by out-degree."""
+    return q_top_influencers(spark, "/root/testdata/sf0.001")
+
+
+def q_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(_events(spark, sf_dir))
+    return t.select("conv_id", "turn_idx", "role", "text")
+
+
+def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(_events(spark, sf_dir))
+    from crgp_spark.derive import prepare_turns
+
+    return first_activations(prepare_turns(t)).select(
+        "conv_id", "participant", "act_turn"
+    )
+
+
+def q_derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edge_turns(spark, sf_dir).select(
+        "conv_id",
+        "src_turn",
+        "src_participant",
+        "dst_turn",
+        "dst_participant",
+        "orig_turn",
+    )
+
+
+def q_top_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edge_turns(spark, sf_dir)
+    deg = e.groupBy("conv_id", "src_turn", "src_participant").agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    w_cols = [F.col("out_deg").desc(), F.col("conv_id"), F.col("src_turn")]
+    from pyspark.sql import Window
+
+    return (
+        deg.withColumn("rk", F.row_number().over(Window.orderBy(*w_cols)))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "conv_id", "src_turn", "src_participant", "out_deg")
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges_vid(spark, sf_dir)
+    ranks = pagerank_df(spark, e, _graph_cfg(), fixed_iterations=_PR_ITERS)
+    return ranks.select("vid", decimal_round(F.col("rank"), 6).alias("rank"))
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges_vid(spark, sf_dir)
+    return connected_components(spark, e, _graph_cfg()).select("vid", "component")
+
+
+def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges_vid(spark, sf_dir)
+    res = label_propagation(spark, e, _graph_cfg(), fixed_iterations=2)
+    return res.state.select("vid", "label")
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges_vid(spark, sf_dir)
+    _total, per_vertex = triangles(spark, e)
+    return per_vertex.select("vid", "triangles")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=4, band_size=2)
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return knn_bruteforce(embs, embs.filter(F.col("vec_id") < 16), k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, prefilter_bits=None
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "turns": q_turns,
+        "activations": q_activations,
+        "derive_edges": q_derive_edges,
+        "top_influencers": q_top_influencers,
+        "pagerank": q_pagerank,
+        "components": q_components,
+        "labelprop": q_labelprop,
+        "triangles": q_triangles,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "minhash": q_minhash,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard": q_jaccard,
+        "knn": q_knn,
+        "embedding_neardup": q_embedding_neardup,
+        "events_json": q_events_json,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns": "SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,\n"
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,\n"
+        "  event_type AS role, COALESCE(props, '') AS text\n"
+        "FROM events",
+        "activations": f"WITH {_SQL_TURNS},\n{_SQL_ACTS}\n"
+        "SELECT conv_id, participant, act_turn FROM acts",
+        "derive_edges": f"WITH {_SQL_EDGES}\n"
+        "SELECT conv_id, src_turn, src_participant, dst_turn, dst_participant, orig_turn FROM edges",
+        "top_influencers": f"WITH {_SQL_EDGES},\n"
+        "deg AS (SELECT conv_id, src_turn, src_participant, COUNT(*) AS out_deg\n"
+        "        FROM edges GROUP BY conv_id, src_turn, src_participant)\n"
+        "SELECT rk, conv_id, src_turn, src_participant, out_deg FROM (\n"
+        "  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY out_deg DESC, conv_id, src_turn) AS INT) AS rk FROM deg\n"
+        ") WHERE rk <= 20",
+        "pagerank": _sql_pagerank(),
+        "components": f"WITH {_SQL_EVID},\n"
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
+        "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",
+        "labelprop": _sql_labelprop(),
+        "triangles": f"WITH {_SQL_EVID},\n"
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
+        "tri AS (\n"
+        "  SELECT ab.a AS x, ab.b AS y, bc.b AS z\n"
+        "  FROM und ab JOIN und bc ON bc.a = ab.b JOIN und ac ON ac.a = ab.a AND ac.b = bc.b\n"
+        "),\n"
+        "cnt AS (\n"
+        "  SELECT vid, COUNT(*) AS triangles FROM (\n"
+        "    SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri\n"
+        "  ) GROUP BY vid\n"
+        "),\n"
+        "allv AS (SELECT DISTINCT a AS vid FROM und UNION SELECT b FROM und)\n"
+        "SELECT allv.vid, COALESCE(cnt.triangles, 0) AS triangles\n"
+        "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        "exact_dedup": "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes\n"
+        "FROM (SELECT doc_id, MD5(text) AS h FROM documents) GROUP BY h",
+        "fingerprint": "SELECT doc_id,\n"
+        "  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp\n"
+        "FROM documents",
+        "token_stats": """
+WITH tk AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk WHERE LEN(toks) > 0),
+st AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd, SUM(LENGTH(tok)) AS totlen
+  FROM ex GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       CAST(COALESCE(st.n, 0) AS INT) AS n_tokens,
+       CAST(LENGTH(tk.text) AS INT) AS n_chars,
+       CAST(COALESCE(st.nd, 0) AS INT) AS n_distinct_tokens,
+       FLOOR((CASE WHEN COALESCE(st.n, 0) = 0 THEN 0.0
+                  ELSE CAST(st.totlen AS DOUBLE) / st.n END) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+FROM tk LEFT JOIN st ON st.doc_id = tk.doc_id""",
+        "quality": """
+WITH tk AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk WHERE LEN(toks) > 0),
+st AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd,
+         COUNT(DISTINCT tok) FILTER (WHERE tok IN ('the','and','of','to','is','in','that','it')) AS stop
+  FROM ex GROUP BY doc_id
+),
+q AS (
+  SELECT tk.doc_id,
+         COALESCE(st.n, 0) AS n_tok,
+         GREATEST(LENGTH(tk.text), 1) AS n_chars,
+         LENGTH(tk.text) - LENGTH(REGEXP_REPLACE(tk.text, '[.,!?;:]', '', 'g')) AS punct,
+         CASE WHEN COALESCE(st.n, 0) = 0 THEN 0.0 ELSE CAST(st.nd AS DOUBLE) / st.n END AS ttr,
+         COALESCE(st.stop, 0) AS stop
+  FROM tk LEFT JOIN st ON st.doc_id = tk.doc_id
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       FLOOR((0.4 * LEAST(1.0, CAST(n_tok AS DOUBLE) / 50)
+             + 0.3 * ttr
+             + 0.2 * (1.0 - CAST(punct AS DOUBLE) / n_chars)
+             + 0.1 * (CASE WHEN stop > 0 THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS quality
+FROM q""",
+        "lang_id": """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(LOWER(text))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') END AS toks
+  FROM documents
+),
+ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk WHERE LEN(toks) > 0),
+h AS (
+  SELECT doc_id,
+    COUNT(DISTINCT tok) FILTER (WHERE tok IN ('the','and','of','to','is','in','that','it')) AS h_en,
+    COUNT(DISTINCT tok) FILTER (WHERE tok IN ('el','la','de','que','los','en','un','por')) AS h_es,
+    COUNT(DISTINCT tok) FILTER (WHERE tok IN ('le','la','les','des','et','une','est','dans')) AS h_fr,
+    COUNT(DISTINCT tok) FILTER (WHERE tok IN ('der','die','und','das','ist','nicht','ein','mit')) AS h_de
+  FROM ex GROUP BY doc_id
+)
+SELECT tk.doc_id,
+  CASE WHEN COALESCE(GREATEST(h_en, h_es, h_fr, h_de), 0) = 0 THEN 'und'
+       WHEN h_en = GREATEST(h_en, h_es, h_fr, h_de) THEN 'en'
+       WHEN h_es = GREATEST(h_en, h_es, h_fr, h_de) THEN 'es'
+       WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
+       ELSE 'de' END AS pred_lang
+FROM tk LEFT JOIN h ON h.doc_id = tk.doc_id""",
+        "minhash": f"WITH {_SQL_MINHASH}\n"
+        "SELECT doc_id, sig_0, sig_1, sig_2, sig_3 FROM sig",
+        "lsh_pairs": f"WITH {_SQL_MINHASH},\n"
+        "bands AS (\n"
+        "  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS key FROM sig\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS key FROM sig\n"
+        ")\n"
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key\n"
+        "WHERE l.doc_id < r.doc_id",
+        "jaccard": f"WITH {_SQL_SHINGLES},\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (\n"
+        "  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter\n"
+        "  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id\n"
+        "  GROUP BY x.doc_id, y.doc_id\n"
+        ")\n"
+        "SELECT a, b, CAST(inter AS INT) AS inter,\n"
+        "       CAST(sa.n + sb.n - inter AS INT) AS uni\n"
+        "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b\n"
+        "WHERE inter > 0.6 * (sa.n + sb.n - inter)",
+        "knn": f"WITH {_SQL_EMB},\n"
+        "dots AS (\n"
+        "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot\n"
+        "  FROM ex a JOIN ex b ON a.i = b.i\n"
+        "  WHERE a.vec_id < 16 AND a.vec_id <> b.vec_id\n"
+        "  GROUP BY a.vec_id, b.vec_id\n"
+        "),\n"
+        "scored AS (\n"
+        "  SELECT query_id, neighbor_id,\n"
+        "         FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim\n"
+        "  FROM dots JOIN norms na ON na.vec_id = query_id\n"
+        "            JOIN norms nb ON nb.vec_id = neighbor_id\n"
+        ")\n"
+        "SELECT query_id, rank, neighbor_id, sim FROM (\n"
+        "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank\n"
+        "  FROM scored\n"
+        ") WHERE rank <= 5",
+        "embedding_neardup": f"WITH {_SQL_EMB},\n"
+        "dots AS (\n"
+        "  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS dot\n"
+        "  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id\n"
+        "  GROUP BY a.vec_id, b.vec_id\n"
+        ")\n"
+        "SELECT a, b, FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim\n"
+        "FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b\n"
+        "WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 > 0.4",
+        "events_json": "SELECT event_type, COUNT(*) AS n,\n"
+        "       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,\n"
+        "       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,\n"
+        "       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k\n"
+        "FROM events GROUP BY event_type",
+    }

@@ -19,7 +19,10 @@ def ts_micros(ts: Column | str = "ts") -> Column:
     """Timestamp → integer microseconds, the engine's ordering-math type
     (the reference uses plain integer epochs, ``twitter/tweet.rs:23-24``)."""
     ts_c = F.col(ts) if isinstance(ts, str) else ts
-    return F.unix_micros(ts_c)
+    # Parquet TIMESTAMP_NTZ columns (Spark 4 infers NTZ) are cast to
+    # TIMESTAMP first; the session timezone is pinned to UTC
+    # (session.py), so the mapping is deterministic and order-preserving.
+    return F.unix_micros(ts_c.cast("timestamp"))
 
 
 def vid(conv_id: Column | str, turn_idx: Column | str) -> Column:
@@ -35,6 +38,19 @@ def vid(conv_id: Column | str, turn_idx: Column | str) -> Column:
     c = F.col(conv_id) if isinstance(conv_id, str) else conv_id
     t = F.col(turn_idx) if isinstance(turn_idx, str) else turn_idx
     return F.xxhash64(c, t)
+
+
+def decimal_round(col: Column, places: int) -> Column:
+    """Deterministic cross-engine rounding: ``floor(x·10^p + 0.5)/10^p``.
+
+    Spark's ``F.round`` (exact BigDecimal HALF_UP of the double) and
+    DuckDB's ``round`` (``std::round(x·10^p)/10^p`` in floating point)
+    disagree when the true value lies on a rounding boundary (e.g.
+    0.83125 at p=4). This idiom is the same IEEE op sequence in both
+    engines, so oracle comparisons are bit-stable; SQL twin:
+    ``FLOOR(x * 10^p + 0.5) / 10^p``."""
+    scale = F.lit(float(10**places))
+    return F.floor(col * scale + F.lit(0.5)) / scale
 
 
 def salt_for(src: Column | str, dst: Column | str, n_salt: Column) -> Column:

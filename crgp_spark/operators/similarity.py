@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crgp_spark.functions import decimal_round
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -58,7 +60,7 @@ def knn_bruteforce(
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        decimal_round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -136,7 +138,7 @@ def knn_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            decimal_round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,5 +177,5 @@ def embedding_neardup_pairs(
         r = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
         pairs = l.crossJoin(r).filter(F.col("a") < F.col("b"))
     return pairs.select(
-        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        "a", "b", decimal_round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
     ).filter(F.col("sim") > threshold)

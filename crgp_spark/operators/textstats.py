@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crgp_spark.functions import decimal_round
+
 #: tiny per-language stopword marker sets (shared with the SQL oracle)
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
@@ -44,7 +46,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
+        decimal_round(
             F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
                 F.aggregate(
                     F.transform(toks, lambda t: F.length(t)),
@@ -84,7 +86,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(score, 4).alias("quality"),
+        decimal_round(score, 4).alias("quality"),
     )
 
 
