@@ -1,0 +1,169 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "bench_total", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "edges_per_sec_pagerank": ...,  # the BASELINE.json north metric
+     ...}
+
+The authoritative metric (BASELINE.json): edges-processed/sec to
+PageRank convergence (max per-vertex delta < 1e-6) on the
+transcript-derived influence-edge table = n_edges x supersteps / wall
+seconds of the superstep loop (pack/labeling excluded, as the
+reference's retweet_processing_rate excludes graph-load time,
+crgp-lib/src/statistics.rs:125-131).
+
+Scaling evidence (two-cluster-size criterion): run this file twice via
+scripts/bench_scaling.py with SPARK_GRAFT_CPUS=8 and =32.
+
+Usage: python bench.py [--queries name1,name2] [--json-file PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from crgp_spark.config import EngineConfig
+from crgp_spark.derive import derive_edges
+from crgp_spark.generator import transcripts_from_events
+from crgp_spark.operators.components import connected_components
+from crgp_spark.operators.dedup import minhash_dedup
+from crgp_spark.operators.labelprop import label_propagation
+from crgp_spark.operators.pagerank import pagerank, pagerank_df
+from crgp_spark.operators.similarity import knn_bruteforce
+from crgp_spark.operators.textstats import quality_score
+from crgp_spark.operators.triangles import triangles
+from crgp_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CKPT = os.environ.get("SPARK_GRAFT_CKPT", "/tmp/crgp_bench_ckpt")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default="", help="comma-separated subset")
+    ap.add_argument("--json-file", default="", help="also write JSON here")
+    args = ap.parse_args()
+    only = {q for q in args.queries.split(",") if q}
+
+    shutil.rmtree(CKPT, ignore_errors=True)
+    spark = get_spark("crgp_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    cfg = EngineConfig(
+        shuffle_partitions=CPUS,
+        graph_partitions=CPUS,
+        checkpoint_dir=CKPT,
+        checkpoint_every=1,  # north rule: delta checkpoint every superstep
+    )
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    timings: dict[str, float] = {}
+    extra: dict[str, float | int] = {"cpus": CPUS}
+
+    def timed(name: str, fn):
+        if only and name not in only:
+            return None
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    transcripts = transcripts_from_events(events)
+
+    # --- derivation: transcripts -> influence-edge table (the CRGP core)
+    edges_path = os.path.join(CKPT, "edges")
+
+    def run_derive():
+        derive_edges(transcripts).write.mode("overwrite").parquet(edges_path)
+        return spark.read.parquet(edges_path)
+
+    edges = timed("derive_edges", run_derive)
+    if edges is None:  # subset run still needs the edge table
+        derive_edges(transcripts).write.mode("overwrite").parquet(edges_path)
+        edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()
+    n_events = events.count()
+    extra["n_edges"] = n_edges
+    if "derive_edges" in timings:
+        # reference-comparable rate: events (retweet analogs) per second
+        extra["derive_events_per_sec"] = round(n_events / timings["derive_edges"])
+        extra["derive_edges_per_sec"] = round(n_edges / timings["derive_edges"])
+
+    e2 = edges.select("src", "dst")
+
+    # --- PageRank to convergence (THE BASELINE.json metric), CSR-kernel path
+    def run_pr():
+        res = pagerank(spark, e2, cfg)
+        return res
+
+    res = timed("pagerank_converged", run_pr)
+    if res is not None:
+        extra["pagerank_iterations"] = res.iterations
+        extra["pagerank_converged"] = bool(res.converged)
+        extra["edges_per_sec_pagerank"] = round(
+            n_edges * res.iterations / timings["pagerank_converged"]
+        )
+
+    # --- PageRank, pure-JVM DataFrame path (cross-check baseline)
+    def run_pr_df():
+        cfg_nockpt = EngineConfig(
+            shuffle_partitions=CPUS, graph_partitions=CPUS, checkpoint_dir=CKPT
+        )
+        ranks = pagerank_df(spark, e2, cfg_nockpt, fixed_iterations=10)
+        ranks.count()
+        return 10
+
+    it_df = timed("pagerank_df_10it", run_pr_df)
+    if it_df is not None:
+        extra["edges_per_sec_pagerank_df"] = round(
+            n_edges * it_df / timings["pagerank_df_10it"]
+        )
+
+    timed("components", lambda: connected_components(spark, e2, cfg).count())
+    timed(
+        "labelprop_5it",
+        lambda: label_propagation(spark, e2, cfg, fixed_iterations=5).state.count(),
+    )
+    timed("triangles", lambda: triangles(spark, e2)[0])
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    timed("minhash_dedup", lambda: minhash_dedup(docs).count())
+    timed("quality_score", lambda: quality_score(docs).count())
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    timed(
+        "knn_bruteforce",
+        lambda: knn_bruteforce(embs, embs.limit(64), k=10).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extra,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_file:
+        with open(args.json_file, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
