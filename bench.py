@@ -104,9 +104,18 @@ def main() -> None:
 
     e2 = edges.select("src", "dst")
 
+    # --- pack phase (graph load analog; timed separately like the
+    # reference's social-graph-load stopwatch lap, statistics.rs:24-37)
+    from crgp_spark.operators.pack import pack_csr
+
+    pack_path = os.path.join(CKPT, "pagerank", "graph")
+    pstats = timed("pack_csr", lambda: pack_csr(e2, cfg, pack_path))
+    if pstats is not None:
+        extra["pack_skew_ratio"] = round(pstats["skew_ratio"], 3)
+
     # --- PageRank to convergence (THE BASELINE.json metric), CSR-kernel path
     def run_pr():
-        res = pagerank(spark, e2, cfg)
+        res = pagerank(spark, e2, cfg, reuse_pack=True)
         return res
 
     res = timed("pagerank_converged", run_pr)

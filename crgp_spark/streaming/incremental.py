@@ -1,0 +1,216 @@
+"""Incremental influence-edge derivation over Structured Streaming —
+the engine's analog of the reference's epoch/batch input loop
+(``reconstruction/run.rs:118-129``: one timely epoch per retweet batch,
+probe barrier per epoch, ``timely_extensions/sync.rs:27-41``).
+
+Each micro-batch of transcript turns is one epoch: the keyed activation
+state (first turn per (conversation, participant) — the reference's
+per-worker ``HashMap or_insert`` state, ``reconstruct.rs:41-44``) is
+merged forward, and influence edges are emitted ONLY for the turns of
+the current batch, against the merged state. Because the influence rule
+compares activation timestamps (strictly earlier, ``reconstruct.rs:83``),
+the incremental output equals the batch derivation whenever batches
+arrive in stable turn order per conversation — the same input contract
+the reference has (file sorted by ``created_at``, ``get.rs:142-147``);
+out-of-order delivery silently yields fewer/different edges there too.
+
+State commits are atomic per epoch: a new versioned state directory is
+written, then a one-line manifest is atomically renamed over the old
+one — a killed run resumes from the last committed epoch (the streaming
+analog of the superstep checkpoints in plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crgp_spark.derive import first_activations, originators, prepare_turns
+
+_ACT_SCHEMA = "conv_id string, participant string, act_turn int, act_ts long"
+_ORIG_SCHEMA = "conv_id string, orig_turn int, orig_participant string"
+
+
+class IncrementalDeriver:
+    """foreachBatch sink that derives influence edges epoch by epoch.
+
+    Directory layout under ``state_dir``::
+
+        MANIFEST.json            {"epoch": N, "acts": "...", "origs": "..."}
+        state/acts_<N>/          activation state after epoch N
+        state/origs_<N>/         originator state after epoch N
+        edges/                   appended edge output (one dir, partitioned)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        friendships: DataFrame | None = None,
+    ):
+        """``friendships``: optional ``(user, friend)`` candidate
+        restriction, same contract as ``derive.derive_edge_turns``."""
+        self.spark = spark
+        self.state_dir = state_dir
+        self.friendships = friendships
+        os.makedirs(os.path.join(state_dir, "state"), exist_ok=True)
+
+    # -- manifest helpers --------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, "MANIFEST.json")
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        # atomic rename = the epoch barrier; readers never see a torn state
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _load_state(self) -> tuple[DataFrame, DataFrame, int]:
+        m = self._read_manifest()
+        if m is None:
+            empty_a = self.spark.createDataFrame([], _ACT_SCHEMA)
+            empty_o = self.spark.createDataFrame([], _ORIG_SCHEMA)
+            return empty_a, empty_o, -1
+        return (
+            self.spark.read.parquet(m["acts"]),
+            self.spark.read.parquet(m["origs"]),
+            int(m["epoch"]),
+        )
+
+    # -- the epoch step ----------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One epoch: merge state, emit this batch's edges, commit."""
+        acts_old, origs_old, last_epoch = self._load_state()
+        if batch_id <= last_epoch:
+            return  # replayed epoch after restart: already committed
+
+        turns = prepare_turns(batch_df)
+
+        # Merge activation state forward: first-wins == global min of the
+        # (turn, ts) key over old state + this batch (or_insert analog).
+        acts_new = (
+            first_activations(turns)
+            .unionByName(acts_old)
+            .groupBy("conv_id", "participant")
+            .agg(F.min(F.struct("act_turn", "act_ts")).alias("_a"))
+            .select(
+                "conv_id",
+                "participant",
+                F.col("_a.act_turn").alias("act_turn"),
+                F.col("_a.act_ts").alias("act_ts"),
+            )
+        )
+        origs_new = (
+            originators(turns)
+            .select(
+                "conv_id",
+                F.struct("orig_turn", "orig_participant").alias("_o"),
+            )
+            .unionByName(
+                origs_old.select(
+                    "conv_id",
+                    F.struct("orig_turn", "orig_participant").alias("_o"),
+                )
+            )
+            .groupBy("conv_id")
+            .agg(F.min("_o").alias("_o"))
+            .select(
+                "conv_id",
+                F.col("_o.orig_turn").alias("orig_turn"),
+                F.col("_o.orig_participant").alias("orig_participant"),
+            )
+        )
+
+        epoch = int(batch_id)
+        acts_path = os.path.join(self.state_dir, "state", f"acts_{epoch}")
+        origs_path = os.path.join(self.state_dir, "state", f"origs_{epoch}")
+        acts_new.write.mode("overwrite").parquet(acts_path)
+        origs_new.write.mode("overwrite").parquet(origs_path)
+        acts_new = self.spark.read.parquet(acts_path)
+        origs_new = self.spark.read.parquet(origs_path)
+
+        # Edges for THIS batch's turns only, against the merged state
+        # (reconstruct.rs:69-115 for one epoch's retweets).
+        targets = turns.join(origs_new, "conv_id").filter(
+            F.col("turn_idx") != F.col("orig_turn")
+        )
+        cand = targets.join(
+            acts_new.select(
+                "conv_id",
+                F.col("participant").alias("influencer"),
+                "act_turn",
+                "act_ts",
+            ),
+            "conv_id",
+        ).filter(F.col("influencer") != F.col("participant"))
+        if self.friendships is not None:
+            cand = cand.join(
+                F.broadcast(
+                    self.friendships.select("user", "friend").distinct()
+                ),
+                (cand["participant"] == F.col("user"))
+                & (cand["influencer"] == F.col("friend")),
+                "left_semi",
+            )
+        edges = cand.filter(
+            (F.col("act_ts") < F.col("ts"))
+            | (F.col("influencer") == F.col("orig_participant"))
+        ).select(
+            "conv_id",
+            F.col("act_turn").alias("src_turn"),
+            F.col("influencer").alias("src_participant"),
+            F.col("turn_idx").alias("dst_turn"),
+            F.col("participant").alias("dst_participant"),
+            "ts",
+            "orig_turn",
+            F.lit(epoch).alias("epoch"),
+        )
+        edges.write.mode("append").parquet(os.path.join(self.state_dir, "edges"))
+
+        self._commit_manifest(
+            {"epoch": epoch, "acts": acts_path, "origs": origs_path}
+        )
+
+    def edges(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.state_dir, "edges"))
+
+
+def stream_derive(
+    spark: SparkSession,
+    input_path: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    friendships: DataFrame | None = None,
+) -> None:
+    """Run the incremental derivation over a parquet directory stream
+    with an ``availableNow`` trigger (process everything pending, then
+    stop — the batch-refeed mode the reference's CLI runs in)."""
+    from crgp_spark.schemas import TRANSCRIPTS
+
+    deriver = IncrementalDeriver(spark, state_dir, friendships=friendships)
+    q = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+        .writeStream.foreachBatch(deriver.process_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(state_dir, "_stream_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

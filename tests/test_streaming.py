@@ -1,0 +1,90 @@
+"""Incremental (epoch-by-epoch) derivation == batch derivation, golden
+parity, and restart/replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from crgp_spark.derive import derive_edge_turns
+from crgp_spark.generator import synthetic_transcripts
+from crgp_spark.golden import GOLDEN_EDGE_TURNS, golden_friendships, golden_transcripts
+from crgp_spark.streaming.incremental import IncrementalDeriver, stream_derive
+
+
+def _edge_set(df):
+    return {
+        (r["conv_id"], r["src_turn"], r["dst_turn"], r["ts"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_matches_batch_on_golden(spark, tmp_path):
+    """Golden fixture fed as two turn-ordered epochs -> the reference's
+    7 golden edges (algorithm_execution.rs:58-66), same as batch."""
+    t = golden_transcripts(spark)
+    d = IncrementalDeriver(
+        spark, str(tmp_path / "state"), friendships=golden_friendships(spark)
+    )
+    d.process_batch(t.filter(F.col("turn_idx") <= 1), 0)
+    d.process_batch(t.filter(F.col("turn_idx") > 1), 1)
+    got = {
+        (c, s, dt, ts // 1_000_000)
+        for (c, s, dt, ts) in _edge_set(d.edges())
+    }
+    assert got == {
+        (c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS
+    }
+
+
+def test_incremental_matches_batch_on_synthetic(spark, tmp_path):
+    t = synthetic_transcripts(spark, n_convs=30, seed=7, max_turns=32).persist()
+    cut1, cut2 = 4, 10
+    d = IncrementalDeriver(spark, str(tmp_path / "state"))
+    d.process_batch(t.filter(F.col("turn_idx") < cut1), 0)
+    d.process_batch(
+        t.filter((F.col("turn_idx") >= cut1) & (F.col("turn_idx") < cut2)), 1
+    )
+    d.process_batch(t.filter(F.col("turn_idx") >= cut2), 2)
+    assert _edge_set(d.edges()) == _edge_set(derive_edge_turns(t))
+    t.unpersist()
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """Re-delivery of a committed epoch after restart must not duplicate
+    edges (the manifest is the epoch barrier)."""
+    t = golden_transcripts(spark)
+    d = IncrementalDeriver(
+        spark, str(tmp_path / "state"), friendships=golden_friendships(spark)
+    )
+    d.process_batch(t.filter(F.col("turn_idx") <= 1), 0)
+    n1 = d.edges().count()
+    d.process_batch(t.filter(F.col("turn_idx") <= 1), 0)  # replay
+    assert d.edges().count() == n1
+    d.process_batch(t.filter(F.col("turn_idx") > 1), 1)
+    assert len(_edge_set(d.edges())) == 7
+
+
+def test_stream_derive_available_now(spark, tmp_path):
+    """Real Structured Streaming run (parquet source, foreachBatch sink,
+    availableNow trigger) over per-epoch files."""
+    t = golden_transcripts(spark)
+    inp = str(tmp_path / "in")
+    os.makedirs(inp, exist_ok=True)
+    # one file per epoch, in stable turn order; distinct mtimes so the
+    # file source (which orders pending files by modification time)
+    # delivers the epochs in order
+    import time
+
+    t.filter(F.col("turn_idx") <= 1).coalesce(1).write.mode("append").parquet(inp)
+    time.sleep(1.1)
+    t.filter(F.col("turn_idx") > 1).coalesce(1).write.mode("append").parquet(inp)
+
+    state = str(tmp_path / "state")
+    stream_derive(spark, inp, state, friendships=golden_friendships(spark))
+    d = IncrementalDeriver(spark, state)
+    got = {
+        (c, s, dt, ts // 1_000_000) for (c, s, dt, ts) in _edge_set(d.edges())
+    }
+    assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
