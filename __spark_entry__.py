@@ -41,12 +41,18 @@ from crgp_spark.operators.dedup import (
 )
 from crgp_spark.operators.labelprop import label_propagation
 from crgp_spark.operators.pagerank import pagerank_df
-from crgp_spark.operators.similarity import embedding_neardup_pairs, knn_bruteforce
+from crgp_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+)
 from crgp_spark.operators.textstats import (
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_score,
     token_stats,
+    winnowing_fingerprints,
 )
 from crgp_spark.operators.triangles import triangles
 
@@ -383,6 +389,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
 
@@ -398,6 +412,13 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return knn_bruteforce(embs, embs.filter(F.col("vec_id") < 16), k=5)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return knn_ivf(
+        embs, embs.filter(F.col("vec_id") < 16), k=5, n_centroids=16, n_probe=4
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,10 +459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "bpe_tokens": q_bpe_tokens,
+        "winnow": q_winnow,
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
         "jaccard": q_jaccard,
         "knn": q_knn,
+        "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_json": q_events_json,
     }
@@ -557,6 +581,32 @@ SELECT tk.doc_id,
        WHEN h_fr = GREATEST(h_en, h_es, h_fr, h_de) THEN 'fr'
        ELSE 'de' END AS pred_lang
 FROM tk LEFT JOIN h ON h.doc_id = tk.doc_id""",
+        "bpe_tokens": "SELECT doc_id,\n"
+        "  CAST(LEN(REGEXP_EXTRACT_ALL(text,\n"
+        "    '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS INT)\n"
+        "  AS n_bpe_tokens\n"
+        "FROM documents",
+        "winnow": """
+WITH ntext AS (
+  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+  FROM ntext
+),
+grams AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(GREATEST(LEN(tk) - 5, 0) + 1),
+                        i -> MD5(ARRAY_TO_STRING(tk[i + 1 : i + 5], ' '))) AS gh
+  FROM tk WHERE LEN(tk) > 0
+)
+SELECT DISTINCT doc_id,
+       UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(gh) - 4, 0) + 1),
+                             j -> LIST_AGGREGATE(gh[j + 1 : j + 4], 'min'))) AS fp
+FROM grams""",
         "minhash": f"WITH {_SQL_MINHASH}\n"
         "SELECT doc_id, sig_0, sig_1, sig_2, sig_3 FROM sig",
         "lsh_pairs": f"WITH {_SQL_MINHASH},\n"
@@ -585,6 +635,53 @@ FROM tk LEFT JOIN h ON h.doc_id = tk.doc_id""",
         "  FROM ex a JOIN ex b ON a.i = b.i\n"
         "  WHERE a.vec_id < 16 AND a.vec_id <> b.vec_id\n"
         "  GROUP BY a.vec_id, b.vec_id\n"
+        "),\n"
+        "scored AS (\n"
+        "  SELECT query_id, neighbor_id,\n"
+        "         FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim\n"
+        "  FROM dots JOIN norms na ON na.vec_id = query_id\n"
+        "            JOIN norms nb ON nb.vec_id = neighbor_id\n"
+        ")\n"
+        "SELECT query_id, rank, neighbor_id, sim FROM (\n"
+        "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank\n"
+        "  FROM scored\n"
+        ") WHERE rank <= 5",
+        "knn_ivf": f"WITH {_SQL_EMB},\n"
+        "cent AS (\n"
+        "  SELECT rn - 1 AS centroid_id, vec_id AS cent_vid FROM (\n"
+        "    SELECT vec_id, ROW_NUMBER() OVER (\n"
+        "      ORDER BY MD5(CAST(vec_id AS VARCHAR) || ':42'), vec_id) AS rn\n"
+        "    FROM embeddings\n"
+        "  ) WHERE rn <= 16\n"
+        "),\n"
+        "adot AS (\n"
+        "  SELECT a.vec_id AS vec_id, c.centroid_id, SUM(a.x * b.x) AS d\n"
+        "  FROM ex a JOIN cent c ON TRUE\n"
+        "  JOIN ex b ON b.vec_id = c.cent_vid AND b.i = a.i\n"
+        "  GROUP BY a.vec_id, c.centroid_id\n"
+        "),\n"
+        "assign AS (\n"
+        "  SELECT vec_id, centroid_id FROM (\n"
+        "    SELECT vec_id, centroid_id, ROW_NUMBER() OVER (\n"
+        "      PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn\n"
+        "    FROM adot) WHERE rn = 1\n"
+        "),\n"
+        "probes AS (\n"
+        "  SELECT vec_id AS query_id, centroid_id FROM (\n"
+        "    SELECT vec_id, centroid_id, ROW_NUMBER() OVER (\n"
+        "      PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn\n"
+        "    FROM adot WHERE vec_id < 16) WHERE rn <= 4\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id\n"
+        "  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id\n"
+        "  WHERE p.query_id <> a.vec_id\n"
+        "),\n"
+        "dots AS (\n"
+        "  SELECT c.query_id, c.neighbor_id, SUM(a.x * b.x) AS dot\n"
+        "  FROM cand c JOIN ex a ON a.vec_id = c.query_id\n"
+        "  JOIN ex b ON b.vec_id = c.neighbor_id AND b.i = a.i\n"
+        "  GROUP BY c.query_id, c.neighbor_id\n"
         "),\n"
         "scored AS (\n"
         "  SELECT query_id, neighbor_id,\n"

@@ -34,6 +34,13 @@ class EngineConfig:
     # Iteration / checkpointing -------------------------------------------
     damping: float = 0.85
     tol: float = 1e-6
+    #: "abs": converge when max per-vertex |delta| < tol (the literal
+    #: north-rule criterion; right for oracle-scale graphs).
+    #: "scaled": converge when max |delta| * n_vertices < tol — the
+    #: scale-free reading: at 10^12 vertices every score is < 1e-6, so
+    #: only a tolerance relative to the uniform mass 1/n resolves the
+    #: scores themselves. Benchmarks use "scaled".
+    tol_mode: str = "abs"
     max_iterations: int = 100
     #: write a checkpoint every N supersteps (1 = every superstep, the
     #: north-rule default; raise for throughput benchmarking)

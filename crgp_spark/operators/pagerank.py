@@ -134,6 +134,8 @@ def pagerank(
     pl.count()
     gather = _make_gather(pack_path)
     alpha, tol = cfg.damping, cfg.tol
+    if cfg.tol_mode == "scaled":
+        tol = tol / n
 
     def init_state() -> DataFrame:
         return verts.select("vid", F.lit(1.0 / n).alias("rank"))
@@ -233,6 +235,7 @@ def pagerank_df(
     alpha, tol = cfg.damping, cfg.tol
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # (tol is rescaled after n is known below when tol_mode == "scaled")
     e = (
         edges.select("src", "dst")
         .join(deg, "src")
@@ -242,6 +245,8 @@ def pagerank_df(
     e.count()
     verts = vertex_universe(edges, cfg).persist()
     n = verts.count()
+    if cfg.tol_mode == "scaled":
+        tol = tol / n
     # vertices with no out-edges (dangling) — static
     dangling_vids = verts.join(
         deg.select(F.col("src").alias("vid")), "vid", "left_anti"
@@ -252,23 +257,32 @@ def pagerank_df(
 
     n_iter = fixed_iterations or max_iterations or cfg.max_iterations
     for _it in range(n_iter):
-        d_row = ranks.join(dangling_vids, "vid", "left_semi").agg(F.sum("rank")).first()
-        dangling = float(d_row[0] or 0.0)
+        # The dangling-mass scalar is part of THIS plan (1-row aggregate,
+        # broadcast cross join), so each iteration is exactly ONE job —
+        # no separate driver action for the scalar.
+        dang = (
+            ranks.join(dangling_vids, "vid", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
         msgs = e.join(ranks, e["src"] == ranks["vid"]).select(
             "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
         )
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_ranks = (
             verts.join(sums, verts["vid"] == sums["dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "vid",
                 (
                     F.lit((1.0 - alpha) / n)
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # plan truncation per iteration
+            .localCheckpoint(eager=True)  # materialize + truncate plan
         )
         if fixed_iterations is None:
             delta = (
@@ -281,7 +295,6 @@ def pagerank_df(
             if float(delta or 0.0) < tol:
                 break
         else:
-            new_ranks.count()
             ranks.unpersist()
             ranks = new_ranks
 

@@ -151,6 +151,110 @@ def knn_lsh(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization without iterative k-means: centroids are
+    the ``n_centroids`` corpus vectors with the smallest
+    ``md5(id || ':' || seed)`` digest (a deterministic uniform sample —
+    standard practice for IVF seeding at scale, reproducible, and
+    bit-identical in the SQL oracle), and every vector is assigned to
+    its max-dot-product centroid.
+
+    Returns ``(centroids, assignment)`` with
+    ``centroids(centroid_id, cv)`` and
+    ``assignment(vec_id, centroid_id)``. The centroid table is tiny and
+    broadcast; assignment is one scan of the corpus — the 10^9-vector
+    path partitions the corpus by ``centroid_id`` afterwards so probes
+    touch only matching partitions."""
+    w = Window.orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+        F.col(id_col),
+    )
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(
+            (F.col("_rn") - 1).alias("centroid_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(cents)
+    ).select(
+        F.col(id_col),
+        "centroid_id",
+        _dot(F.col(vec_col), F.col("cv")).alias("_d"),
+    )
+    wbest = Window.partitionBy(id_col).orderBy(
+        F.col("_d").desc(), F.col("centroid_id")
+    )
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("vec_id"), "centroid_id")
+    )
+    return cents, assign
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    centroid lists and exact-reranks only those candidates. Same output
+    shape and determinism as ``knn_bruteforce``; recall is tuned by
+    ``n_probe``/``n_centroids`` (n_probe == n_centroids is exact)."""
+    cents, assign = ivf_assign(corpus, n_centroids, seed, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qprobe = q.join(F.broadcast(cents)).select(
+        "query_id", "centroid_id", _dot(F.col("qv"), F.col("cv")).alias("_d")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_d").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qprobe.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(assign, "centroid_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            decimal_round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

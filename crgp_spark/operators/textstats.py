@@ -112,6 +112,26 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+#: GPT-2-style pre-tokenizer shape: contractions, letter runs, digit
+#: runs, punctuation runs, whitespace handled by the split — restricted
+#: to a character-class form whose semantics are identical in Spark's
+#: Java regex and DuckDB's RE2 (no \p classes, no lookarounds).
+_BPE_RE = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe_tokens): count of BPE-ish pre-tokens — the
+    regex-segmentation half of a BPE tokenizer (the merge table is
+    model-specific and out of scope). JVM ``regexp_extract_all`` at scan
+    speed; exact SQL twin via DuckDB's ``regexp_extract_all``."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, non-alphanumeric
     runs collapsed to single spaces, trimmed."""
@@ -124,3 +144,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text(F.col(text_col))).alias("fp")
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et
+    al., MOSS): hash every word ``k``-gram of the normalized text, slide
+    a window of ``w`` consecutive gram hashes, keep each window's
+    minimum, output the distinct selected hashes —
+    ``(doc_id, fp)`` exploded, one row per fingerprint.
+
+    Robustness property: any shared substring of length >= k+w-1 words
+    yields at least one shared fingerprint. All array expressions (JVM
+    codegen); the hash is the md5 hex string and selection is
+    lexicographic min, so the SQL oracle is bit-identical."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    g = F.size(grams)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(g - w, F.lit(0))),
+            lambda j: F.array_min(F.slice(grams, j + 1, w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.when(n == 0, F.array().cast("array<string>")).otherwise(fps).alias("_f"),
+    ).select("doc_id", F.explode("_f").alias("fp"))

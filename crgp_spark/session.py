@@ -20,23 +20,34 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
     ``cpus`` controls ``local[N]``; defaults to ``$SPARK_GRAFT_CPUS`` or 32.
-    On a real cluster this module is bypassed by ``spark-submit`` conf, but
-    every default below is cluster-safe.
+    ``master`` overrides entirely — e.g. ``local-cluster[8,4,8192]``
+    spawns 8 SEPARATE executor JVMs with 4 cores each, the in-sandbox
+    model of a multi-executor cluster (used for the N-vs-4N scaling
+    evidence). On a real cluster this module is bypassed by
+    ``spark-submit`` conf, but every default below is cluster-safe.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Keep AQE's post-shuffle coalescing from collapsing mid-size
+        # iterative state to a handful of partitions (the 64 MB default
+        # advisory turns a 150 MB superstep shuffle into ~3 tasks and
+        # everything downstream inherits that parallelism). 8 MB keeps
+        # partition count ~= configured parallelism at bench scale while
+        # still coalescing truly tiny shuffles.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_MEM", "8g"))

@@ -18,34 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-#: serde target Retweet (twitter/retweet.rs:22-34): only the typed
-#: fields survive deserialization; extra JSON keys (text, screen_name,
-#: retweet_count, ...) are ignored exactly like serde does.
-RETWEET_JSON_SCHEMA = T.StructType(
-    [
-        T.StructField("created_at", T.LongType()),
-        T.StructField("id", T.LongType()),
-        T.StructField(
-            "user",
-            T.StructType([T.StructField("id", T.LongType())]),
-        ),
-        T.StructField(
-            "retweeted_status",
-            T.StructType(
-                [
-                    T.StructField("created_at", T.LongType()),
-                    T.StructField("id", T.LongType()),
-                    T.StructField(
-                        "user",
-                        T.StructType([T.StructField("id", T.LongType())]),
-                    ),
-                ]
-            ),
-        ),
-    ]
-)
+from crgp_spark.schemas import RETWEET_JSON as RETWEET_JSON_SCHEMA  # noqa: E501  (serde-equivalent explicit schema)
 
 
 def load_retweets(spark: SparkSession, path: str) -> DataFrame:

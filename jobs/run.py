@@ -1,0 +1,188 @@
+"""Production job entry — the engine's ``spark-submit`` target
+(SURVEY.md §3.4)::
+
+    spark-submit --py-files crgp_spark.zip jobs/run.py \\
+        --algo pagerank --edges <parquet> --checkpoint <dir> [--resume]
+
+Locally (this sandbox) it builds its own ``local[N]`` session. On a
+real cluster, ``spark-submit`` conf overrides the master/parallelism
+and the same code runs unchanged — partitioning is fixed by
+``--partitions`` (the data-layout constant), parallelism by the cluster.
+
+Also the worker process for scripts/bench_scaling.py: prints exactly
+one JSON result line on stdout.
+
+Subcommands per --algo:
+  derive      transcripts parquet -> influence-edge parquet
+  pagerank    CSR-kernel PageRank (delta checkpoints, lineage, resume)
+  pagerank_df pure-DataFrame PageRank (JVM-only baseline)
+  components  small-star/large-star connected components
+  labelprop   synchronous label propagation
+  triangles   exact triangle count
+  generate    synthetic transcripts parquet (deterministic, seeded)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from crgp_spark.config import EngineConfig
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", required=True)
+    ap.add_argument("--edges", help="edge-table parquet (src,dst[,...])")
+    ap.add_argument("--transcripts", help="transcripts parquet (derive)")
+    ap.add_argument("--output", help="output parquet (derive/generate)")
+    ap.add_argument("--checkpoint", default="/tmp/crgp_job_ckpt")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="master override, e.g. local-cluster[8,4,8192] for 8 "
+        "separate executor JVMs x 4 cores",
+    )
+    ap.add_argument("--executor-memory", default=None)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--tol-mode", default="abs", choices=["abs", "scaled"])
+    ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--fixed-iterations", type=int, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-convs", type=int, default=100_000, help="generate size")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from crgp_spark.session import get_spark
+
+    extra = {}
+    if args.executor_memory:
+        extra["spark.executor.memory"] = args.executor_memory
+    if args.master and "cluster" in args.master:
+        # ship the engine to the executors — the --py-files flow the
+        # north rule specifies (spark-submit --py-files crgp_spark.zip)
+        import shutil
+        import tempfile
+
+        zip_base = os.path.join(tempfile.gettempdir(), "crgp_spark_pkg")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=repo, base_dir="crgp_spark"
+        )
+        extra["spark.submit.pyFiles"] = zip_path
+    spark = get_spark(
+        f"crgp_{args.algo}",
+        cpus=args.cpus,
+        shuffle_partitions=args.partitions,
+        master=args.master,
+        extra_conf=extra,
+    )
+    cfg = EngineConfig(
+        shuffle_partitions=args.partitions,
+        graph_partitions=args.partitions,
+        tol=args.tol,
+        tol_mode=args.tol_mode,
+        max_iterations=args.max_iterations,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint,
+    )
+    out: dict = {"algo": args.algo}
+    t0 = time.time()
+
+    if args.algo == "generate":
+        from crgp_spark.generator import synthetic_transcripts
+
+        df = synthetic_transcripts(spark, n_convs=args.n_convs, seed=args.seed)
+        df.write.mode("overwrite").parquet(args.output)
+        out["rows"] = spark.read.parquet(args.output).count()
+
+    elif args.algo == "derive":
+        from crgp_spark.derive import derive_edges
+
+        t = spark.read.parquet(args.transcripts)
+        derive_edges(t).write.mode("overwrite").parquet(args.output)
+        out["edges"] = spark.read.parquet(args.output).count()
+
+    elif args.algo in ("pagerank", "pagerank_df"):
+        from crgp_spark.operators.pagerank import pagerank, pagerank_df
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()  # exclude the input count from the timed span
+        if args.algo == "pagerank":
+            res = pagerank(spark, edges, cfg, resume=args.resume)
+            iters, converged = res.iterations, res.converged
+        else:
+            ranks = pagerank_df(
+                spark, edges, cfg, fixed_iterations=args.fixed_iterations
+            )
+            ranks.count()
+            iters = args.fixed_iterations or cfg.max_iterations
+            converged = args.fixed_iterations is None
+        secs = time.time() - t0
+        out.update(
+            edges=n_edges,
+            iterations=iters,
+            converged=converged,
+            seconds=round(secs, 3),
+            edges_per_sec=round(n_edges * iters / secs),
+        )
+
+    elif args.algo == "components":
+        from crgp_spark.operators.components import connected_components
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = connected_components(spark, edges, cfg, resume=args.resume).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices_labeled=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "labelprop":
+        from crgp_spark.operators.labelprop import label_propagation
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = label_propagation(
+            spark, edges, cfg, resume=args.resume,
+            fixed_iterations=args.fixed_iterations,
+        )
+        res.state.count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, iterations=res.iterations,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges * res.iterations / secs))
+
+    elif args.algo == "triangles":
+        from crgp_spark.operators.triangles import triangles
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        total, _pv = triangles(spark, edges, cfg)
+        secs = time.time() - t0
+        out.update(edges=n_edges, triangles=total, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    else:
+        raise SystemExit(f"unknown --algo {args.algo}")
+
+    out["total_seconds"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

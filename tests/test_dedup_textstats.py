@@ -84,3 +84,30 @@ def test_fingerprint_normalisation(spark):
     )
     fp = {r.doc_id: r.fp for r in textstats.fingerprint(df).collect()}
     assert fp[0] == fp[1] != fp[2]
+
+
+def test_bpe_token_count(spark, docs):
+    out = {r.doc_id: r.n_bpe_tokens for r in textstats.bpe_token_count(docs).collect()}
+    # "the quick brown fox jumps over the lazy dog" -> 9 letter runs
+    assert out[0] == 9
+    assert out[5] == 0  # empty text
+    # contractions/punct split: check a constructed doc
+    d2 = spark.createDataFrame([(99, "don't stop, it's 42!")], "doc_id long, text string")
+    n = textstats.bpe_token_count(d2).collect()[0].n_bpe_tokens
+    # don | 't | stop | , | it | 's | 42 | !
+    assert n == 8
+
+
+def test_winnowing_fingerprints(spark, docs):
+    fps = textstats.winnowing_fingerprints(docs, k=3, w=2).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # identical docs -> identical fingerprint sets
+    assert by_doc[0] == by_doc[1]
+    # near-dup shares at least one fingerprint (common run >= k+w-1 words)
+    assert by_doc[0] & by_doc[2]
+    # unrelated docs share nothing
+    assert not (by_doc[0] & by_doc[3])
+    # empty text -> no fingerprints
+    assert 5 not in by_doc

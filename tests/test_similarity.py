@@ -70,3 +70,32 @@ def test_neardup_pairs(spark, vectors):
         vectors, threshold=0.99, prefilter_bits=4, dim=DIM
     )
     assert {(r.a, r.b) for r in approx.collect()} <= got
+
+
+def test_ivf_exact_when_probing_all(spark, vectors):
+    from crgp_spark.operators.similarity import knn_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 8)
+    exact = knn_bruteforce(vectors, queries, k=5).collect()
+    ivf = knn_ivf(
+        vectors, queries, k=5, n_centroids=8, n_probe=8
+    ).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_recall_reasonable(spark, vectors):
+    from crgp_spark.operators.similarity import knn_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(vectors, queries, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4  # random vectors are a worst case for IVF
+    # every approx hit must itself be a real vector pair with rank<=5
+    assert all(q != n for q, n in approx)
