@@ -38,7 +38,9 @@ from crgp_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash,
 )
+from crgp_spark.operators.sessions import session_stats
 from crgp_spark.operators.labelprop import label_propagation
 from crgp_spark.operators.pagerank import pagerank_df
 from crgp_spark.operators.similarity import (
@@ -427,6 +429,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), n_bits=16)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -468,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "events_json": q_events_json,
+        "sessions": q_sessions,
+        "simhash": q_simhash,
     }
 
 
@@ -702,6 +714,43 @@ FROM grams""",
         "SELECT a, b, FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim\n"
         "FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b\n"
         "WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 > 0.4",
+        "sessions": """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         EPOCH_US(ts) AS us,
+         LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT user_id, value, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MAX(us) - MIN(us) AS duration_us,
+       FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
+FROM sess GROUP BY user_id, session_id""",
+        "simhash": f"""
+WITH {_SQL_SHINGLES},
+hashed AS (SELECT doc_id, MD5(s) AS h FROM sh),
+bits AS (
+  SELECT doc_id, t.j AS j,
+         CAST(FLOOR((INSTR('0123456789abcdef',
+                           SUBSTRING(h, CAST(FLOOR(t.j / 4.0) AS INT) + 1, 1)) - 1)
+              / POW(2, 3 - (t.j % 4))) AS INT) % 2 AS bit
+  FROM hashed, RANGE(16) t(j)
+),
+votes AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS v FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       STRING_AGG(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM votes GROUP BY doc_id""",
         "events_json": "SELECT event_type, COUNT(*) AS n,\n"
         "       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,\n"
         "       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,\n"

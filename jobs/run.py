@@ -96,6 +96,7 @@ def main() -> None:
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint,
     )
+    os.makedirs(args.checkpoint, exist_ok=True)
     out: dict = {"algo": args.algo}
     t0 = time.time()
 
@@ -115,9 +116,19 @@ def main() -> None:
 
     elif args.algo in ("pagerank", "pagerank_df"):
         from crgp_spark.operators.pagerank import pagerank, pagerank_df
+        from crgp_spark.stats import Statistics, Stopwatch
 
+        sw = Stopwatch()
+        stats = Statistics(configuration={
+            "algorithm": args.algo, "partitions": args.partitions,
+            "tol": args.tol, "tol_mode": args.tol_mode,
+            "checkpoint_every": args.checkpoint_every,
+        })
+        stats.time_to_setup = sw.lap()
         edges = spark.read.parquet(args.edges).select("src", "dst")
         n_edges = edges.count()
+        stats.number_of_friendships = n_edges
+        stats.time_to_load_input = sw.lap()
         t0 = time.time()  # exclude the input count from the timed span
         if args.algo == "pagerank":
             res = pagerank(spark, edges, cfg, resume=args.resume)
@@ -130,12 +141,18 @@ def main() -> None:
             iters = args.fixed_iterations or cfg.max_iterations
             converged = args.fixed_iterations is None
         secs = time.time() - t0
+        stats.number_of_retweets = n_edges * iters
+        stats.time_to_process = sw.lap()
+        stats.finish()
+        with open(os.path.join(args.checkpoint, f"crgp_{args.algo}.toml"), "w") as f:
+            f.write(stats.to_toml())
         out.update(
             edges=n_edges,
             iterations=iters,
             converged=converged,
             seconds=round(secs, 3),
             edges_per_sec=round(n_edges * iters / secs),
+            processing_rate=stats.processing_rate,
         )
 
     elif args.algo == "components":
