@@ -62,13 +62,13 @@ def first_activations(turns: DataFrame) -> DataFrame:
     reference's per-cascade ``HashMap or_insert`` activation state
     (``reconstruct.rs:59-67``), as a min-aggregation over the stable
     ordering key (first-wins under (turn_idx, ts) lexicographic order)."""
+    # min + min_by instead of min(struct(...)): struct-min forces a
+    # SortAggregate; these stay in HashAggregate with map-side partial
+    # combine (turn_idx is unique per conversation, so min_by is
+    # deterministic and (min turn_idx, its ts) == lexicographic min).
     return turns.groupBy("conv_id", "participant").agg(
-        F.min(F.struct("turn_idx", "ts")).alias("_a")
-    ).select(
-        "conv_id",
-        "participant",
-        F.col("_a.turn_idx").alias("act_turn"),
-        F.col("_a.ts").alias("act_ts"),
+        F.min("turn_idx").alias("act_turn"),
+        F.min_by("ts", "turn_idx").alias("act_ts"),
     )
 
 
@@ -76,11 +76,8 @@ def originators(turns: DataFrame) -> DataFrame:
     """Conversation originator = participant of the globally-first turn
     (the original-tweet poster, ``reconstruct.rs:59-65``)."""
     return turns.groupBy("conv_id").agg(
-        F.min(F.struct("turn_idx", "ts", "participant")).alias("_o")
-    ).select(
-        "conv_id",
-        F.col("_o.turn_idx").alias("orig_turn"),
-        F.col("_o.participant").alias("orig_participant"),
+        F.min("turn_idx").alias("orig_turn"),
+        F.min_by("participant", "turn_idx").alias("orig_participant"),
     )
 
 

@@ -101,36 +101,27 @@ class IncrementalDeriver:
 
         # Merge activation state forward: first-wins == global min of the
         # (turn, ts) key over old state + this batch (or_insert analog).
+        # min/min_by (hash-aggregable) rather than min(struct(...)):
+        # turn indices are unique per key, so the pair (min turn, its
+        # payload) equals the lexicographic struct min.
         acts_new = (
             first_activations(turns)
             .unionByName(acts_old)
             .groupBy("conv_id", "participant")
-            .agg(F.min(F.struct("act_turn", "act_ts")).alias("_a"))
-            .select(
-                "conv_id",
-                "participant",
-                F.col("_a.act_turn").alias("act_turn"),
-                F.col("_a.act_ts").alias("act_ts"),
+            .agg(
+                F.min("act_turn").alias("act_turn"),
+                F.min_by("act_ts", "act_turn").alias("act_ts"),
             )
         )
         origs_new = (
             originators(turns)
-            .select(
-                "conv_id",
-                F.struct("orig_turn", "orig_participant").alias("_o"),
-            )
-            .unionByName(
-                origs_old.select(
-                    "conv_id",
-                    F.struct("orig_turn", "orig_participant").alias("_o"),
-                )
-            )
+            .unionByName(origs_old)
             .groupBy("conv_id")
-            .agg(F.min("_o").alias("_o"))
-            .select(
-                "conv_id",
-                F.col("_o.orig_turn").alias("orig_turn"),
-                F.col("_o.orig_participant").alias("orig_participant"),
+            .agg(
+                F.min("orig_turn").alias("orig_turn"),
+                F.min_by("orig_participant", "orig_turn").alias(
+                    "orig_participant"
+                ),
             )
         )
 

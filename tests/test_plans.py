@@ -100,3 +100,30 @@ def test_whole_stage_codegen_covers_derivation(spark, tmp_path):
     assert re.search(r"\* (Project|HashAggregate|BroadcastHashJoin)", plan), plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_gale_leaf_collapse_to_one_logical_plan(spark, tmp_path):
+    """The reference's GALE (broadcast) vs LEAF (partitioned 2-hop
+    shuffle) variants are physical shapes of one logical query
+    (SURVEY.md §2.1): with a small activation side Catalyst picks a
+    broadcast hash join (GALE); with broadcasting disabled it switches
+    to a shuffle join (LEAF) — same logical pipeline, no code change."""
+    p = str(tmp_path / "t5")
+    synthetic_transcripts(spark, n_convs=60, seed=8).write.parquet(p)
+    t = spark.read.parquet(p)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        gale = _explain(derive_edge_turns(t))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            leaf = _explain(derive_edge_turns(t))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    assert "BroadcastHashJoin" in gale
+    assert "BroadcastHashJoin" not in leaf
+    assert "SortMergeJoin" in leaf or "ShuffledHashJoin" in leaf
