@@ -37,9 +37,11 @@ from crgp_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_dedup,
     minhash_signatures,
     simhash,
 )
+from crgp_spark.operators.multimodal import attach_fake_payload, extract_features
 from crgp_spark.operators.sessions import session_stats
 from crgp_spark.operators.labelprop import label_propagation
 from crgp_spark.operators.pagerank import pagerank_df
@@ -411,6 +413,20 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup(
+        _docs(spark, sf_dir), n_hashes=4, band_size=2, threshold=0.6
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke (rows-only check: the Arrow-batched
+    decode kernel has no SQL equivalent by design — the fake decoder
+    stands in for PIL/libav, see operators/multimodal.py)."""
+    media = attach_fake_payload(_docs(spark, sf_dir))
+    return extract_features(media).select("media_id", "format", "n_bytes")
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return knn_bruteforce(embs, embs.filter(F.col("vec_id") < 16), k=5)
@@ -474,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "lsh_pairs": q_lsh_pairs,
         "jaccard": q_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -641,6 +659,35 @@ FROM grams""",
         "       CAST(sa.n + sb.n - inter AS INT) AS uni\n"
         "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b\n"
         "WHERE inter > 0.6 * (sa.n + sb.n - inter)",
+        # full near-dup pipeline: LSH bands -> candidate pairs -> exact
+        # jaccard verification -> drop the larger id of each verified
+        # pair; survivors remain. (multimodal_features intentionally has
+        # no oracle: its decode kernel is the non-SQL-expressible part.)
+        "minhash_dedup": f"WITH {_SQL_MINHASH},\n"
+        "bands AS (\n"
+        "  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS key FROM sig\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS key FROM sig\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key\n"
+        "  WHERE l.doc_id < r.doc_id\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (\n"
+        "  SELECT c.a, c.b, COUNT(*) AS i\n"
+        "  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y\n"
+        "    ON y.doc_id = c.b AND y.s = x.s\n"
+        "  GROUP BY c.a, c.b\n"
+        "),\n"
+        "losers AS (\n"
+        "  SELECT DISTINCT b AS doc_id FROM inter\n"
+        "  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b\n"
+        "  WHERE i > 0.6 * (sa.n + sb.n - i)\n"
+        ")\n"
+        "SELECT doc_id FROM documents\n"
+        "WHERE doc_id NOT IN (SELECT doc_id FROM losers)",
         "knn": f"WITH {_SQL_EMB},\n"
         "dots AS (\n"
         "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot\n"
