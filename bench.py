@@ -133,6 +133,25 @@ def main() -> None:
             n_edges * res.iterations / timings["pagerank_converged"]
         )
 
+    # --- PageRank, cascade-local CSR blocks (conversation-partitioned;
+    # zero-exchange supersteps — operators/cascade.py)
+    from crgp_spark.operators.cascade import pack_cascade, pagerank_cascade
+
+    e3 = edges.select("src", "dst", "conv_id")
+    casc_path = os.path.join(CKPT, "pagerank_cascade", "graph")
+    cstats = timed("pack_cascade", lambda: pack_cascade(e3, cfg, casc_path))
+    if cstats is not None:
+        extra["cascade_replicas"] = cstats["n_replicas"]
+
+    def run_casc():
+        return pagerank_cascade(spark, e3, cfg, reuse_pack=True)
+
+    cres = timed("pagerank_cascade", run_casc)
+    if cres is not None:
+        extra["edges_per_sec_pagerank_cascade"] = round(
+            n_edges * cres.iterations / timings["pagerank_cascade"]
+        )
+
     # --- PageRank, pure-JVM DataFrame path (cross-check baseline)
     def run_pr_df():
         cfg_nockpt = EngineConfig(

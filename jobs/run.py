@@ -114,7 +114,8 @@ def main() -> None:
         derive_edges(t).write.mode("overwrite").parquet(args.output)
         out["edges"] = spark.read.parquet(args.output).count()
 
-    elif args.algo in ("pagerank", "pagerank_df"):
+    elif args.algo in ("pagerank", "pagerank_df", "pagerank_cascade"):
+        from crgp_spark.operators.cascade import pagerank_cascade
         from crgp_spark.operators.pagerank import pagerank, pagerank_df
         from crgp_spark.stats import Statistics, Stopwatch
 
@@ -125,13 +126,22 @@ def main() -> None:
             "checkpoint_every": args.checkpoint_every,
         })
         stats.time_to_setup = sw.lap()
-        edges = spark.read.parquet(args.edges).select("src", "dst")
+        full = spark.read.parquet(args.edges)
+        edges = full.select("src", "dst")
         n_edges = edges.count()
         stats.number_of_friendships = n_edges
         stats.time_to_load_input = sw.lap()
         t0 = time.time()  # exclude the input count from the timed span
         if args.algo == "pagerank":
             res = pagerank(spark, edges, cfg, resume=args.resume)
+            iters, converged = res.iterations, res.converged
+        elif args.algo == "pagerank_cascade":
+            res = pagerank_cascade(
+                spark,
+                full.select("src", "dst", "conv_id"),
+                cfg,
+                resume=args.resume,
+            )
             iters, converged = res.iterations, res.converged
         else:
             ranks = pagerank_df(
