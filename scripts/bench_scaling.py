@@ -103,15 +103,24 @@ def main() -> None:
                 else:  # derive reports edges + total_seconds
                     cells[name][lv].append(r["edges"] / r["total_seconds"])
 
-    # North-metric run: CSR PageRank to convergence (scaled 1e-6), once
-    # per level (delta checkpoints + lineage on, checkpoint every 5).
+    # North-metric runs: CSR PageRank to convergence (scaled 1e-6), once
+    # per level and per layout (delta checkpoints + lineage on,
+    # checkpoint every 5). The cascade layout (operators/cascade.py) is
+    # the engine's primary path for conversation-derived graphs.
     converged: dict[int, dict] = {}
+    converged_cascade: dict[int, dict] = {}
     for lv in LEVELS:
         print(f"== converged CSR pagerank at level {lv}", flush=True)
         converged[lv] = run_job(
             ["--algo", "pagerank", "--edges", args.edges, "--tol-mode",
              "scaled", "--max-iterations", "120", "--checkpoint-every", "5",
              "--checkpoint", f"/tmp/crgp_scale_ckpt_{lv}"], lv)
+        print(f"== converged cascade pagerank at level {lv}", flush=True)
+        converged_cascade[lv] = run_job(
+            ["--algo", "pagerank_cascade", "--edges", args.edges,
+             "--tol-mode", "scaled", "--max-iterations", "120",
+             "--checkpoint-every", "5",
+             "--checkpoint", f"/tmp/crgp_scale_casc_{lv}"], lv)
 
     cpu = {lv: max(cpu_control(lv) for _ in range(args.reps)) for lv in LEVELS}
 
@@ -131,6 +140,13 @@ def main() -> None:
         "pagerank_converged": {str(lv): converged[lv] for lv in LEVELS},
         "pagerank_converged_efficiency": eff(
             converged[8]["edges_per_sec"], converged[32]["edges_per_sec"]
+        ),
+        "pagerank_cascade_converged": {
+            str(lv): converged_cascade[lv] for lv in LEVELS
+        },
+        "pagerank_cascade_efficiency": eff(
+            converged_cascade[8]["edges_per_sec"],
+            converged_cascade[32]["edges_per_sec"],
         ),
         "raw_cpu_control_ops_per_sec": cpu,
         "raw_cpu_control_efficiency": eff(cpu[8], cpu[32]),
