@@ -174,6 +174,29 @@ def main() -> None:
     )
     timed("triangles", lambda: triangles(spark, e2)[0])
 
+    # cascade-local variants (same results, in-block kernels; share the
+    # cascade pack built above)
+    from crgp_spark.operators.cascade_algos import (
+        cascade_components,
+        cascade_labelprop,
+        cascade_triangles,
+    )
+
+    timed(
+        "components_cascade",
+        lambda: cascade_components(spark, e3, cfg, pack_path=casc_path).count(),
+    )
+    timed(
+        "labelprop_cascade_5it",
+        lambda: cascade_labelprop(
+            spark, e3, cfg, fixed_iterations=5, pack_path=casc_path
+        ).count(),
+    )
+    timed(
+        "triangles_cascade",
+        lambda: cascade_triangles(spark, e3, cfg, pack_path=casc_path)[0],
+    )
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())
