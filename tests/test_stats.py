@@ -14,11 +14,16 @@ from crgp_spark.stats import Statistics
     ns=st.integers(min_value=0, max_value=10**15),
 )
 def test_integer_rate_matches_float_within_one(rows, ns):
+    from fractions import Fraction
+
     s = Statistics(number_of_retweets=rows, time_to_process=ns).finish()
     if ns == 0:
         assert s.processing_rate == 0
     else:
-        assert abs(s.processing_rate - rows * 1e9 / ns) < 1
+        # exact rational comparison: float64 loses >1 ulp when
+        # rows*1e9 exceeds 2^53, so the float formulation of the
+        # reference's quickcheck property is itself imprecise there
+        assert abs(s.processing_rate - Fraction(rows * 10**9, ns)) < 1
 
 
 def test_total_time_is_phase_sum_and_toml_shape():
