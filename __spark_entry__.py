@@ -49,6 +49,7 @@ from crgp_spark.operators.similarity import (
     embedding_neardup_pairs,
     knn_bruteforce,
     knn_ivf,
+    knn_lsh,
 )
 from crgp_spark.operators.textstats import (
     bpe_token_count,
@@ -439,6 +440,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the random-hyperplane buckets come from
+    sha256-derived literals (no SQL twin); exactness of the underlying
+    scoring is covered by the knn/knn_ivf oracles and the recall tests."""
+    embs = _embs(spark, sf_dir)
+    return knn_lsh(
+        embs, embs.filter(F.col("vec_id") < 16), dim=64, k=5, n_bits=6,
+        n_tables=2,
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         _embs(spark, sf_dir), threshold=0.4, prefilter_bits=None
@@ -494,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
         "embedding_neardup": q_embedding_neardup,
         "events_json": q_events_json,
         "sessions": q_sessions,

@@ -327,8 +327,11 @@ def pagerank_cascade(
     def step(state: DataFrame, it: int) -> StepOutcome:
         msgs_in = state
         if has_replicas:
+            # no explicit broadcast hint: placement is tiny by design
+            # (split-conv sources only) so AQE broadcasts it, but a
+            # pathological all-split input must not OOM the driver
             reps = (
-                F.broadcast(placement.withColumnRenamed("part", "to_part"))
+                placement.withColumnRenamed("part", "to_part")
                 .join(state.select("vid", "rank"), "vid")
                 .select(F.col("to_part").alias("part"), "vid", "rank")
             )

@@ -121,9 +121,7 @@ def cascade_components(
     # with a driver-side union-find, then relabel via a broadcast map.
     local = local.persist()
     boundary = (
-        local.join(
-            F.broadcast(placement.select("vid").distinct()), "vid", "left_semi"
-        )
+        local.join(placement.select("vid").distinct(), "vid", "left_semi")
         .collect()
     )
     parent: dict[int, int] = {}
