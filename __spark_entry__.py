@@ -51,6 +51,15 @@ from crgp_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
 )
+from crgp_spark.operators.relational import (
+    lapsed_customers,
+    pricing_summary,
+    promo_revenue_share,
+    region_revenue,
+    small_quantity_revenue,
+    top_orders_per_segment,
+    topk_unshipped_orders,
+)
 from crgp_spark.operators.textstats import (
     bpe_token_count,
     fingerprint,
@@ -302,6 +311,109 @@ pick{it} AS (
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shape oracle twins (operators/relational.py).  All money math in
+# DECIMAL(12,2) exactly as the Spark side, cast to DOUBLE at the end.
+
+
+def _d(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(12,2))"
+
+
+_D1 = "CAST(1 AS DECIMAL(12,2))"
+_DISC_PRICE = f"{_d('l_extendedprice')} * ({_D1} - {_d('l_discount')})"
+
+_SQL_TPCH = {
+    "tpch_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({_d('l_quantity')}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_DISC_PRICE} * ({_D1} + {_d('l_tax')})) AS DOUBLE) AS sum_charge,
+  CAST(SUM({_d('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM({_d('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus""",
+    "tpch_topk_orders": f"""
+WITH agg AS (
+  SELECT o.o_orderkey,
+         CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+         STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT rk, o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS INT) AS rk
+  FROM agg
+) WHERE rk <= 10""",
+    "tpch_region_revenue": f"""
+SELECT n.n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name""",
+    "tpch_lapsed": f"""
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       CAST(SUM({_d('c_acctbal')}) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01')
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment""",
+    "tpch_smallqty": f"""
+WITH li AS (
+  SELECT l.l_partkey, l.l_extendedprice, p.p_brand,
+         CAST(FLOOR(l.l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+),
+pp AS (SELECT l_partkey, SUM(qc) AS sum_qc, COUNT(*) AS cnt FROM li GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(SUM({_d('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+WHERE li.qc * 5 * pp.cnt < pp.sum_qc
+GROUP BY p_brand""",
+    "tpch_promo": f"""
+SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_DISC_PRICE}
+                             ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01'""",
+    "tpch_window": """
+SELECT c_mktsegment, rk, o_orderkey, o_custkey, totalprice FROM (
+  SELECT c.c_mktsegment,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rk,
+         o.o_orderkey, o.o_custkey, o.o_totalprice AS totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 5""",
+}
+
+
+# ---------------------------------------------------------------------------
 # entry / queries / oracle_sql
 
 
@@ -465,6 +577,60 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), n_bits=16)
 
 
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = topk_unshipped_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+    return res.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+
+
+def q_tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return region_revenue(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lapsed_customers(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return small_quantity_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return promo_revenue_share(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_orders_per_segment(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -511,6 +677,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "sessions": q_sessions,
         "simhash": q_simhash,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_topk_orders": q_tpch_topk_orders,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "tpch_lapsed": q_tpch_lapsed,
+        "tpch_smallqty": q_tpch_smallqty,
+        "tpch_promo": q_tpch_promo,
+        "tpch_window": q_tpch_window,
     }
 
 
@@ -816,4 +989,5 @@ FROM votes GROUP BY doc_id""",
         "       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,\n"
         "       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k\n"
         "FROM events GROUP BY event_type",
+        **_SQL_TPCH,
     }

@@ -1,0 +1,311 @@
+"""Relational analytics over the TPC-H-shaped warehouse tables.
+
+The reference engine's query surface is cascade-specific, but its users
+run their *other* analytics (scan-agg, multi-way join, top-k, semi/anti
+join, correlated aggregates, windows) next to it; SURVEY.md §2.2 lists
+these categories and VERDICT r1 flagged them as the largest coverage
+gap.  Each function here is one canonical query shape over the shipped
+``lineitem/orders/customer/part/supplier/nation/region`` tables,
+expressed declaratively so Catalyst supplies pushdown, pruning, join
+reordering and broadcast selection (verified in EXPLAIN.md).
+
+Cross-engine determinism: every money aggregate is computed in
+DECIMAL (exact in both Spark and DuckDB — all source values are 2dp)
+and cast to DOUBLE only at the end; averages divide two
+already-identical doubles, so no rounding ambiguity survives.  See
+``functions.decimal_round`` for the boundary-rounding idiom.
+
+Scale notes (100 TB): `lineitem` is the fact table — every query keeps
+it on the probe side; `region/nation/supplier/customer/part` are dims
+that Catalyst broadcast-joins (≤10 MB even at sf100k for region/nation;
+customer/part would switch to shuffle joins automatically via AQE).
+Filters on the fact table are expressed directly on scan columns so
+they reach the parquet reader as PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+D = "decimal(12,2)"  # exact 2dp money/qty type shared with the oracle SQL
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(D)
+
+
+def _ts(lit: str) -> F.Column:
+    """Timestamp literal matching the warehouse columns' TIMESTAMP_NTZ
+    type (Spark 4 parquet inference), so comparisons need no cast on the
+    column side and the filter reaches the scan as a PushedFilter."""
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1 shape: one-pass scan-agg of the fact table.
+
+    Partial-aggregatable (map-side combine) on a low-cardinality key —
+    the canonical 'free at any scale' query; the shipdate filter pushes
+    to the parquet scan."""
+    li = lineitem.filter(F.col("l_shipdate") <= _ts(cutoff))
+    one = F.lit(1).cast(D)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.sum(_dec("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+            (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def topk_unshipped_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group-agg + deterministic top-k.
+
+    customer is a broadcast dim; orders⋈lineitem shuffles on orderkey.
+    The top-k is TakeOrderedAndProject (no full sort) with a total
+    tie-break so the result is unique."""
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < _ts(date))
+    li = lineitem.filter(F.col("l_shipdate") > _ts(date))
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def region_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join, local-supplier predicate
+    (c_nationkey = s_nationkey), group by nation.
+
+    region→nation→(customer, supplier) are broadcast; the only big
+    shuffle is orders⋈lineitem on orderkey.  The date filter prunes
+    orders before the join."""
+    r = region.filter(F.col("r_name") == r_name)
+    n = nation.join(F.broadcast(r), nation.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nkey"), "n_name")
+    s = supplier.join(
+        F.broadcast(n.select("n_nationkey")),
+        supplier.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nkey"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(date_from))
+        & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nkey") == s.s_nkey),
+        )
+        .groupBy("n_name")
+        .agg(revenue.alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+def lapsed_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    active_from: str = "1995-01-01",
+    active_to: str = "1996-01-01",
+    lapsed_from: str = "2000-01-01",
+) -> DataFrame:
+    """Q16/Q22 shape: semi-join + anti-join set operation.
+
+    Customers who ordered in the active window (LeftSemi) but never
+    since ``lapsed_from`` (LeftAnti), aggregated per market segment.
+    Both joins shuffle on custkey and stay partial-aggregatable; at
+    scale the two filtered order sets are far smaller than orders and
+    AQE broadcasts them."""
+    early = orders.filter(
+        (F.col("o_orderdate") >= _ts(active_from))
+        & (F.col("o_orderdate") < _ts(active_to))
+    ).select("o_custkey")
+    late = orders.filter(
+        F.col("o_orderdate") >= _ts(lapsed_from)
+    ).select("o_custkey")
+    lapsed = (
+        customer.join(early, customer.c_custkey == early.o_custkey, "left_semi")
+        .join(late, customer.c_custkey == late.o_custkey, "left_anti")
+    )
+    return (
+        lapsed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).alias("_bal"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_custs",
+            F.col("_bal").cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brands: tuple[str, ...] = ("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5")
+) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average as a filter.
+
+    The per-part threshold ``l_quantity < 0.2 * avg(l_quantity)`` is
+    evaluated in exact arithmetic by cross-multiplying in integer cents
+    (``5·qty_cents·cnt < sum_qty_cents``, all BIGINT) so both engines
+    agree bit-for-bit even on boundary rows.  One shuffle on partkey
+    for the per-part aggregate, re-joined map-side (broadcast) because
+    the brand filter keeps it small."""
+    p = part.filter(F.col("p_brand").isin(*brands)).select("p_partkey", "p_brand")
+    qty_cents = F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    li = lineitem.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey).withColumn(
+        "_qc", qty_cents
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("_qc").alias("sum_qc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("_qc") * F.lit(5) * F.col("cnt") < F.col("sum_qc")
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "p_brand",
+            (F.col("_rev").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            "n_lines",
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-02-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: broadcast join + conditional aggregate.
+
+    Returns the promo revenue share of one month as exact decimal
+    numerator/denominator plus their double ratio."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    is_promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        joined.agg(
+            F.sum(F.when(is_promo, disc_price).otherwise(zero)).alias("_promo"),
+            F.sum(disc_price).alias("_total"),
+        )
+        .select(
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def top_orders_per_segment(
+    customer: DataFrame, orders: DataFrame, k: int = 5
+) -> DataFrame:
+    """Window-over-join shape: rank each segment's orders by price.
+
+    The window partitions by the (low-cardinality) segment after a
+    broadcast join; rank + total tie-break keeps the result
+    deterministic.  At scale a top-k-per-group over a skewed partition
+    column would use the groupBy/min_by k-heap pattern instead — the
+    window form is the readable canonical one and is what Catalyst
+    turns into a single sort per partition."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "c_mktsegment",
+            "rk",
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
