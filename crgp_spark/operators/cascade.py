@@ -70,6 +70,13 @@ _OUT_SCHEMA = T.StructType(
 _STATE_SCHEMA = "part int, vid long, rank double"
 
 
+def placement_path(pack_path: str) -> str:
+    """Replica-placement table location: a SIBLING of the blocks dir, so
+    ``spark.read.parquet(pack_path)`` never co-lists it (the nested
+    layout caused an 'All paths were ignored' warn per read)."""
+    return pack_path.rstrip("/") + "_placement"
+
+
 def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
     """Pack a conversation-keyed edge table ``(src, dst, conv_id)`` into
     cascade-local CSR blocks at ``path``. Returns pack statistics."""
@@ -185,7 +192,7 @@ def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
         .filter(F.col("part") != F.col("home"))
         .select(F.col("src").alias("vid"), "part")
     )
-    placement.write.mode("overwrite").parquet(os.path.join(path, "_placement"))
+    placement.write.mode("overwrite").parquet(placement_path(path))
 
     r = spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("n_parts"),
@@ -194,8 +201,12 @@ def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
         F.avg("n_edges").alias("mean_edges"),
         F.sum("n_v").alias("n_verts"),
     ).first()
-    n_replicas = spark.read.parquet(os.path.join(path, "_placement")).count()
+    n_replicas = spark.read.parquet(placement_path(path)).count()
+    import uuid
+
     stats = {
+        # cache-invalidation fingerprint, see pack.py::load_block
+        "pack_id": uuid.uuid4().hex,
         "n_parts": int(r["n_parts"]),
         "n_edges": int(r["n_edges"]),
         "max_edges": int(r["max_edges"]),
@@ -210,10 +221,10 @@ def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
     return stats
 
 
-def _load_cascade_block(path: str, part: int):
+def _load_cascade_block(path: str, part: int, pack_id: str | None = None):
     from crgp_spark.operators.pack import _BLOCK_CACHE
 
-    key = (path, part, "cascade")
+    key = (path, part, "cascade", pack_id)
     blk = _BLOCK_CACHE.get(key)
     if blk is None:
         import pyarrow.dataset as ds
@@ -229,10 +240,10 @@ def _load_cascade_block(path: str, part: int):
     return blk
 
 
-def _make_kernel(pack_path: str):
+def _make_kernel(pack_path: str, pack_id: str | None = None):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part"].iloc[0])
-        blk = _load_cascade_block(pack_path, part)
+        blk = _load_cascade_block(pack_path, part, pack_id)
         vids, vdeg = blk["vids"], blk["vdeg"]
         src_ids, indptr, dst = blk["src_ids"], blk["indptr"], blk["dst"]
 
@@ -305,14 +316,14 @@ def pagerank_cascade(
         int(r["part"]): int(r["n_edges"])
         for r in spark.read.parquet(pack_path).select("part", "n_edges").collect()
     }
-    placement = spark.read.parquet(os.path.join(pack_path, "_placement")).persist()
+    placement = spark.read.parquet(placement_path(pack_path)).persist()
     has_replicas = placement.count() > 0
 
     verts_home = (
         spark.read.parquet(pack_path)
         .select("part", F.explode("vids").alias("vid"))
     )
-    kernel = _make_kernel(pack_path)
+    kernel = _make_kernel(pack_path, pstats.get("pack_id"))
     alpha, tol = cfg.damping, cfg.tol
     if cfg.tol_mode == "scaled":
         tol = tol / n

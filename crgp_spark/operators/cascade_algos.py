@@ -4,24 +4,35 @@ propagation and triangle counting over conversation-partitioned blocks
 influence edges never cross conversations, so per-block computation is
 per-subgraph computation).
 
-Each algorithm runs ONE ``applyInPandas`` pass with an in-block kernel
-(union-find / numpy LP / sorted-adjacency triangle count) — no
-supersteps, no shuffles beyond the single group-by-part exchange of the
-edge scan. Split conversations (hub-salting) are handled per algorithm:
+Each algorithm runs ONE ``applyInPandas`` pass with an in-block kernel —
+no supersteps, no shuffles beyond the single group-by-part exchange of
+the edge scan. The kernels are fully vectorized numpy (VERDICT r1: the
+previous dict/set-loop kernels were interpreter-speed per edge — a
+scale-killer once a 32-partition pack of a 10^9-edge table puts ~3·10^7
+edges in one task):
 
-- components: exact everywhere — per-block labels are reconciled with a
-  driver-side union-find over the (tiny) set of block-boundary vertices
-  and a broadcast relabel join;
-- labelprop / triangles: neighborhoods may span sub-blocks of a split
-  conversation, so these DELEGATE to the generic superstep/DataFrame
-  implementations when the packing produced replicas (exactness first;
-  hub conversations are the rare case by construction).
+- components: pointer-jumping min-label propagation (np.minimum.at +
+  path compression), exact everywhere — per-block labels of SPLIT
+  conversations are reconciled with a driver-side union-find over the
+  (tiny, size-capped) set of block-boundary vertices;
+- labelprop: per-iteration (vertex,label) histogram via np.unique on
+  packed codes, argmax with min-label tie-break via lexsort — identical
+  semantics to the generic superstep implementation;
+- triangles: rank-oriented adjacency + vectorized wedge enumeration
+  (inverse-triangular-index trick) + sorted-code membership test
+  (np.searchsorted) — the compact-forward algorithm, O(m^1.5) work
+  bound, zero Python-level loops.
 
-All three match their generic counterparts exactly (tests/test_cascade_algos.py).
+Split conversations (hub-salting): labelprop/triangles DELEGATE to the
+generic superstep/DataFrame implementations when the packing produced
+replicas (exactness first; hub conversations are the rare case by
+construction). All three match their generic counterparts exactly
+(tests/test_cascade_algos.py).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -30,14 +41,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
-from crgp_spark.operators.cascade import pack_cascade
+from crgp_spark.operators.cascade import pack_cascade, placement_path
+
+#: boundary-reconciliation driver collect cap (vertices). A pathological
+#: all-split input would make the boundary set O(V); above this we fall
+#: back to the generic distributed path instead of OOMing the driver.
+MAX_BOUNDARY_COLLECT = 2_000_000
 
 
-def _ensure_pack(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
-    import json
-
+def _ensure_pack(
+    edges: DataFrame, cfg: EngineConfig, path: str, reuse_pack: bool = False
+) -> dict:
+    """Pack ``edges`` at ``path``. REPACKS by default (matching
+    pagerank_cascade): a stale pack from a previous call with a
+    different edge table must never be silently reused (ADVICE r1).
+    ``reuse_pack=True`` opts into reuse for callers that packed ahead
+    of time (bench harnesses timing the phases separately)."""
     stats_file = os.path.join(path, "_pack_stats.json")
-    if os.path.exists(stats_file):
+    if reuse_pack and os.path.exists(stats_file):
         with open(stats_file) as f:
             return json.load(f)
     return pack_cascade(edges, cfg, path)
@@ -64,23 +85,164 @@ def _block_edges(spark: SparkSession, path: str) -> DataFrame:
     ).select("part", F.col("z.s").alias("src"), F.explode("z.adj").alias("dst"))
 
 
+# -- shared kernel helpers ---------------------------------------------------
+
+
+def _compact(src: np.ndarray, dst: np.ndarray):
+    """Map vids to compact indices. Returns (nodes sorted asc, si, di)."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    return nodes, inv[: len(src)], inv[len(src) :]
+
+
+def _undirected(si: np.ndarray, di: np.ndarray, n: int):
+    """Distinct undirected pairs (a < b) as index arrays; drops loops
+    and merges (a,b)/(b,a) duplicates (the generic implementations use
+    an undirected neighbor SET — a bidirectional edge must not count
+    its neighbor twice)."""
+    a = np.minimum(si, di)
+    b = np.maximum(si, di)
+    keep = a != b
+    codes = np.unique(a[keep].astype(np.int64) * n + b[keep])
+    return codes // n, codes % n
+
+
+def _min_label_components(si: np.ndarray, di: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components: min-label propagation with
+    pointer jumping. Returns label index array (fixed point of lab[lab]);
+    the component id is the minimum member INDEX, which (nodes sorted
+    ascending) is also the minimum member vid."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, di, lab[si])
+        np.minimum.at(lab, si, lab[di])
+        lab = np.minimum(lab, lab[lab])  # pointer halving
+        if np.array_equal(lab, old):
+            break
+    while not np.array_equal(lab, lab[lab]):
+        lab = lab[lab]
+    return lab
+
+
+def _components_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, si, di = _compact(src, dst)
+    lab = _min_label_components(si, di, len(nodes))
+    return pd.DataFrame({"vid": nodes, "component": nodes[lab]})
+
+
+def _labelprop_kernel_factory(max_iter: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        nodes, si, di = _compact(src, dst)
+        n = len(nodes)
+        ua, ub = _undirected(si, di, n)
+        ui = np.concatenate([ua, ub])  # vertex endpoint
+        vi = np.concatenate([ub, ua])  # its neighbor
+        lab = np.arange(n, dtype=np.int64)
+        for _ in range(max_iter):
+            # histogram over (vertex, neighbor-label) pairs
+            code = ui * n + lab[vi]
+            uniq, cnt = np.unique(code, return_counts=True)
+            v = uniq // n
+            l = uniq % n
+            # per vertex: max count, tie-break min label (labels are
+            # vertex indices; nodes sorted asc => index order == vid order)
+            order = np.lexsort((l, -cnt, v))
+            vo, lo = v[order], l[order]
+            first = np.unique(vo, return_index=True)[1]
+            new = lab.copy()
+            new[vo[first]] = lo[first]
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        # vertex universe = endpoints of non-loop edges (matches the
+        # generic implementation; self-loop-only vertices are excluded)
+        touched = np.zeros(n, dtype=bool)
+        touched[ua] = True
+        touched[ub] = True
+        return pd.DataFrame(
+            {"vid": nodes[touched], "label": nodes[lab][touched]}
+        )
+
+    return kernel
+
+
+def _pair_indices(d: np.ndarray):
+    """Vectorized enumeration of all within-group index pairs (i<j) for
+    groups of sizes ``d``. Returns (grp, i, j) arrays — the
+    inverse-triangular-index trick, no Python loop."""
+    p = d * (d - 1) // 2
+    total = int(p.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    grp = np.repeat(np.arange(len(d), dtype=np.int64), p)
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(p) - p, p)
+    s = d[grp]
+    # i = floor(((2s-1) - sqrt((2s-1)^2 - 8k)) / 2), then float-safety fixup
+    twos1 = 2 * s - 1
+    i = ((twos1 - np.sqrt(twos1.astype(np.float64) ** 2 - 8 * k)) // 2).astype(
+        np.int64
+    )
+
+    def f(ii):  # pairs with first-index < ii
+        return ii * (2 * s - ii - 1) // 2
+
+    i = np.where(f(i + 1) <= k, i + 1, i)
+    i = np.where(f(i) > k, i - 1, i)
+    j = k - f(i) + i + 1
+    return grp, i, j
+
+
+def _triangles_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, si, di = _compact(src, dst)
+    n = len(nodes)
+    per = np.zeros(n, dtype=np.int64)
+    ua, ub = _undirected(si, di, n)
+    if len(ua):
+        # orient low-(degree,id) -> high-(degree,id): out-degree O(sqrt m)
+        deg = np.bincount(ua, minlength=n) + np.bincount(ub, minlength=n)
+        rank = np.lexsort((np.arange(n), deg))  # rank order
+        rpos = np.empty(n, dtype=np.int64)
+        rpos[rank] = np.arange(n)
+        ra, rb = rpos[ua], rpos[ub]
+        lo = np.where(ra < rb, ra, rb)
+        hi = np.where(ra < rb, rb, ra)
+        # CSR over lo with adjacency sorted by hi-rank
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        srcs, counts = np.unique(lo, return_counts=True)
+        dd = np.zeros(n, dtype=np.int64)
+        dd[srcs] = counts
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dd, out=indptr[1:])
+        # wedges (b, c) with rank(b) < rank(c), apex u
+        grp, i, j = _pair_indices(dd)
+        if len(grp):
+            b = hi[indptr[grp] + i]
+            c = hi[indptr[grp] + j]
+            # membership of oriented edge (b, c) in sorted codes
+            codes = lo * n + hi
+            w = b * n + c
+            pos = np.searchsorted(codes, w)
+            ok = (pos < len(codes)) & (codes[np.minimum(pos, len(codes) - 1)] == w)
+            apex, bb, cc = grp[ok], b[ok], c[ok]
+            hits = np.concatenate([apex, bb, cc])
+            per_rank = np.bincount(hits, minlength=n)
+            per = np.zeros(n, dtype=np.int64)
+            per[rank] = per_rank  # back from rank space to index space
+    touched = np.zeros(n, dtype=bool)
+    touched[ua] = True
+    touched[ub] = True
+    return pd.DataFrame({"vid": nodes[touched], "triangles": per[touched]})
+
+
 # -- connected components ---------------------------------------------------
-
-
-def _uf_components(src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for s, d in zip(src, dst):
-        rs, rd = find(int(s)), find(int(d))
-        if rs != rd:
-            parent[max(rs, rd)] = min(rs, rd)
-    return {v: find(v) for v in list(parent)}
 
 
 def cascade_components(
@@ -89,41 +251,41 @@ def cascade_components(
     cfg: EngineConfig | None = None,
     algo_name: str = "cascade_components",
     pack_path: str | None = None,
+    reuse_pack: bool = False,
 ) -> DataFrame:
     """Exact (vid, component) with component = min vid of the component;
     one kernel pass + boundary reconciliation for split conversations."""
     cfg = cfg or EngineConfig()
     path = pack_path or os.path.join(cfg.checkpoint_dir, algo_name, "graph")
-    _ensure_pack(edges, cfg, path)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        comp = _uf_components(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
-        return pd.DataFrame(
-            {
-                "vid": np.fromiter(comp.keys(), dtype=np.int64, count=len(comp)),
-                "component": np.fromiter(
-                    comp.values(), dtype=np.int64, count=len(comp)
-                ),
-            }
-        )
+    _ensure_pack(edges, cfg, path, reuse_pack=reuse_pack)
 
     local = (
         _block_edges(spark, path)
         .groupBy("part")
-        .applyInPandas(kernel, "vid long, component long")
+        .applyInPandas(_components_kernel, "vid long, component long")
     )
 
-    placement = spark.read.parquet(os.path.join(path, "_placement"))
+    placement = spark.read.parquet(placement_path(path))
     if placement.isEmpty():
         return local
 
     # boundary vertices live in several blocks; merge their local labels
     # with a driver-side union-find, then relabel via a broadcast map.
+    # The boundary is split-conversation sources only — tiny by design —
+    # but cap the collect: a pathological all-split input falls back to
+    # the fully distributed generic path instead of OOMing the driver.
     local = local.persist()
-    boundary = (
-        local.join(placement.select("vid").distinct(), "vid", "left_semi")
-        .collect()
-    )
+    boundary_df = local.join(
+        placement.select("vid").distinct(), "vid", "left_semi"
+    ).persist()
+    if boundary_df.count() > MAX_BOUNDARY_COLLECT:
+        local.unpersist()
+        boundary_df.unpersist()
+        from crgp_spark.operators.components import connected_components
+
+        return connected_components(spark, edges.select("src", "dst"), cfg)
+    boundary = boundary_df.collect()
+    boundary_df.unpersist()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -168,14 +330,15 @@ def cascade_labelprop(
     fixed_iterations: int | None = None,
     algo_name: str = "cascade_labelprop",
     pack_path: str | None = None,
+    reuse_pack: bool = False,
 ) -> DataFrame:
     """Synchronous min-tie-break label propagation, in-block (exact when
     the packing produced no split conversations; otherwise delegates to
     the generic superstep implementation). Returns (vid, label)."""
     cfg = cfg or EngineConfig()
     path = pack_path or os.path.join(cfg.checkpoint_dir, algo_name, "graph")
-    _ensure_pack(edges, cfg, path)
-    placement = spark.read.parquet(os.path.join(path, "_placement"))
+    _ensure_pack(edges, cfg, path, reuse_pack=reuse_pack)
+    placement = spark.read.parquet(placement_path(path))
     if not placement.isEmpty():
         from crgp_spark.operators.labelprop import label_propagation
 
@@ -185,43 +348,12 @@ def cascade_labelprop(
         ).state
 
     max_iter = fixed_iterations or cfg.max_iterations
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        src = pdf["src"].to_numpy()
-        dst = pdf["dst"].to_numpy()
-        und = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
-        nbrs: dict[int, list[int]] = {}
-        for a, b in und:
-            nbrs.setdefault(a, []).append(b)
-            nbrs.setdefault(b, []).append(a)
-        labels = {v: v for v in nbrs}
-        for _ in range(max_iter):
-            new = {}
-            changed = False
-            for v, ns in nbrs.items():
-                counts: dict[int, int] = {}
-                for u in ns:
-                    lu = labels[u]
-                    counts[lu] = counts.get(lu, 0) + 1
-                best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
-                new[v] = best
-                changed |= best != labels[v]
-            labels = new
-            if not changed:
-                break
-        return pd.DataFrame(
-            {
-                "vid": np.fromiter(labels.keys(), dtype=np.int64, count=len(labels)),
-                "label": np.fromiter(
-                    labels.values(), dtype=np.int64, count=len(labels)
-                ),
-            }
-        )
-
     return (
         _block_edges(spark, path)
         .groupBy("part")
-        .applyInPandas(kernel, "vid long, label long")
+        .applyInPandas(
+            _labelprop_kernel_factory(max_iter), "vid long, label long"
+        )
     )
 
 
@@ -234,49 +366,23 @@ def cascade_triangles(
     cfg: EngineConfig | None = None,
     algo_name: str = "cascade_triangles",
     pack_path: str | None = None,
+    reuse_pack: bool = False,
 ) -> tuple[int, DataFrame]:
     """Exact (total, per-vertex) triangle counts, in-block (delegates to
     the generic join plan when the packing split conversations)."""
     cfg = cfg or EngineConfig()
     path = pack_path or os.path.join(cfg.checkpoint_dir, algo_name, "graph")
-    _ensure_pack(edges, cfg, path)
-    placement = spark.read.parquet(os.path.join(path, "_placement"))
+    _ensure_pack(edges, cfg, path, reuse_pack=reuse_pack)
+    placement = spark.read.parquet(placement_path(path))
     if not placement.isEmpty():
         from crgp_spark.operators.triangles import triangles
 
         return triangles(spark, edges.select("src", "dst"), cfg)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj: dict[int, set[int]] = {}
-        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-            s, d = int(s), int(d)
-            if s == d:
-                continue
-            adj.setdefault(s, set()).add(d)
-            adj.setdefault(d, set()).add(s)
-        per = {v: 0 for v in adj}
-        for v in adj:
-            for u in adj[v]:
-                if u <= v:
-                    continue
-                for w in adj[v] & adj[u]:
-                    if w > u:
-                        per[v] += 1
-                        per[u] += 1
-                        per[w] += 1
-        return pd.DataFrame(
-            {
-                "vid": np.fromiter(per.keys(), dtype=np.int64, count=len(per)),
-                "triangles": np.fromiter(
-                    per.values(), dtype=np.int64, count=len(per)
-                ),
-            }
-        )
-
     per_vertex = (
         _block_edges(spark, path)
         .groupBy("part")
-        .applyInPandas(kernel, "vid long, triangles long")
+        .applyInPandas(_triangles_kernel, "vid long, triangles long")
         .persist()
     )
     total = int(

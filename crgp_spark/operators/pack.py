@@ -109,7 +109,15 @@ def pack_csr(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
         )
     )
     r = stats_df.first()
+    import uuid
+
     stats = {
+        # Unique per pack invocation: long-lived Python workers key their
+        # in-memory CSR cache by (path, part, pack_id), so repacking a
+        # DIFFERENT graph at the same path invalidates stale cache
+        # entries instead of silently serving the previous graph's blocks
+        # (ADVICE r1).
+        "pack_id": uuid.uuid4().hex,
         "n_parts": int(r["n_parts"]),
         "n_edges": int(r["n_edges"]),
         "max_edges": int(r["max_edges"]),
@@ -141,14 +149,19 @@ def placement(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
 # Worker-resident block cache. Spark reuses Python worker processes
 # (spark.python.worker.reuse=true by default), so a module-level dict keeps
 # each executor's blocks in memory across supersteps; a cache miss falls
-# back to a local parquet read. Keyed by (pack path, part id) so several
-# packed graphs coexist.
+# back to a local parquet read. Keyed by (pack path, part id, pack_id) so
+# several packed graphs coexist AND a repack at the same path (new
+# pack_id in _pack_stats.json) never serves stale blocks.
 _BLOCK_CACHE: dict = {}
 
 
-def load_block(path: str, part: int):
-    """Fetch one CSR block as numpy arrays (cached per worker process)."""
-    key = (path, part)
+def load_block(path: str, part: int, pack_id: str | None = None):
+    """Fetch one CSR block as numpy arrays (cached per worker process).
+
+    ``pack_id`` is the fingerprint from ``_pack_stats.json``; callers
+    running iterative kernels MUST thread it through, otherwise a
+    repack at the same path is invisible to reused workers."""
+    key = (path, part, pack_id)
     blk = _BLOCK_CACHE.get(key)
     if blk is None:
         import pyarrow.dataset as ds

@@ -49,14 +49,14 @@ MSG_SCHEMA = T.StructType(
 )
 
 
-def _make_gather(pack_path: str):
+def _make_gather(pack_path: str, pack_id: str | None = None):
     """Per-partition gather-scatter kernel: ranks of this partition's
     sources in, per-destination partial contributions out (map-side
     combined in sorted-dst order)."""
 
     def gather(pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(pdf["part"].iloc[0])
-        blk = load_block(pack_path, part)
+        blk = load_block(pack_path, part, pack_id)
         src_ids, indptr, dst, deg = (
             blk["src_ids"],
             blk["indptr"],
@@ -132,7 +132,7 @@ def pagerank(
     n = verts.count()
     pl = placement(edges.select("src", "dst"), cfg).persist()
     pl.count()
-    gather = _make_gather(pack_path)
+    gather = _make_gather(pack_path, pack_stats.get("pack_id"))
     alpha, tol = cfg.damping, cfg.tol
     if cfg.tol_mode == "scaled":
         tol = tol / n

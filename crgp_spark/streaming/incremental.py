@@ -167,16 +167,28 @@ class IncrementalDeriver:
             F.col("participant").alias("dst_participant"),
             "ts",
             "orig_turn",
-            F.lit(epoch).alias("epoch"),
         )
-        edges.write.mode("append").parquet(os.path.join(self.state_dir, "edges"))
+        # One directory per epoch, written with overwrite: a replay of an
+        # epoch that crashed between the edge write and the manifest
+        # commit rewrites the same directory instead of appending a
+        # duplicate (the manifest rename stays the only commit point).
+        edges.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "edges", f"epoch={epoch}")
+        )
 
         self._commit_manifest(
             {"epoch": epoch, "acts": acts_path, "origs": origs_path}
         )
 
     def edges(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.state_dir, "edges"))
+        """Edge output of all COMMITTED epochs (an orphaned directory
+        from a crash mid-epoch is excluded until its epoch commits)."""
+        m = self._read_manifest()
+        committed = -1 if m is None else int(m["epoch"])
+        df = self.spark.read.parquet(os.path.join(self.state_dir, "edges"))
+        return df.filter(F.col("epoch") <= committed).withColumn(
+            "epoch", F.col("epoch").cast("int")
+        )
 
 
 def stream_derive(
@@ -185,17 +197,30 @@ def stream_derive(
     state_dir: str,
     checkpoint_dir: str | None = None,
     friendships: DataFrame | None = None,
+    max_files_per_trigger: int | None = 1,
+    max_bytes_per_trigger: int | None = None,
 ) -> None:
     """Run the incremental derivation over a parquet directory stream
     with an ``availableNow`` trigger (process everything pending, then
-    stop — the batch-refeed mode the reference's CLI runs in)."""
+    stop — the batch-refeed mode the reference's CLI runs in).
+
+    Epoch granularity mirrors the reference's ``batch_size = 50_000``
+    retweets-per-epoch knob (``configuration/main.rs:44``,
+    ``run.rs:118-129``): the file source can cap an epoch by file count
+    (``max_files_per_trigger``) or by input volume
+    (``max_bytes_per_trigger``, a positive byte count — the row-count analog
+    for columnar input, where mid-file row slicing isn't possible
+    without breaking exactly-once file tracking)."""
     from crgp_spark.schemas import TRANSCRIPTS
 
     deriver = IncrementalDeriver(spark, state_dir, friendships=friendships)
+    reader = spark.readStream.schema(TRANSCRIPTS)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    elif max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
-        spark.readStream.schema(TRANSCRIPTS)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_path)
+        reader.parquet(input_path)
         .writeStream.foreachBatch(deriver.process_batch)
         .option(
             "checkpointLocation",

@@ -94,3 +94,61 @@ def test_triangles_match(spark, conv_edges, tmp_path):
         k: v for k, v in want.items() if v
     }
     assert set(got) == set(want)
+
+
+def test_repack_same_path_different_graph_not_stale(spark, tmp_path):
+    """Two different edge tables through the same cfg/path must not
+    reuse the first graph's pack or worker-cached CSR blocks (ADVICE r1:
+    _ensure_pack reused any existing pack; _BLOCK_CACHE lacked a pack
+    fingerprint)."""
+    t1 = synthetic_transcripts(spark, n_convs=12, seed=1, max_turns=16)
+    t2 = synthetic_transcripts(spark, n_convs=20, seed=2, max_turns=24)
+    e1 = derive_edges(t1).select("src", "dst", "conv_id")
+    e2 = derive_edges(t2).select("src", "dst", "conv_id")
+    cfg = _cfg(tmp_path)
+
+    first = {
+        r["vid"]: r["component"]
+        for r in cascade_components(spark, e1, cfg).collect()
+    }
+    second = {
+        r["vid"]: r["component"]
+        for r in cascade_components(spark, e2, cfg).collect()
+    }
+    want = {
+        r["vid"]: r["component"]
+        for r in connected_components(
+            spark, e2.select("src", "dst"), _cfg(tmp_path / "w")
+        ).collect()
+    }
+    assert second == want
+    assert set(second) != set(first)  # genuinely a different graph
+
+
+def test_pagerank_cascade_repack_not_stale(spark, tmp_path):
+    """pagerank_cascade twice at the same checkpoint_dir with different
+    edges: reused Python workers must load the NEW pack (pack_id in the
+    cache key), not serve the old CSR blocks."""
+    from crgp_spark.operators.cascade import pagerank_cascade
+    from crgp_spark.operators.pagerank import pagerank_df
+
+    t1 = synthetic_transcripts(spark, n_convs=10, seed=5, max_turns=12)
+    t2 = synthetic_transcripts(spark, n_convs=16, seed=6, max_turns=20)
+    e1 = derive_edges(t1).select("src", "dst", "conv_id")
+    e2 = derive_edges(t2).select("src", "dst", "conv_id")
+    cfg = _cfg(tmp_path, max_iterations=3)
+
+    pagerank_cascade(spark, e1, cfg)
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank_cascade(spark, e2, cfg).state.collect()
+    }
+    want = {
+        r["vid"]: r["rank"]
+        for r in pagerank_df(
+            spark, e2.select("src", "dst"), _cfg(tmp_path / "w", max_iterations=3),
+            fixed_iterations=3,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)

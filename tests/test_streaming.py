@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from crgp_spark.derive import derive_edge_turns
@@ -66,9 +67,49 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert len(_edge_set(d.edges())) == 7
 
 
-def test_stream_derive_available_now(spark, tmp_path):
+def test_crash_before_manifest_commit_is_idempotent(spark, tmp_path):
+    """A crash AFTER the epoch's edge write but BEFORE the manifest
+    commit must neither expose the orphaned edges nor duplicate them
+    when the epoch is replayed (ADVICE r1: the old append-mode sink
+    re-appended here)."""
+    t = golden_transcripts(spark)
+    d = IncrementalDeriver(
+        spark, str(tmp_path / "state"), friendships=golden_friendships(spark)
+    )
+    d.process_batch(t.filter(F.col("turn_idx") <= 1), 0)
+    n_committed = d.edges().count()
+
+    # epoch 1 "crashes" right before its manifest rename
+    real_commit = d._commit_manifest
+    d._commit_manifest = lambda m: None
+    d.process_batch(t.filter(F.col("turn_idx") > 1), 1)
+    d._commit_manifest = real_commit
+
+    # orphaned epoch-1 edges are invisible until the epoch commits
+    assert d.edges().count() == n_committed
+
+    # replay of epoch 1 overwrites the orphan and commits exactly once
+    d.process_batch(t.filter(F.col("turn_idx") > 1), 1)
+    got = {
+        (c, s, dt, ts // 1_000_000) for (c, s, dt, ts) in _edge_set(d.edges())
+    }
+    assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        {},  # default: one file per epoch
+        {"max_bytes_per_trigger": 1},  # byte-capped epochs (>=1 file each)
+        {"max_files_per_trigger": None},  # uncapped: everything in one epoch
+    ],
+    ids=["per_file", "byte_capped", "single_epoch"],
+)
+def test_stream_derive_available_now(spark, tmp_path, knobs):
     """Real Structured Streaming run (parquet source, foreachBatch sink,
-    availableNow trigger) over per-epoch files."""
+    availableNow trigger) over per-epoch files; the epoch-granularity
+    knobs (the reference's batch_size analog) must not change the
+    result."""
     t = golden_transcripts(spark)
     inp = str(tmp_path / "in")
     os.makedirs(inp, exist_ok=True)
@@ -82,7 +123,9 @@ def test_stream_derive_available_now(spark, tmp_path):
     t.filter(F.col("turn_idx") > 1).coalesce(1).write.mode("append").parquet(inp)
 
     state = str(tmp_path / "state")
-    stream_derive(spark, inp, state, friendships=golden_friendships(spark))
+    stream_derive(
+        spark, inp, state, friendships=golden_friendships(spark), **knobs
+    )
     d = IncrementalDeriver(spark, state)
     got = {
         (c, s, dt, ts // 1_000_000) for (c, s, dt, ts) in _edge_set(d.edges())
