@@ -47,10 +47,25 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 1024,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, sim). Ranking is
     fully deterministic: similarity rounded to 6 decimals, ties broken by
-    neighbor id — so results are integer-comparable across engines."""
+    neighbor id — so results are integer-comparable across engines.
+
+    This is the O(Q·N) exact baseline / re-ranker. ``max_queries`` guards
+    against accidentally feeding a large query frame into the theta-join
+    (VERDICT r1): above the bound it raises, directing callers to
+    ``knn_ivf`` / ``knn_lsh`` (the scale paths). Pass ``None`` to disable
+    when a large exact sweep is genuinely intended."""
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"knn_bruteforce got > {max_queries} queries; the exact "
+                "theta-join is O(Q*N) — use knn_ivf/knn_lsh for large Q "
+                "or pass max_queries=None to override"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -72,15 +87,21 @@ def knn_bruteforce(
     )
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5), derived
-    from sha256 — no RNG state, reproducible everywhere."""
+#: component quantization scale for the integer hyperplane projection
+LSH_QUANT = 1_000_000
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplane weights in
+    [-2^31, 2^31), derived from md5 — no RNG state, reproducible
+    everywhere, and (unlike float planes) reproducible in ANSI SQL:
+    the oracle recomputes each weight from ``MD5(seed:bit:dim)`` hex."""
     planes = []
     for b in range(n_bits):
         row = []
         for d in range(dim):
-            h = hashlib.sha256(f"{seed}:{b}:{d}".encode()).digest()
-            row.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()
+            row.append(int.from_bytes(h[:4], "big") - 2**31)
         planes.append(row)
     return planes
 
@@ -93,11 +114,28 @@ def lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add a ``bucket`` column: the sign pattern of the vector against
-    ``n_bits`` fixed hyperplanes, as a bit-string."""
+    ``n_bits`` fixed hyperplanes, as a bit-string.
+
+    The projection is EXACT int64 arithmetic: components are quantized
+    to ``floor(x·10^6 + 0.5)`` and dotted with integer weights (|Σ| <
+    64·10^6·2^31 ≈ 1.4e17 < 2^63), so the sign — and therefore the
+    bucket — is bit-identical across engines and across float summation
+    orders. A float dot would make boundary vectors engine-dependent."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(LSH_QUANT)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
     bits = []
     for plane in _hyperplanes(dim, n_bits, seed):
-        p = F.array(*[F.lit(x) for x in plane])
-        bits.append((_dot(F.col(vec_col), p) >= 0).cast("int").cast("string"))
+        p = F.array(*[F.lit(w).cast("long") for w in plane])
+        proj = F.aggregate(
+            F.zip_with(qv, p, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append((proj >= 0).cast("int").cast("string"))
     return df.withColumn("bucket", F.concat(*bits))
 
 
@@ -171,14 +209,19 @@ def ivf_assign(
     broadcast; assignment is one scan of the corpus — the 10^9-vector
     path partitions the corpus by ``centroid_id`` afterwards so probes
     touch only matching partitions."""
-    w = Window.orderBy(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-        F.col(id_col),
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    # TakeOrderedAndProject (distributed top-N), NOT a global window over
+    # the whole corpus (ADVICE r1: an unpartitioned Window.orderBy forced
+    # every corpus row through one task). The residual single-partition
+    # row_number below sees only the n_centroids pre-selected rows.
+    topn = (
+        corpus.select(F.col(id_col), F.col(vec_col), digest.alias("_key"))
+        .orderBy("_key", id_col)
+        .limit(n_centroids)
     )
+    w = Window.orderBy("_key", id_col)
     cents = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
+        topn.withColumn("_rn", F.row_number().over(w))
         .select(
             (F.col("_rn") - 1).alias("centroid_id"),
             F.col(vec_col).alias("cv"),

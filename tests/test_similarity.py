@@ -99,3 +99,39 @@ def test_ivf_recall_reasonable(spark, vectors):
     assert recall >= 0.4  # random vectors are a worst case for IVF
     # every approx hit must itself be a real vector pair with rank<=5
     assert all(q != n for q, n in approx)
+
+
+def test_bruteforce_query_guard(spark, vectors):
+    """The O(Q·N) exact path refuses a query frame above max_queries,
+    directing callers to the bucketed paths (VERDICT r1)."""
+    with pytest.raises(ValueError, match="knn_ivf/knn_lsh"):
+        knn_bruteforce(vectors, vectors, k=3, max_queries=50)
+    # explicit override still works
+    got = knn_bruteforce(
+        vectors, vectors.filter(F.col("vec_id") < 60), k=1, max_queries=None
+    )
+    assert got.count() == 60
+
+
+def test_neardup_lsh_contained_in_exact(spark, vectors):
+    """The bucketed (production) branch must return a SUBSET of the
+    exact all-pairs result with decent recall — the driver exercises
+    this branch with an exact SQL oracle on the bucket semantics; this
+    test pins the approximation contract."""
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_pairs(
+            vectors, threshold=0.5, prefilter_bits=None
+        ).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_pairs(
+            vectors, threshold=0.5, prefilter_bits=2, dim=DIM
+        ).collect()
+    }
+    assert approx <= exact
+    assert exact  # non-trivial
+    assert len(approx) / len(exact) >= 0.3  # 2-bit single-table recall
+    # the engineered near-duplicate collides even at 4 bits
+    assert (0, 5) in approx

@@ -115,3 +115,49 @@ def test_end_to_end_reference_pipeline(spark, graph_available, selected, tmp_pat
     assert len(files) == 1
     with open(os.path.join(out, files[0])) as f:
         assert {line.strip() for line in f if line.strip()} == lines
+
+
+def test_s3_config_passthrough(spark, monkeypatch):
+    """Reference parity for the S3 input variants (tar.rs:211-342,
+    get.rs:80-113): credentials resolve from the same env vars the
+    reference uses (aws_s3.rs:9-16) into fs.s3a.* Hadoop conf; explicit
+    args win over env; a session token selects the temporary-credentials
+    provider. Offline — configuration only."""
+    from crgp_spark.sources.cloud import configure_s3
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "env-ak")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "env-sk")
+    monkeypatch.setenv("AWS_SESSION_TOKEN", "env-tok")
+    applied = configure_s3(
+        spark,
+        secret_key="explicit-sk",
+        extra={"fs.s3a.path.style.access": "true"},
+    )
+    assert applied["fs.s3a.access.key"] == "env-ak"
+    assert applied["fs.s3a.secret.key"] == "explicit-sk"
+    assert applied["fs.s3a.session.token"] == "env-tok"
+    assert applied["fs.s3a.aws.credentials.provider"].endswith(
+        "TemporaryAWSCredentialsProvider"
+    )
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "env-ak"
+    assert conf.get("fs.s3a.secret.key") == "explicit-sk"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_sources_accept_scheme_qualified_paths(spark, graph_available):
+    """The source readers are scheme-agnostic (Hadoop FileSystem URIs):
+    a file:// URI — the in-sandbox stand-in for s3a:// — must load
+    identically to a bare path."""
+    bare = {
+        (r["user"], r["friend"])
+        for r in load_social_graph(spark, GRAPH_DIR).collect()
+    }
+    uri = {
+        (r["user"], r["friend"])
+        for r in load_social_graph(spark, "file://" + GRAPH_DIR).collect()
+    }
+    assert bare == uri and bare == GOLDEN_PAIRS
+    rt_bare = load_retweets(spark, RT_FILE).count()
+    rt_uri = load_retweets(spark, "file://" + RT_FILE).count()
+    assert rt_bare == rt_uri and rt_bare > 0
