@@ -184,17 +184,22 @@ def main() -> None:
 
     timed(
         "components_cascade",
-        lambda: cascade_components(spark, e3, cfg, pack_path=casc_path).count(),
+        lambda: cascade_components(
+            spark, e3, cfg, pack_path=casc_path, reuse_pack=True
+        ).count(),
     )
     timed(
         "labelprop_cascade_5it",
         lambda: cascade_labelprop(
-            spark, e3, cfg, fixed_iterations=5, pack_path=casc_path
+            spark, e3, cfg, fixed_iterations=5, pack_path=casc_path,
+            reuse_pack=True,
         ).count(),
     )
     timed(
         "triangles_cascade",
-        lambda: cascade_triangles(spark, e3, cfg, pack_path=casc_path)[0],
+        lambda: cascade_triangles(
+            spark, e3, cfg, pack_path=casc_path, reuse_pack=True
+        )[0],
     )
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -204,6 +209,51 @@ def main() -> None:
     timed(
         "knn_bruteforce",
         lambda: knn_bruteforce(embs, embs.limit(64), k=10).count(),
+    )
+    from crgp_spark.operators.similarity import embedding_neardup_pairs, knn_ivf
+
+    timed(
+        "knn_ivf",
+        lambda: knn_ivf(embs, embs.limit(64), k=10, n_centroids=16).count(),
+    )
+    timed(
+        "embedding_neardup_lsh",
+        lambda: embedding_neardup_pairs(
+            embs, threshold=0.4, prefilter_bits=8, dim=64
+        ).count(),
+    )
+
+    # --- relational (TPC-H-shape) family over the warehouse tables
+    from crgp_spark.operators import relational as rel
+
+    tbl = {
+        n: spark.read.parquet(os.path.join(SF_DIR, f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "part", "supplier",
+                  "nation", "region")
+    }
+    timed("tpch_pricing", lambda: rel.pricing_summary(tbl["lineitem"]).count())
+    timed(
+        "tpch_topk_orders",
+        lambda: rel.topk_unshipped_orders(
+            tbl["customer"], tbl["orders"], tbl["lineitem"]
+        ).count(),
+    )
+    timed(
+        "tpch_region_revenue",
+        lambda: rel.region_revenue(
+            tbl["customer"], tbl["orders"], tbl["lineitem"],
+            tbl["supplier"], tbl["nation"], tbl["region"],
+        ).count(),
+    )
+    timed(
+        "tpch_smallqty",
+        lambda: rel.small_quantity_revenue(tbl["lineitem"], tbl["part"]).count(),
+    )
+    timed(
+        "tpch_window",
+        lambda: rel.top_orders_per_segment(
+            tbl["customer"], tbl["orders"]
+        ).count(),
     )
 
     total = round(sum(timings.values()), 3)

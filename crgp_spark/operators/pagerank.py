@@ -141,9 +141,16 @@ def pagerank(
         return verts.select("vid", F.lit(1.0 / n).alias("rank"))
 
     def step(state: DataFrame, it: int) -> StepOutcome:
-        ranks_parts = pl.join(state, pl["src"] == state["vid"]).select(
-            "part", "src", "rank"
-        )
+        # shuffle_hash hints on every per-iteration state join: with a
+        # generous autoBroadcastJoinThreshold (session.py, 64m) Catalyst
+        # would BROADCAST the |V|-row state each superstep — shipping
+        # the whole state to every executor per iteration and
+        # accumulating undropped broadcast maps until bounded executor
+        # heaps OOM (seen at ~16 supersteps under local-cluster).
+        # The co-partitioned shuffle join is the exchange-minimal plan.
+        ranks_parts = pl.join(
+            state.hint("shuffle_hash"), pl["src"] == state["vid"]
+        ).select("part", "src", "rank")
         msgs = ranks_parts.groupBy("part").applyInPandas(gather, MSG_SCHEMA).persist()
 
         # ONE action per superstep for both the dangling-mass total and
@@ -159,7 +166,7 @@ def pagerank(
 
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_state = (
-            verts.join(sums, verts["vid"] == sums["dst"], "left")
+            verts.join(sums.hint("shuffle_hash"), verts["vid"] == sums["dst"], "left")
             .select(
                 "vid",
                 (
@@ -168,7 +175,12 @@ def pagerank(
                     * (F.coalesce(F.col("in_contrib"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank_new"),
             )
-            .join(state.select("vid", F.col("rank").alias("rank_old")), "vid")
+            .join(
+                state.select("vid", F.col("rank").alias("rank_old")).hint(
+                    "shuffle_hash"
+                ),
+                "vid",
+            )
             .select(
                 "vid",
                 F.col("rank_new").alias("rank"),
@@ -261,15 +273,17 @@ def pagerank_df(
         # broadcast cross join), so each iteration is exactly ONE job —
         # no separate driver action for the scalar.
         dang = (
-            ranks.join(dangling_vids, "vid", "left_semi")
+            ranks.join(dangling_vids.hint("shuffle_hash"), "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
-        msgs = e.join(ranks, e["src"] == ranks["vid"]).select(
+        # shuffle_hash: broadcasting the |V|-row state per iteration is
+        # the wrong plan at any scale (see the CSR step comment).
+        msgs = e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["vid"]).select(
             "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
         )
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_ranks = (
-            verts.join(sums, verts["vid"] == sums["dst"], "left")
+            verts.join(sums.hint("shuffle_hash"), verts["vid"] == sums["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "vid",
@@ -286,7 +300,12 @@ def pagerank_df(
         )
         if fixed_iterations is None:
             delta = (
-                new_ranks.join(ranks.select("vid", F.col("rank").alias("r0")), "vid")
+                new_ranks.join(
+                    ranks.select("vid", F.col("rank").alias("r0")).hint(
+                        "shuffle_hash"
+                    ),
+                    "vid",
+                )
                 .agg(F.max(F.abs(F.col("rank") - F.col("r0"))))
                 .first()[0]
             )
@@ -297,6 +316,11 @@ def pagerank_df(
         else:
             ranks.unpersist()
             ranks = new_ranks
+        # stale localCheckpoint blocks OOM bounded executor heaps in
+        # long runs — see plans/superstep._release_stale_checkpoints
+        from crgp_spark.plans.superstep import _release_stale_checkpoints
+
+        _release_stale_checkpoints(spark, _it)
 
     e.unpersist()
     verts.unpersist()

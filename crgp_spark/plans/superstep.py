@@ -51,6 +51,32 @@ class LoopResult:
     resumed_from: int | None
 
 
+def _release_stale_checkpoints(
+    spark: SparkSession, it: int, every: int = 5
+) -> None:
+    """Free superseded ``localCheckpoint`` RDD blocks.
+
+    ``DataFrame.unpersist`` does not release a local checkpoint's RDD
+    blocks — they are dropped by the ContextCleaner only after BOTH the
+    Python py4j proxy and the JVM reference are garbage-collected, which
+    in a long loop happens far too late: on executors with bounded heaps
+    (real clusters, ``local-cluster[...]``) ~20 supersteps of stale
+    9.9M-row state blocks OOM the executor. A periodic Python
+    ``gc.collect()`` (drops the py4j proxies) + JVM ``System.gc()``
+    (lets the ContextCleaner enqueue the orphaned RDDs) keeps resident
+    state at O(1) supersteps; every 5 iterations keeps the pause
+    amortized."""
+    if (it + 1) % every:
+        return
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # pragma: no cover - defensive: JVM gateway gone
+        pass
+
+
 def run_loop(
     spark: SparkSession,
     algo: str,
@@ -98,5 +124,6 @@ def run_loop(
         state = new_state
         if converged:
             break
+        _release_stale_checkpoints(spark, it)
 
     return LoopResult(state.drop("_changed"), history, it + 1, converged, resumed_from)

@@ -103,19 +103,15 @@ def _unpack_archives(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def load_social_graph(
+def _users_frame(
     spark: SparkSession,
     path: str,
-    pad_with_dummy_users: bool = False,
-    selected_users: DataFrame | None = None,
+    pad_with_dummy_users: bool,
+    selected_users: DataFrame | None,
 ) -> DataFrame:
-    """Load a reference-layout social graph directory as an exploded
-    ``(user long, friend long)`` edge DataFrame (negative friend ids are
-    dummy-pad users, as in ``twitter/mod.rs:18-21``).
-
-    ``selected_users``: optional single-column (``user``) DataFrame; only
-    listed users are kept (the reference's VIP filter, ``tar.rs:164-169``).
-    """
+    """Per-user rows ``(user, friends, given, expected, dummies)`` after
+    the VIP filter, dummy padding and the friendless drop — the frame
+    both the edge view and the load statistics derive from."""
     # Distributed archive scan; name validation mirrors tar.rs:32-53.
     raw = (
         spark.read.format("binaryFile")
@@ -136,29 +132,75 @@ def load_social_graph(
             "left_semi",
         )
 
+    users = users.withColumn("given", F.size("friends").cast("long"))
     if pad_with_dummy_users:
         missing = F.greatest(
-            F.col("expected") - F.size("friends"), F.lit(0)
+            F.col("expected") - F.col("given"), F.lit(0).cast("long")
         ).cast("int")
-        users = users.withColumn(
+        users = users.withColumn("dummies", missing.cast("long")).withColumn(
             "friends",
             F.concat(
                 "friends",
                 # dummy ids -1..-missing per user (tar.rs:344-352)
                 F.when(
-                    missing > 0,
+                    F.col("dummies") > 0,
                     F.transform(
                         F.sequence(F.lit(1), missing), lambda i: (-i).cast("long")
                     ),
                 ).otherwise(F.array().cast("array<long>")),
             ),
         )
+    else:
+        users = users.withColumn("dummies", F.lit(0).cast("long"))
 
-    # friendless users are dropped (tar.rs:190-194)
-    return (
-        users.filter(F.size("friends") > 0)
-        .select("user", F.explode("friends").alias("friend"))
-    )
+    # friendless users are dropped (tar.rs:190-194); the load counts
+    # include only surviving users (tar.rs:196-202)
+    return users.filter(F.size("friends") > 0)
+
+
+def load_social_graph(
+    spark: SparkSession,
+    path: str,
+    pad_with_dummy_users: bool = False,
+    selected_users: DataFrame | None = None,
+) -> DataFrame:
+    """Load a reference-layout social graph directory as an exploded
+    ``(user long, friend long)`` edge DataFrame (negative friend ids are
+    dummy-pad users, as in ``twitter/mod.rs:18-21``).
+
+    ``selected_users``: optional single-column (``user``) DataFrame; only
+    listed users are kept (the reference's VIP filter, ``tar.rs:164-169``).
+    """
+    return _users_frame(
+        spark, path, pad_with_dummy_users, selected_users
+    ).select("user", F.explode("friends").alias("friend"))
+
+
+def load_social_graph_with_stats(
+    spark: SparkSession,
+    path: str,
+    pad_with_dummy_users: bool = False,
+    selected_users: DataFrame | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Edges plus the reference's graph-load counts
+    (``tar.rs:93-96,196-202`` → ``run.rs:74``): number of users kept,
+    given friendships (pre-padding), expected friendships, dummies
+    created. One extra aggregate over the per-user frame."""
+    users = _users_frame(spark, path, pad_with_dummy_users, selected_users)
+    r = users.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.coalesce(F.sum("given"), F.lit(0)).alias("given"),
+        F.coalesce(F.sum("expected"), F.lit(0)).alias("expected"),
+        F.coalesce(F.sum("dummies"), F.lit(0)).alias("dummies"),
+    ).first()
+    counts = {
+        "number_of_users": int(r["users"]),
+        "number_of_given_friendships": int(r["given"]),
+        "number_of_expected_friendships": int(r["expected"]),
+        "number_of_dummy_users": int(r["dummies"]),
+    }
+    edges = users.select("user", F.explode("friends").alias("friend"))
+    return edges, counts
 
 
 def load_selected_users(spark: SparkSession, path: str) -> DataFrame:

@@ -29,6 +29,12 @@ from dataclasses import dataclass, field
 class Statistics:
     number_of_friendships: int = 0  # edges in the derived graph
     number_of_retweets: int = 0  # input rows processed (turns/events)
+    # graph-load counts (reference: tar.rs:93-96 returned through
+    # run.rs:74; logged + folded into friendships_in_social_graph)
+    number_of_users: int = 0
+    number_of_given_friendships: int = 0
+    number_of_expected_friendships: int = 0
+    number_of_dummy_users: int = 0
     time_to_setup: int = 0  # ns
     time_to_pack_graph: int = 0  # ns
     time_to_load_input: int = 0  # ns

@@ -127,3 +127,35 @@ def test_gale_leaf_collapse_to_one_logical_plan(spark, tmp_path):
     assert "BroadcastHashJoin" in gale
     assert "BroadcastHashJoin" not in leaf
     assert "SortMergeJoin" in leaf or "ShuffledHashJoin" in leaf
+
+
+def test_leaf_shuffle_variant_output_identical(spark):
+    """Completing the GALE/LEAF physical-variant parity story (VERDICT
+    r1): with broadcasting disabled (the forced LEAF/shuffle shape) the
+    derivation output is IDENTICAL to the default plan — the golden
+    7-edge reference fixture both ways."""
+    from crgp_spark.golden import (
+        GOLDEN_EDGE_TURNS,
+        golden_friendships,
+        golden_transcripts,
+    )
+
+    t = golden_transcripts(spark)
+    f = golden_friendships(spark)
+
+    def edge_set():
+        return {
+            (r.conv_id, r.src_turn, r.dst_turn, r.ts // 1_000_000)
+            for r in derive_edge_turns(t, f).collect()
+        }
+
+    default = edge_set()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        leaf = edge_set()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert default == leaf == GOLDEN_EDGE_TURNS

@@ -161,3 +161,37 @@ def test_sources_accept_scheme_qualified_paths(spark, graph_available):
     rt_bare = load_retweets(spark, RT_FILE).count()
     rt_uri = load_retweets(spark, "file://" + RT_FILE).count()
     assert rt_bare == rt_uri and rt_bare > 0
+
+
+def test_graph_load_counts(spark, graph_available):
+    """Statistics-field parity for the graph load (tar.rs:93-96,
+    run.rs:74): users kept, given friendships (pre-padding), expected
+    friendships, dummies created — pinned to the reference fixture and
+    consistent with the exploded edges. Padding rescues the one
+    friendless-but-expected user (so 6 vs 5 users kept), and dropped
+    users' expected counts are excluded, exactly as in tar.rs:190-202."""
+    from crgp_spark.sources.social_graph import load_social_graph_with_stats
+
+    edges, counts = load_social_graph_with_stats(
+        spark, GRAPH_DIR, pad_with_dummy_users=True
+    )
+    assert counts == {
+        "number_of_users": 6,
+        "number_of_given_friendships": 8,
+        "number_of_expected_friendships": 51,
+        "number_of_dummy_users": 43,
+    }
+    rows = edges.collect()
+    assert len([r for r in rows if r["friend"] >= 0]) == 8
+    assert len([r for r in rows if r["friend"] < 0]) == 43
+    assert len({r["user"] for r in rows}) == 6
+
+    _, counts0 = load_social_graph_with_stats(
+        spark, GRAPH_DIR, pad_with_dummy_users=False
+    )
+    assert counts0 == {
+        "number_of_users": 5,
+        "number_of_given_friendships": 8,
+        "number_of_expected_friendships": 50,
+        "number_of_dummy_users": 0,
+    }
