@@ -45,8 +45,10 @@ def _large_star(e: DataFrame) -> DataFrame:
     mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn")).select(
         "u", F.least("_mn", "u").alias("m")
     )
+    # shuffle_hash: mins is a per-round |V|-row table — broadcasting it
+    # every round OOMs bounded executor heaps (see operators/pagerank.py)
     return (
-        nbrs.join(mins, "u")
+        nbrs.join(mins.hint("shuffle_hash"), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -62,7 +64,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     moved = (
-        oriented.join(mins, "u")
+        oriented.join(mins.hint("shuffle_hash"), "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )

@@ -62,7 +62,9 @@ def label_propagation(
 
     def step(state: DataFrame, it: int) -> StepOutcome:
         # neighbor label histogram: edge (src <- dst's label)
-        msgs = nbrs.join(state, nbrs["dst"] == state["vid"]).select(
+        # shuffle_hash on the per-superstep state tables — never
+        # broadcast |V| rows per iteration (see operators/pagerank.py)
+        msgs = nbrs.join(state.hint("shuffle_hash"), nbrs["dst"] == state["vid"]).select(
             F.col("src").alias("v"), "label"
         )
         hist = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
@@ -73,7 +75,7 @@ def label_propagation(
         )
         new_state = (
             state.select("vid", F.col("label").alias("old_label"))
-            .join(picked, state["vid"] == picked["v"], "left")
+            .join(picked.hint("shuffle_hash"), state["vid"] == picked["v"], "left")
             .select(
                 "vid",
                 F.coalesce(F.col("new_label"), F.col("old_label")).alias("label"),
