@@ -52,10 +52,12 @@ from crgp_spark.operators.similarity import (
     knn_lsh,
 )
 from crgp_spark.operators.relational import (
+    customer_order_distribution,
     lapsed_customers,
     pricing_summary,
     promo_revenue_share,
     region_revenue,
+    revenue_rollup,
     small_quantity_revenue,
     top_orders_per_segment,
     topk_unshipped_orders,
@@ -442,6 +444,23 @@ SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_DISC_PRICE}
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-02-01'""",
+    "tpch_rollup": f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "tpch_custdist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_custs FROM per_cust GROUP BY n_orders""",
     "tpch_window": """
 SELECT c_mktsegment, rk, o_orderkey, o_custkey, totalprice FROM (
   SELECT c.c_mktsegment,
@@ -685,6 +704,16 @@ def q_tpch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_rollup(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_order_distribution(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -739,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_smallqty": q_tpch_smallqty,
         "tpch_promo": q_tpch_promo,
         "tpch_window": q_tpch_window,
+        "tpch_rollup": q_tpch_rollup,
+        "tpch_custdist": q_tpch_custdist,
     }
 
 

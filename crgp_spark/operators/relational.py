@@ -280,6 +280,50 @@ def promo_revenue_share(
     )
 
 
+def revenue_rollup(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """ROLLUP multi-level aggregate: revenue by (returnflag, linestatus)
+    with subtotals per returnflag and a grand total.
+
+    Spark's ``rollup`` compiles to a single Expand + hash aggregate —
+    partial-aggregatable, one shuffle regardless of grouping-set count.
+    NULL grouping slots are labeled 'ALL' so the output is
+    hash-comparable across engines."""
+    li = lineitem.filter(F.col("l_shipdate") <= _ts(cutoff))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(disc_price).alias("_rev"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 shape: outer join + two-level aggregation.
+
+    Distribution of per-customer order counts for one priority class —
+    customers with zero such orders land in the ``n_orders = 0`` bucket
+    via the left outer join. Two shuffles (custkey, then count), both
+    partial-aggregatable."""
+    o = orders.filter(F.col("o_orderpriority") == priority).select("o_custkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, k: int = 5
 ) -> DataFrame:
