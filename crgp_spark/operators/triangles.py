@@ -38,9 +38,23 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
         .groupBy("vid")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # shuffle_hash everywhere: deg and the edge tables are |V|/|E|-sized
+    # — Catalyst's size estimate can fall under the session's generous
+    # broadcast threshold and OOM bounded executor heaps (and shipping
+    # the whole graph to every executor is wrong at scale regardless)
     e = (
-        und.join(deg.withColumnsRenamed({"vid": "a", "deg": "deg_a"}), "a")
-        .join(deg.withColumnsRenamed({"vid": "b", "deg": "deg_b"}), "b")
+        und.join(
+            deg.withColumnsRenamed({"vid": "a", "deg": "deg_a"}).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.withColumnsRenamed({"vid": "b", "deg": "deg_b"}).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
     )
     fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
     return e.select(
@@ -60,9 +74,11 @@ def triangles(
 
     e1 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("w1"))
     e2 = o.select(F.col("lo").alias("apex"), F.col("hi").alias("w2"))
-    wedges = e1.join(e2, "apex").filter(F.col("w1") < F.col("w2"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "apex").filter(
+        F.col("w1") < F.col("w2")
+    )
     tri = wedges.join(
-        und,
+        und.hint("shuffle_hash"),
         (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")),
         "left_semi",
     ).persist()
