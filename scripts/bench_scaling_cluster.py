@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--edges", default="/tmp/crgp_scale/edges")
     ap.add_argument("--transcripts", default="/tmp/crgp_scale/transcripts")
+    ap.add_argument("--jobs", default="", help="comma-separated subset of "
+                    "throughput jobs (default all)")
+    ap.add_argument("--skip-converged", action="store_true")
+    ap.add_argument("--out", default="BENCH_SCALING_CLUSTER.json")
     args = ap.parse_args()
     assert os.path.exists(args.edges), "run scripts/bench_scaling.py first"
 
@@ -73,6 +77,9 @@ def main() -> None:
                    "--output", "/tmp/crgp_scale/_edges_cluster"],
         "triangles": ["--algo", "triangles", "--edges", args.edges],
     }
+    if args.jobs:
+        keep = {j for j in args.jobs.split(",") if j}
+        jobs = {k: v for k, v in jobs.items() if k in keep}
     tp_key = {"pagerank_df_20it": "edges_per_sec", "derive": None,
               "triangles": "edges_per_sec"}
 
@@ -92,7 +99,7 @@ def main() -> None:
 
     converged: dict[str, dict] = {}
     converged_cascade: dict[str, dict] = {}
-    for lbl, master, _cores in LEVELS:
+    for lbl, master, _cores in ([] if args.skip_converged else LEVELS):
         print(f"== converged CSR pagerank at {lbl}", flush=True)
         converged[lbl] = run_job(
             ["--algo", "pagerank", "--edges", args.edges, "--tol-mode",
@@ -122,25 +129,27 @@ def main() -> None:
         "alternating reps, max-throughput per cell, separate driver JVM per "
         "run, fixed shared input (same as BENCH_SCALING.json)",
         "reps": args.reps,
-        "input_edges": raw_runs["pagerank_df_20it"][lo][0]["edges"],
+        "input_edges": next(iter(raw_runs.values()))[lo][0]["edges"]
+        if jobs else None,
         "throughput": best,
         "efficiency": {name: eff(b[lo], b[hi]) for name, b in best.items()},
         "pagerank_converged": converged,
         "pagerank_converged_efficiency": eff(
-            converged[lo]["edges_per_sec"], converged[hi]["edges_per_sec"]),
+            converged[lo]["edges_per_sec"], converged[hi]["edges_per_sec"])
+        if converged else None,
         "pagerank_cascade_converged": converged_cascade,
         "pagerank_cascade_efficiency": eff(
             converged_cascade[lo]["edges_per_sec"],
-            converged_cascade[hi]["edges_per_sec"]),
+            converged_cascade[hi]["edges_per_sec"]) if converged_cascade else None,
         "raw_cpu_control_ops_per_sec": cpu,
         "raw_cpu_control_efficiency": eff(cpu[lo], cpu[hi]),
         "raw_runs": raw_runs,
     }
-    path = os.path.join(REPO, "BENCH_SCALING_CLUSTER.json")
+    path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")
-    print(json.dumps({k: report[k] for k in
+    print(json.dumps({k: report.get(k) for k in
                       ("efficiency", "pagerank_converged_efficiency",
                        "pagerank_cascade_efficiency",
                        "raw_cpu_control_efficiency")}))
