@@ -75,6 +75,16 @@ def main() -> None:
     extra = {}
     if args.executor_memory:
         extra["spark.executor.memory"] = args.executor_memory
+    elif args.master and args.master.startswith("local-cluster["):
+        # local-cluster[E,C,MEM]'s MEM is the WORKER capacity; executors
+        # default to a 1g heap unless spark.executor.memory is set.
+        # Default to capacity minus 1g headroom so the test cluster
+        # behaves like a real one instead of silently running 1g heaps.
+        try:
+            worker_mib = int(args.master.rstrip("]").split(",")[2])
+            extra["spark.executor.memory"] = f"{max(worker_mib - 1024, 512)}m"
+        except (IndexError, ValueError):
+            pass
     if args.master and "cluster" in args.master:
         # ship the engine to the executors — the --py-files flow the
         # north rule specifies (spark-submit --py-files crgp_spark.zip)

@@ -45,7 +45,11 @@ def run_job(args: list[str], master: str, mem: str = "12g") -> dict:
     for attempt in range(2):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "jobs", "run.py"), *args,
-             "--master", master, "--partitions", "64"],
+             "--master", master, "--partitions", "64",
+             # local-cluster[E,C,MEM]'s MEM is the WORKER's capacity;
+             # executors default to 1g unless spark.executor.memory is
+             # set — without this every executor runs at -Xmx1024M.
+             "--executor-memory", "9g"],
             env=env, capture_output=True, text=True, cwd=REPO,
         )
         if out.returncode == 0:
