@@ -40,6 +40,18 @@ from crgp_spark.config import EngineConfig
 from crgp_spark.operators.pack import load_block, pack_csr, placement
 from crgp_spark.plans.superstep import LoopResult, StepOutcome, run_loop
 
+#: below this vertex count the per-iteration state table is a genuinely
+#: small dim and the broadcast plan measurably wins (2x at 370k edges);
+#: above it, broadcasting |V| rows per superstep is wrong at any core
+#: count and accumulates executor-fatal broadcast maps — the joins pin
+#: the co-partitioned shuffle_hash plan instead.
+BROADCAST_STATE_MAX_VERTICES = 1_000_000
+
+
+def _state_hint(df: DataFrame, n: int) -> DataFrame:
+    return df if n <= BROADCAST_STATE_MAX_VERTICES else df.hint("shuffle_hash")
+
+
 MSG_SCHEMA = T.StructType(
     [
         T.StructField("part", T.IntegerType(), False),
@@ -149,7 +161,7 @@ def pagerank(
         # heaps OOM (seen at ~16 supersteps under local-cluster).
         # The co-partitioned shuffle join is the exchange-minimal plan.
         ranks_parts = pl.join(
-            state.hint("shuffle_hash"), pl["src"] == state["vid"]
+            _state_hint(state, n), pl["src"] == state["vid"]
         ).select("part", "src", "rank")
         msgs = ranks_parts.groupBy("part").applyInPandas(gather, MSG_SCHEMA).persist()
 
@@ -166,7 +178,7 @@ def pagerank(
 
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_state = (
-            verts.join(sums.hint("shuffle_hash"), verts["vid"] == sums["dst"], "left")
+            verts.join(_state_hint(sums, n), verts["vid"] == sums["dst"], "left")
             .select(
                 "vid",
                 (
@@ -176,8 +188,8 @@ def pagerank(
                 ).alias("rank_new"),
             )
             .join(
-                state.select("vid", F.col("rank").alias("rank_old")).hint(
-                    "shuffle_hash"
+                _state_hint(
+                    state.select("vid", F.col("rank").alias("rank_old")), n
                 ),
                 "vid",
             )
@@ -273,17 +285,17 @@ def pagerank_df(
         # broadcast cross join), so each iteration is exactly ONE job —
         # no separate driver action for the scalar.
         dang = (
-            ranks.join(dangling_vids.hint("shuffle_hash"), "vid", "left_semi")
+            ranks.join(_state_hint(dangling_vids, n), "vid", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         # shuffle_hash: broadcasting the |V|-row state per iteration is
         # the wrong plan at any scale (see the CSR step comment).
-        msgs = e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["vid"]).select(
+        msgs = e.join(_state_hint(ranks, n), e["src"] == ranks["vid"]).select(
             "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
         )
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_ranks = (
-            verts.join(sums.hint("shuffle_hash"), verts["vid"] == sums["dst"], "left")
+            verts.join(_state_hint(sums, n), verts["vid"] == sums["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "vid",
@@ -301,8 +313,8 @@ def pagerank_df(
         if fixed_iterations is None:
             delta = (
                 new_ranks.join(
-                    ranks.select("vid", F.col("rank").alias("r0")).hint(
-                        "shuffle_hash"
+                    _state_hint(
+                        ranks.select("vid", F.col("rank").alias("r0")), n
                     ),
                     "vid",
                 )

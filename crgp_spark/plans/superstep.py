@@ -54,16 +54,16 @@ class LoopResult:
 def _release_stale_checkpoints(
     spark: SparkSession, it: int, every: int = 5
 ) -> None:
-    """Free superseded ``localCheckpoint`` RDD blocks.
+    """Free superseded ``localCheckpoint`` storage blocks.
 
-    ``DataFrame.unpersist`` does not release a local checkpoint's RDD
-    blocks — they are dropped by the ContextCleaner only after BOTH the
-    Python py4j proxy and the JVM reference are garbage-collected, which
+    ``DataFrame.unpersist`` does not release a local checkpoint's
+    underlying blocks — the ContextCleaner drops them only after BOTH
+    the py4j proxy and the JVM reference are garbage-collected, which
     in a long loop happens far too late: on executors with bounded heaps
     (real clusters, ``local-cluster[...]``) ~20 supersteps of stale
     9.9M-row state blocks OOM the executor. A periodic Python
     ``gc.collect()`` (drops the py4j proxies) + JVM ``System.gc()``
-    (lets the ContextCleaner enqueue the orphaned RDDs) keeps resident
+    (lets the ContextCleaner enqueue the orphaned checkpoints) keeps resident
     state at O(1) supersteps; every 5 iterations keeps the pause
     amortized."""
     if (it + 1) % every:
