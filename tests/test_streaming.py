@@ -131,3 +131,32 @@ def test_stream_derive_available_now(spark, tmp_path, knobs):
         (c, s, dt, ts // 1_000_000) for (c, s, dt, ts) in _edge_set(d.edges())
     }
     assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
+
+
+@pytest.mark.parametrize("split", ["two_epochs", "one_epoch"])
+def test_stateful_streaming_matches_batch(spark, tmp_path, split):
+    """applyInPandasWithState derivation (keyed state store) == batch
+    derivation, over a real Structured Streaming run with the
+    exactly-once parquet sink."""
+    from crgp_spark.streaming.stateful import stream_derive_stateful
+
+    t = synthetic_transcripts(spark, n_convs=25, seed=11, max_turns=24).persist()
+    inp = str(tmp_path / "in")
+    os.makedirs(inp, exist_ok=True)
+    import time as _time
+
+    if split == "two_epochs":
+        t.filter(F.col("turn_idx") < 5).coalesce(1).write.mode("append").parquet(inp)
+        _time.sleep(1.1)
+        t.filter(F.col("turn_idx") >= 5).coalesce(1).write.mode("append").parquet(inp)
+        knobs = {}
+    else:
+        t.coalesce(1).write.mode("append").parquet(inp)
+        knobs = {"max_files_per_trigger": None}
+
+    out = str(tmp_path / "edges")
+    stream_derive_stateful(spark, inp, out, **knobs)
+    got = _edge_set(spark.read.parquet(out))
+    want = _edge_set(derive_edge_turns(t))
+    assert got == want and got
+    t.unpersist()
