@@ -204,9 +204,12 @@ def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
     n_replicas = spark.read.parquet(placement_path(path)).count()
     import uuid
 
+    from crgp_spark.operators.pack import PACK_FORMAT_VERSION
+
     stats = {
         # cache-invalidation fingerprint, see pack.py::load_block
         "pack_id": uuid.uuid4().hex,
+        "format_version": PACK_FORMAT_VERSION,
         "n_parts": int(r["n_parts"]),
         "n_edges": int(r["n_edges"]),
         "max_edges": int(r["max_edges"]),
@@ -222,7 +225,7 @@ def pack_cascade(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
 
 
 def _load_cascade_block(path: str, part: int, pack_id: str | None = None):
-    from crgp_spark.operators.pack import _BLOCK_CACHE
+    from crgp_spark.operators.pack import _BLOCK_CACHE, _cache_put
 
     key = (path, part, "cascade", pack_id)
     blk = _BLOCK_CACHE.get(key)
@@ -236,7 +239,7 @@ def _load_cascade_block(path: str, part: int, pack_id: str | None = None):
             name: tbl[name][0].values.to_numpy(zero_copy_only=False)
             for name in ("vids", "vdeg", "src_ids", "src_deg", "indptr", "dst")
         }
-        _BLOCK_CACHE[key] = blk
+        _cache_put(key, blk)
     return blk
 
 
@@ -304,11 +307,19 @@ def pagerank_cascade(
     cfg = cfg or EngineConfig()
     pack_path = os.path.join(cfg.checkpoint_dir, algo_name, "graph")
     stats_file = os.path.join(pack_path, "_pack_stats.json")
-    if not ((resume or reuse_pack) and os.path.exists(stats_file)):
-        pstats = pack_cascade(edges, cfg, pack_path)
-    else:
+    pstats = None
+    if (resume or reuse_pack) and os.path.exists(stats_file):
         with open(stats_file) as f:
             pstats = json.load(f)
+        from crgp_spark.operators.pack import PACK_FORMAT_VERSION
+
+        # A pack written by an older layout (absent version = v1, nested
+        # _placement dir) must not be reused — the sibling placement path
+        # was never written and replicas would be silently lost.
+        if pstats.get("format_version") != PACK_FORMAT_VERSION:
+            pstats = None
+    if pstats is None:
+        pstats = pack_cascade(edges, cfg, pack_path)
 
     n = pstats["n_verts"]
     mean_edges = max(pstats["mean_edges"], 1.0)

@@ -60,7 +60,12 @@ def _ensure_pack(
     stats_file = os.path.join(path, "_pack_stats.json")
     if reuse_pack and os.path.exists(stats_file):
         with open(stats_file) as f:
-            return json.load(f)
+            stats = json.load(f)
+        from crgp_spark.operators.pack import PACK_FORMAT_VERSION
+
+        # refuse to reuse an old-layout pack (see cascade.pagerank_cascade)
+        if stats.get("format_version") == PACK_FORMAT_VERSION:
+            return stats
     return pack_cascade(edges, cfg, path)
 
 

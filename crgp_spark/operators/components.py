@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
 from crgp_spark.plans.checkpoint import CheckpointManager
+from crgp_spark.plans.superstep import state_hint
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -36,19 +37,21 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, n: int) -> DataFrame:
     """For every vertex u: attach strictly-larger neighbors to
-    min(Γ(u) ∪ {u})."""
+    min(Γ(u) ∪ {u}). ``n`` = upper bound on the round's vertex count,
+    sizing the state-join hint."""
     nbrs = e.select("u", "v").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn")).select(
         "u", F.least("_mn", "u").alias("m")
     )
-    # shuffle_hash: mins is a per-round |V|-row table — broadcasting it
-    # every round OOMs bounded executor heaps (see operators/pagerank.py)
+    # mins is a per-round |V|-row state table: size-adaptive hint
+    # (plans/superstep.state_hint) — broadcasting it every round OOMs
+    # bounded executor heaps once |V| is large
     return (
-        nbrs.join(mins.hint("shuffle_hash"), "u")
+        nbrs.join(state_hint(mins, n), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -56,7 +59,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, n: int) -> DataFrame:
     """Orient edges large->small; for every vertex u attach all its
     smaller neighbors (and u itself) to their minimum."""
     oriented = e.select(
@@ -64,7 +67,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     moved = (
-        oriented.join(mins.hint("shuffle_hash"), "u")
+        oriented.join(state_hint(mins, n), "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
     )
@@ -111,8 +114,13 @@ def connected_components(
 
     prev_sum = _checksum(e)
     for it in range(start_it, cfg.max_iterations):
+        # |V| <= 2*edges of the shrinking round edge set — a cheap upper
+        # bound for the state-join hint, refreshed from the checksum
+        n_bound = 2 * prev_sum[0]
         # localCheckpoint truncates the per-round plan (see superstep.py)
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e, n_bound), n_bound).localCheckpoint(
+            eager=True
+        )
         cur_sum = _checksum(e2)
         converged = cur_sum == prev_sum
 

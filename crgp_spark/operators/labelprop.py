@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
-from crgp_spark.plans.superstep import LoopResult, StepOutcome, run_loop
+from crgp_spark.plans.superstep import (
+    LoopResult,
+    StepOutcome,
+    run_loop,
+    state_hint,
+)
 
 
 def label_propagation(
@@ -56,15 +61,17 @@ def label_propagation(
         .repartition(cfg.shuffle_partitions, "vid")
         .persist()
     )
+    n = verts.count()
 
     def init_state() -> DataFrame:
         return verts.select("vid", F.col("vid").alias("label"))
 
     def step(state: DataFrame, it: int) -> StepOutcome:
-        # neighbor label histogram: edge (src <- dst's label)
-        # shuffle_hash on the per-superstep state tables — never
-        # broadcast |V| rows per iteration (see operators/pagerank.py)
-        msgs = nbrs.join(state.hint("shuffle_hash"), nbrs["dst"] == state["vid"]).select(
+        # neighbor label histogram: edge (src <- dst's label).
+        # Size-adaptive hint on the per-superstep state tables: broadcast
+        # only below the shared carve-out, shuffle_hash otherwise
+        # (plans/superstep.state_hint — the broadcast-OOM rule)
+        msgs = nbrs.join(state_hint(state, n), nbrs["dst"] == state["vid"]).select(
             F.col("src").alias("v"), "label"
         )
         hist = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
@@ -75,7 +82,7 @@ def label_propagation(
         )
         new_state = (
             state.select("vid", F.col("label").alias("old_label"))
-            .join(picked.hint("shuffle_hash"), state["vid"] == picked["v"], "left")
+            .join(state_hint(picked, n), state["vid"] == picked["v"], "left")
             .select(
                 "vid",
                 F.coalesce(F.col("new_label"), F.col("old_label")).alias("label"),

@@ -37,6 +37,14 @@ BLOCK_SCHEMA = (
     "src_deg array<long>, indptr array<long>, dst array<long>"
 )
 
+#: On-disk pack layout version, recorded in ``_pack_stats.json``.
+#: v2 = replica placement in the SIBLING ``<pack>_placement`` dir
+#: (cascade layout; v1 nested it inside the blocks dir). Readers that
+#: reuse an existing pack MUST repack when the recorded version (absent
+#: = v1) differs — reading a v1 pack through v2 paths silently loses
+#: replicas (ADVICE r2).
+PACK_FORMAT_VERSION = 2
+
 
 def salted(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Annotate an edge table (``src``, ``dst`` columns) with its global
@@ -118,6 +126,7 @@ def pack_csr(edges: DataFrame, cfg: EngineConfig, path: str) -> dict:
         # entries instead of silently serving the previous graph's blocks
         # (ADVICE r1).
         "pack_id": uuid.uuid4().hex,
+        "format_version": PACK_FORMAT_VERSION,
         "n_parts": int(r["n_parts"]),
         "n_edges": int(r["n_edges"]),
         "max_edges": int(r["max_edges"]),
@@ -155,6 +164,20 @@ def placement(edges: DataFrame, cfg: EngineConfig) -> DataFrame:
 _BLOCK_CACHE: dict = {}
 
 
+def _cache_put(key: tuple, blk) -> None:
+    """Insert a block, evicting superseded entries for the same
+    (path, part[, kind]) prefix with a DIFFERENT pack_id (the key's last
+    element). Repack-by-default means every cascade-algo invocation
+    mints a fresh pack_id; without eviction a long-lived app's reused
+    Python workers accumulate one full copy of all CSR blocks per
+    invocation — the bounded-executor-memory failure mode the engine
+    elsewhere guards against (ADVICE r2)."""
+    prefix = key[:-1]
+    for k in [k for k in _BLOCK_CACHE if k[:-1] == prefix and k[-1] != key[-1]]:
+        del _BLOCK_CACHE[k]
+    _BLOCK_CACHE[key] = blk
+
+
 def load_block(path: str, part: int, pack_id: str | None = None):
     """Fetch one CSR block as numpy arrays (cached per worker process).
 
@@ -175,7 +198,7 @@ def load_block(path: str, part: int, pack_id: str | None = None):
             "indptr": tbl["indptr"][0].values.to_numpy(zero_copy_only=False),
             "dst": tbl["dst"][0].values.to_numpy(zero_copy_only=False),
         }
-        _BLOCK_CACHE[key] = blk
+        _cache_put(key, blk)
     return blk
 
 

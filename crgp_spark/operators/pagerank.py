@@ -38,18 +38,13 @@ from pyspark.sql import types as T
 
 from crgp_spark.config import EngineConfig
 from crgp_spark.operators.pack import load_block, pack_csr, placement
-from crgp_spark.plans.superstep import LoopResult, StepOutcome, run_loop
-
-#: below this vertex count the per-iteration state table is a genuinely
-#: small dim and the broadcast plan measurably wins (2x at 370k edges);
-#: above it, broadcasting |V| rows per superstep is wrong at any core
-#: count and accumulates executor-fatal broadcast maps — the joins pin
-#: the co-partitioned shuffle_hash plan instead.
-BROADCAST_STATE_MAX_VERTICES = 1_000_000
-
-
-def _state_hint(df: DataFrame, n: int) -> DataFrame:
-    return df if n <= BROADCAST_STATE_MAX_VERTICES else df.hint("shuffle_hash")
+from crgp_spark.plans.superstep import (
+    BROADCAST_STATE_MAX_VERTICES,  # noqa: F401  (re-export; policy + docs live in superstep.py)
+    LoopResult,
+    StepOutcome,
+    run_loop,
+    state_hint as _state_hint,
+)
 
 
 MSG_SCHEMA = T.StructType(

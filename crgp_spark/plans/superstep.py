@@ -35,6 +35,26 @@ from crgp_spark.config import EngineConfig
 from crgp_spark.plans.checkpoint import CheckpointManager
 
 
+#: Below this vertex count a per-iteration state table is a genuinely
+#: small dim and the broadcast plan measurably wins (2x at 370k edges);
+#: above it, broadcasting |V| rows per superstep is wrong at any core
+#: count AND accumulates executor-fatal broadcast maps (freed only after
+#: py4j+JVM GC — see ``_release_stale_checkpoints``), so state-side
+#: joins pin the co-partitioned shuffle_hash plan instead. Shared by
+#: every iterative operator so the policy cannot drift per-algorithm
+#: (ADVICE r2); the carve-out is documented in CLAUDE.md.
+BROADCAST_STATE_MAX_VERTICES = 1_000_000
+
+
+def state_hint(df: DataFrame, n: int) -> DataFrame:
+    """Join-strategy hint for a per-iteration state-side table of ~``n``
+    rows: broadcast below ``BROADCAST_STATE_MAX_VERTICES``, shuffle-hash
+    above. Callers with no cheap row estimate should pass an upper
+    bound — over-estimating costs one shuffle, under-estimating risks
+    the broadcast-OOM accumulation."""
+    return df if n <= BROADCAST_STATE_MAX_VERTICES else df.hint("shuffle_hash")
+
+
 @dataclass
 class StepOutcome:
     state: DataFrame  # vid + value cols + `_changed` bool

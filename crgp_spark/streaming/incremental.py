@@ -78,6 +78,32 @@ class IncrementalDeriver:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)
 
+    def _check_edges_layout(self) -> None:
+        """The edge store is ``epoch=N`` partition directories (since
+        r2). A state_dir written by the pre-partitioned layout (flat
+        appended parquet files with ``epoch`` as a data column) would
+        give Spark mixed flat files and partition dirs — which fails
+        partition discovery with an opaque 'conflicting directory
+        structures' error. Detect it up front and refuse with a clear
+        message instead (ADVICE r2; the state format break is
+        intentional — re-derive from the source, it is idempotent)."""
+        edges_dir = os.path.join(self.state_dir, "edges")
+        if not os.path.isdir(edges_dir):
+            return
+        legacy = [
+            f
+            for f in os.listdir(edges_dir)
+            if not f.startswith(("epoch=", "_", "."))
+        ]
+        if legacy:
+            raise ValueError(
+                f"state_dir {self.state_dir!r} contains a legacy flat-file "
+                f"edge store (e.g. {legacy[0]!r}); the current layout "
+                "partitions edges/ by epoch=N. Re-derive into a fresh "
+                "state_dir (the derivation is replay-idempotent) or move "
+                "the old edges/ aside."
+            )
+
     def _load_state(self) -> tuple[DataFrame, DataFrame, int]:
         m = self._read_manifest()
         if m is None:
@@ -93,6 +119,7 @@ class IncrementalDeriver:
     # -- the epoch step ----------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One epoch: merge state, emit this batch's edges, commit."""
+        self._check_edges_layout()
         acts_old, origs_old, last_epoch = self._load_state()
         if batch_id <= last_epoch:
             return  # replayed epoch after restart: already committed
@@ -183,6 +210,7 @@ class IncrementalDeriver:
     def edges(self) -> DataFrame:
         """Edge output of all COMMITTED epochs (an orphaned directory
         from a crash mid-epoch is excluded until its epoch commits)."""
+        self._check_edges_layout()
         m = self._read_manifest()
         committed = -1 if m is None else int(m["epoch"])
         df = self.spark.read.parquet(os.path.join(self.state_dir, "edges"))

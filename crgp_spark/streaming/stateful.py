@@ -144,10 +144,20 @@ def stream_derive_stateful(
     output_dir: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = 1,
+    friendships: DataFrame | None = None,
 ) -> None:
     """Run the stateful-streaming derivation over a parquet directory
     with an ``availableNow`` trigger; edges land in ``output_dir`` as
-    parquet via the exactly-once file sink."""
+    parquet via the exactly-once file sink.
+
+    ``friendships``: optional ``(user, friend)`` candidate restriction —
+    same contract as ``derive.derive_edge_turns`` and
+    ``IncrementalDeriver`` (the reference's social-graph semi-join,
+    ``tar.rs:355-381``), so the three derivation paths stay
+    interchangeable (ADVICE r2). Applied as a stream-static broadcast
+    left-semi join on the emitted edges: the restriction filters
+    candidate (influencer, influencee) pairs AFTER state merge, exactly
+    where the batch/incremental paths apply it, so outputs match."""
     from crgp_spark.schemas import TRANSCRIPTS
 
     reader = spark.readStream.schema(TRANSCRIPTS)
@@ -166,6 +176,14 @@ def stream_derive_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if friendships is not None:
+        fr = F.broadcast(friendships.select("user", "friend").distinct())
+        edges = edges.join(
+            fr,
+            (edges["dst_participant"] == fr["user"])
+            & (edges["src_participant"] == fr["friend"]),
+            "left_semi",
+        )
     q = (
         edges.writeStream.format("parquet")
         .option("path", output_dir)
