@@ -7,7 +7,21 @@ JSON line::
     {"metric": "bench_total", "value": <sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
      "edges_per_sec_pagerank": ...,  # the BASELINE.json north metric
+     "raw_runs": [...], "control": {...},
      ...}
+
+Measurement protocol (VERDICT r2): this sandbox's wall-times vary ±40%
+between identical runs (noisy neighbors, JIT warmup), so a single JVM's
+numbers recorded into ``BENCH_rNN.json`` can masquerade as a regression
+— or hide one. The default invocation therefore spawns
+``$SPARK_GRAFT_BENCH_REPS`` (default 2) SEPARATE child JVMs, each
+running the full suite, and emits best-of per cell; every child's raw
+timings are kept in ``raw_runs`` and a raw-CPU control probe
+(single-process numpy matmul, no Spark) brackets each child so a noisy
+window is visible in the artifact itself (``control.spread`` = max/min
+probe seconds; >1.3 means the host was unstable during the run).
+``--single`` runs one JVM (the child mode; use it when an external
+harness applies its own repeat-and-best protocol).
 
 The authoritative metric (BASELINE.json): edges-processed/sec to
 PageRank convergence (max per-vertex delta < 1e-6) on the
@@ -19,7 +33,7 @@ crgp-lib/src/statistics.rs:125-131).
 Scaling evidence (two-cluster-size criterion): run this file twice via
 scripts/bench_scaling.py with SPARK_GRAFT_CPUS=8 and =32.
 
-Usage: python bench.py [--queries name1,name2] [--json-file PATH]
+Usage: python bench.py [--single] [--queries name1,name2] [--json-file PATH]
 """
 
 from __future__ import annotations
@@ -52,11 +66,95 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CKPT = os.environ.get("SPARK_GRAFT_CKPT", "/tmp/crgp_bench_ckpt")
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+#: cells that are timings (merge = min across reps); every other numeric
+#: extra is a rate (merge = max) or a constant (first rep wins).
+_RATE_PREFIXES = ("edges_per_sec", "derive_events_per_sec", "derive_edges_per_sec")
+
+
+def _cpu_control() -> float:
+    """Raw-CPU probe: fixed single-process numpy workload, no Spark.
+    Seconds; run before each child JVM so host noise during the bench
+    window is recorded alongside the numbers it may have distorted."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((512, 512))
+    for _ in range(20):  # untimed warmup: BLAS thread pool + page faults
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    t0 = time.time()
+    for _ in range(300):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    return round(time.time() - t0, 3)
+
+
+def _merge_runs(runs: list[dict]) -> dict:
+    """Best-of merge: min per timing cell, max per rate, first per
+    constant; total = sum of best cells (what a quiet host would have
+    delivered in one run)."""
+    best = dict(runs[0])
+    q = {}
+    for name in runs[0]["queries"]:
+        q[name] = min(r["queries"][name] for r in runs if name in r["queries"])
+    best["queries"] = q
+    best["value"] = round(sum(q.values()), 3)
+    for k, v in runs[0].items():
+        if isinstance(v, (int, float)) and k.startswith(_RATE_PREFIXES):
+            best[k] = max(r[k] for r in runs if k in r)
+    return best
+
+
+def _orchestrate(args) -> None:
+    import subprocess
+    import tempfile
+
+    runs, controls = [], []
+    for i in range(max(REPS, 1)):
+        controls.append(_cpu_control())
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            tmp = tf.name
+        cmd = [sys.executable, os.path.abspath(__file__), "--single",
+               "--json-file", tmp]
+        if args.queries:
+            cmd += ["--queries", args.queries]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
+            raise SystemExit(f"bench child {i} failed (exit {r.returncode})")
+        with open(tmp) as f:
+            runs.append(json.load(f))
+        os.unlink(tmp)
+    controls.append(_cpu_control())
+
+    out = _merge_runs(runs)
+    out["reps"] = len(runs)
+    out["raw_runs"] = [
+        {"value": r["value"], "queries": r["queries"]} for r in runs
+    ]
+    out["control"] = {
+        "probe_sec": controls,
+        "spread": round(max(controls) / max(min(controls), 1e-9), 3),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_file:
+        with open(args.json_file, "w") as f:
+            f.write(line + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--single", action="store_true",
+                    help="one JVM, one pass (child / scaling-harness mode)")
     ap.add_argument("--queries", default="", help="comma-separated subset")
     ap.add_argument("--json-file", default="", help="also write JSON here")
     args = ap.parse_args()
+    if not args.single:
+        _orchestrate(args)
+        return
     only = {q for q in args.queries.split(",") if q}
 
     shutil.rmtree(CKPT, ignore_errors=True)
