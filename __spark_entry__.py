@@ -507,6 +507,45 @@ def q_derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming derivation under the hard gate: run the incremental
+    (foreachBatch + manifest) path over the sf transcripts with
+    byte-capped availableNow epochs and return the committed edges —
+    the oracle is the BATCH derive_edges SQL, i.e. the stream==batch
+    contract itself is what the driver hashes (VERDICT r2 ask #2;
+    reference epoch loop: run.rs:118-129).
+
+    Input files are partitioned BY CONVERSATION so every conversation's
+    turns land in one epoch regardless of file-listing order — the
+    same stable-order input contract the reference asserts on its
+    retweet file (get.rs:142-147), made order-robust per epoch."""
+    import shutil
+
+    from crgp_spark.streaming.incremental import IncrementalDeriver, stream_derive
+
+    work = "/tmp/crgp_stream_entry"
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "in")
+    t = transcripts_from_events(_events(spark, sf_dir))
+    t.repartition(8, "conv_id").write.parquet(in_dir)
+    stream_derive(
+        spark,
+        in_dir,
+        os.path.join(work, "state"),
+        max_files_per_trigger=None,
+        max_bytes_per_trigger=128 * 1024,  # several epochs at any sf
+    )
+    deriver = IncrementalDeriver(spark, os.path.join(work, "state"))
+    return deriver.edges().select(
+        "conv_id",
+        "src_turn",
+        "src_participant",
+        "dst_turn",
+        "dst_participant",
+        "orig_turn",
+    )
+
+
 def q_top_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edge_turns(spark, sf_dir)
     deg = e.groupBy("conv_id", "src_turn", "src_participant").agg(
@@ -736,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turns": q_turns,
         "activations": q_activations,
         "derive_edges": q_derive_edges,
+        "stream_edges": q_stream_edges,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -782,6 +822,10 @@ def oracle_sql() -> dict[str, str]:
         "activations": f"WITH {_SQL_TURNS},\n{_SQL_ACTS}\n"
         "SELECT conv_id, participant, act_turn FROM acts",
         "derive_edges": f"WITH {_SQL_EDGES}\n"
+        "SELECT conv_id, src_turn, src_participant, dst_turn, dst_participant, orig_turn FROM edges",
+        # stream==batch contract: the streaming path must reproduce the
+        # batch derivation exactly, so its oracle IS the batch SQL
+        "stream_edges": f"WITH {_SQL_EDGES}\n"
         "SELECT conv_id, src_turn, src_participant, dst_turn, dst_participant, orig_turn FROM edges",
         "top_influencers": f"WITH {_SQL_EDGES},\n"
         "deg AS (SELECT conv_id, src_turn, src_participant, COUNT(*) AS out_deg\n"
