@@ -53,12 +53,16 @@ from crgp_spark.operators.similarity import (
 )
 from crgp_spark.operators.relational import (
     customer_order_distribution,
+    important_parts,
     lapsed_customers,
+    part_supplier_counts,
     pricing_summary,
     promo_revenue_share,
     region_revenue,
+    returned_priority_counts,
     revenue_rollup,
     small_quantity_revenue,
+    sole_blame_suppliers,
     top_orders_per_segment,
     topk_unshipped_orders,
 )
@@ -469,6 +473,63 @@ SELECT c_mktsegment, rk, o_orderkey, o_custkey, totalprice FROM (
          o.o_orderkey, o.o_custkey, o.o_totalprice AS totalprice
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ) WHERE rk <= 5""",
+    # Q4 analog: correlated EXISTS
+    "tpch_exists": """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+    # Q21 analog: EXISTS + NOT EXISTS on the fact table
+    "tpch_notexists": """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem l
+  WHERE l.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+),
+blame AS (
+  SELECT s.s_name, COUNT(*) AS numwait
+  FROM l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+  GROUP BY s.s_name
+)
+SELECT rk, s_name, numwait FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS INT) AS rk
+  FROM blame
+) WHERE rk <= 10""",
+    # Q16 analog: COUNT(DISTINCT) + NOT IN (anti-join; s_suppkey non-null)
+    "tpch_suppcnt": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size""",
+    # Q11 analog: scalar-subquery threshold; exact BIGINT 1e-4 money units
+    "tpch_scalar": """
+WITH nat AS (SELECT s_suppkey FROM supplier s JOIN nation n
+             ON s.s_nationkey = n.n_nationkey WHERE n.n_name = 'NATION_7'),
+li AS (
+  SELECT l_partkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS units
+  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM nat)
+),
+per AS (SELECT l_partkey, CAST(SUM(units) AS BIGINT) AS val_units
+        FROM li GROUP BY l_partkey)
+SELECT l_partkey, CAST(val_units AS DOUBLE) / 10000.0 AS part_value
+FROM per
+WHERE val_units * 1000 > (SELECT CAST(SUM(units) AS BIGINT) FROM li) * 1""",
 }
 
 
@@ -753,6 +814,36 @@ def q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returned_priority_counts(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sole_blame_suppliers(
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return part_supplier_counts(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+    )
+
+
+def q_tpch_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return important_parts(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -810,6 +901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_window": q_tpch_window,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
+        "tpch_exists": q_tpch_exists,
+        "tpch_notexists": q_tpch_notexists,
+        "tpch_suppcnt": q_tpch_suppcnt,
+        "tpch_scalar": q_tpch_scalar,
     }
 
 

@@ -324,6 +324,158 @@ def customer_order_distribution(
     )
 
 
+def returned_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery as a left-semi join.
+
+    Orders of one window that have at least one returned line, counted
+    per priority. The semi-join probes orders (already date-pruned at
+    the scan) against the distinct-free returned-lines side — semi
+    joins never multiply rows, so no dedup pass is needed; at scale
+    both sides shuffle on orderkey and the aggregate is map-side
+    combinable on the 5-value priority key."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(date_from))
+        & (F.col("o_orderdate") < _ts(date_to))
+    )
+    r = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(r, o.o_orderkey == r.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def sole_blame_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table.
+
+    For finalized ('F') orders, count per supplier the returned lines
+    where the order was multi-supplier (EXISTS another supplier's line
+    → left-semi) but no OTHER supplier had a returned line (NOT EXISTS
+    → left-anti); top-k suppliers by that count. All three fact-table
+    passes shuffle on orderkey (co-partitioned, AQE-mergeable); the
+    supplier dim is broadcast. Deterministic via (numwait desc, s_name)
+    total order."""
+    o_f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o_f, F.col("l_orderkey") == o_f.o_orderkey, "left_semi")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == F.col("o3")) & (l1.l_suppkey != F.col("s3")),
+        "left_anti",
+    )
+    agg = (
+        cand.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "s_name", "numwait")
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 4, 9, 16, 25, 36, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) aggregate + NOT-IN anti-join.
+
+    Distinct suppliers per surviving (brand, type, size), excluding
+    suppliers in deficit (the complaints analog; ``NOT IN`` is safe as
+    an anti-join here — s_suppkey is non-null). The part dim filter is
+    broadcast; count_distinct compiles to a two-stage partial-distinct
+    aggregate (Expand + two hash aggregates), no global sort."""
+    p = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_7",
+    per_mille: int = 1,
+) -> DataFrame:
+    """TPC-H Q11 shape: scalar-subquery threshold over the same
+    aggregate.
+
+    Per-part revenue from one nation's suppliers, keeping parts whose
+    value exceeds ``per_mille``/1000 of the total. The scalar subquery
+    is a 1-row aggregate broadcast-cross-joined into the per-part
+    stream (one job, no driver collect); the threshold compares in
+    exact BIGINT 1e-4 money units (cross-multiplied — the Q17 cents
+    idiom), so both engines agree on boundary parts bit-for-bit."""
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    units = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
+    li = (
+        lineitem.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey, "left_semi")
+        .select("l_partkey", units.alias("_u"))
+    )
+    per = li.groupBy("l_partkey").agg(F.sum("_u").alias("val_units"))
+    total = li.agg(F.sum("_u").alias("total_units"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_units") * F.lit(1000)
+            > F.col("total_units") * F.lit(per_mille)
+        )
+        .select(
+            "l_partkey",
+            (F.col("val_units").cast("double") / F.lit(10000.0)).alias(
+                "part_value"
+            ),
+        )
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, k: int = 5
 ) -> DataFrame:
