@@ -23,11 +23,23 @@ edges in one task):
   (np.searchsorted) — the compact-forward algorithm, O(m^1.5) work
   bound, zero Python-level loops.
 
-Split conversations (hub-salting): labelprop/triangles DELEGATE to the
-generic superstep/DataFrame implementations when the packing produced
-replicas (exactness first; hub conversations are the rare case by
-construction). All three match their generic counterparts exactly
-(tests/test_cascade_algos.py).
+Split conversations (hub-salting): labelprop/triangles run a HYBRID
+(VERDICT r2 ask #4): the in-block kernel pass runs over the full pack —
+its outputs are exact for every UNSPLIT conversation even in blocks
+that also hold split-conversation fragments, because conversations are
+vertex-disjoint subgraphs and the kernels are per-subgraph — then the
+vertices of split conversations are discarded (anti-join) and
+recomputed over the split conversations' edges only, and the two
+results union. The residue itself prefers the kernel path: a split
+conversation that still fits one vectorized task
+(``RESIDUE_KERNEL_MAX_EDGES``) runs the same kernel grouped directly
+by conversation over the raw residue edges (no pack, one small
+shuffle); only conversations beyond kernel reach fall back to the
+generic superstep/DataFrame implementation. A
+single split hub conversation therefore no longer forfeits the ~10x
+cascade advantage for the whole job. All three algorithms match their generic
+counterparts exactly (tests/test_cascade_algos.py, incl. forced-split
+inputs).
 """
 
 from __future__ import annotations
@@ -47,6 +59,14 @@ from crgp_spark.operators.cascade import pack_cascade, placement_path
 #: all-split input would make the boundary set O(V); above this we fall
 #: back to the generic distributed path instead of OOMing the driver.
 MAX_BOUNDARY_COLLECT = 2_000_000
+
+#: Largest conversation the split-residue path will hand to a single
+#: vectorized in-block kernel task (repacked UNSPLIT). The kernels are
+#: proven at ~10M edges/block in seconds (BASELINE.md kernel table);
+#: 20M keeps one task's numpy arrays well under an executor's memory.
+#: Conversations beyond this use the generic distributed path — the
+#: only case where per-superstep fixed cost is worth paying.
+RESIDUE_KERNEL_MAX_EDGES = 20_000_000
 
 
 def _ensure_pack(
@@ -88,6 +108,32 @@ def _block_edges(spark: SparkSession, path: str) -> DataFrame:
             )
         ).alias("z"),
     ).select("part", F.col("z.s").alias("src"), F.explode("z.adj").alias("dst"))
+
+
+def _split_residue(
+    edges: DataFrame, cfg: EngineConfig
+) -> tuple[DataFrame, DataFrame, int]:
+    """(split_edges, split_vids, max_conv_edges) of the conversations
+    the pack salted into sub-blocks (edge count > hub_degree_threshold
+    — the exact pack_cascade condition). The conv-id set is tiny by
+    construction (hub conversations only) so its semi-join side
+    broadcasts; the vid set of a giant conversation can be large, so
+    the caller's anti-join against it stays a distributed join.
+    ``max_conv_edges`` picks the residue strategy (kernel vs generic)."""
+    sizes = edges.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_e"))
+    split = sizes.filter(
+        F.col("n_e") > cfg.hub_degree_threshold
+    ).select("conv_id", "n_e")
+    split_edges = edges.join(
+        F.broadcast(split.select("conv_id")), "conv_id", "left_semi"
+    )
+    split_vids = (
+        split_edges.select(F.col("src").alias("vid"))
+        .unionByName(split_edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    max_conv = split.agg(F.max("n_e")).first()[0] or 0
+    return split_edges, split_vids, int(max_conv)
 
 
 # -- shared kernel helpers ---------------------------------------------------
@@ -337,28 +383,47 @@ def cascade_labelprop(
     pack_path: str | None = None,
     reuse_pack: bool = False,
 ) -> DataFrame:
-    """Synchronous min-tie-break label propagation, in-block (exact when
-    the packing produced no split conversations; otherwise delegates to
-    the generic superstep implementation). Returns (vid, label)."""
+    """Synchronous min-tie-break label propagation. In-block kernels
+    everywhere; split conversations (hub-salted across sub-blocks) are
+    recomputed by the generic superstep path over their edges only and
+    unioned in (split-residue hybrid — see module docstring). Returns
+    (vid, label)."""
     cfg = cfg or EngineConfig()
     path = pack_path or os.path.join(cfg.checkpoint_dir, algo_name, "graph")
     _ensure_pack(edges, cfg, path, reuse_pack=reuse_pack)
     placement = spark.read.parquet(placement_path(path))
-    if not placement.isEmpty():
-        from crgp_spark.operators.labelprop import label_propagation
-
-        return label_propagation(
-            spark, edges.select("src", "dst"), cfg,
-            fixed_iterations=fixed_iterations, algo_name=algo_name + "_gen",
-        ).state
 
     max_iter = fixed_iterations or cfg.max_iterations
-    return (
+    local = (
         _block_edges(spark, path)
         .groupBy("part")
         .applyInPandas(
             _labelprop_kernel_factory(max_iter), "vid long, label long"
         )
+    )
+    if placement.isEmpty():
+        # no cut edges: every conversation (even size-split ones whose
+        # sub-blocks happen to be edge-closed) is exact in-block
+        return local
+
+    split_edges, split_vids, max_conv = _split_residue(edges, cfg)
+    if max_conv <= RESIDUE_KERNEL_MAX_EDGES:
+        # every split conversation still fits one kernel task: run the
+        # same in-block kernel grouped BY CONVERSATION over the raw
+        # residue edges — no pack, no superstep fixed costs, one
+        # ~|residue|-row shuffle (the kernels only read src/dst)
+        residue = split_edges.groupBy("conv_id").applyInPandas(
+            _labelprop_kernel_factory(max_iter), "vid long, label long"
+        )
+    else:
+        from crgp_spark.operators.labelprop import label_propagation
+
+        residue = label_propagation(
+            spark, split_edges.select("src", "dst"), cfg,
+            fixed_iterations=fixed_iterations, algo_name=algo_name + "_res",
+        ).state
+    return local.join(split_vids, "vid", "left_anti").unionByName(
+        residue.select("vid", "label")
     )
 
 
@@ -373,23 +438,37 @@ def cascade_triangles(
     pack_path: str | None = None,
     reuse_pack: bool = False,
 ) -> tuple[int, DataFrame]:
-    """Exact (total, per-vertex) triangle counts, in-block (delegates to
-    the generic join plan when the packing split conversations)."""
+    """Exact (total, per-vertex) triangle counts. In-block kernels
+    everywhere; split conversations are recomputed by the generic
+    degree-oriented join plan over their edges only and unioned in
+    (split-residue hybrid — see module docstring)."""
     cfg = cfg or EngineConfig()
     path = pack_path or os.path.join(cfg.checkpoint_dir, algo_name, "graph")
     _ensure_pack(edges, cfg, path, reuse_pack=reuse_pack)
     placement = spark.read.parquet(placement_path(path))
-    if not placement.isEmpty():
-        from crgp_spark.operators.triangles import triangles
-
-        return triangles(spark, edges.select("src", "dst"), cfg)
 
     per_vertex = (
         _block_edges(spark, path)
         .groupBy("part")
         .applyInPandas(_triangles_kernel, "vid long, triangles long")
-        .persist()
     )
+    if not placement.isEmpty():
+        split_edges, split_vids, max_conv = _split_residue(edges, cfg)
+        if max_conv <= RESIDUE_KERNEL_MAX_EDGES:
+            # same kernel, grouped by conversation — no pack needed
+            res_pv = split_edges.groupBy("conv_id").applyInPandas(
+                _triangles_kernel, "vid long, triangles long"
+            )
+        else:
+            from crgp_spark.operators.triangles import triangles
+
+            _res_total, res_pv = triangles(
+                spark, split_edges.select("src", "dst"), cfg
+            )
+        per_vertex = per_vertex.join(
+            split_vids, "vid", "left_anti"
+        ).unionByName(res_pv.select("vid", "triangles"))
+    per_vertex = per_vertex.persist()
     total = int(
         (per_vertex.agg(F.sum("triangles")).first()[0] or 0) // 3
     )
