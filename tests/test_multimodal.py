@@ -1,15 +1,48 @@
 from __future__ import annotations
 
+import io
+import wave
+
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from crgp_spark.operators.multimodal import (
     FEATURE_DIM,
+    MEDIA_SCHEMA,
     attach_fake_payload,
+    decode_media,
+    decode_ppm,
+    decode_wav,
     extract_features,
     sample_frames,
 )
+
+
+def _ppm_p6(w: int, h: int) -> bytes:
+    px = bytes((i * 7) % 256 for i in range(w * h * 3))
+    return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + px
+
+
+def _ppm_p3(w: int, h: int) -> bytes:
+    vals = [(i * 11) % 256 for i in range(w * h * 3)]
+    return (
+        f"P3\n{w} {h}\n255\n" + " ".join(str(v) for v in vals)
+    ).encode()
+
+
+def _wav_pcm16(n: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        samples = np.round(
+            np.sin(np.linspace(0, 6.28, n)) * 30000
+        ).astype("<i2")
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 @pytest.fixture(scope="module")
@@ -44,6 +77,46 @@ def test_real_decode_is_stubbed(spark, media):
     with pytest.raises(Exception) as ei:
         extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "not available" in str(ei.value)
+
+
+def test_decode_ppm_exact():
+    raw = _ppm_p6(4, 2)
+    px = decode_ppm(raw)
+    assert px.shape == (24,)
+    assert np.array_equal(px, np.array([(i * 7) % 256 for i in range(24)]) / 255.0)
+    # P3 ascii agrees with its own values (incl. a comment-free header)
+    px3 = decode_ppm(_ppm_p3(3, 3))
+    assert np.array_equal(
+        px3, np.array([(i * 11) % 256 for i in range(27)]) / 255.0
+    )
+
+
+def test_decode_wav_exact():
+    raw = _wav_pcm16(100)
+    s = decode_wav(raw)
+    assert s.shape == (100,)
+    assert np.abs(s).max() <= 1.0
+    assert np.allclose(
+        s, np.round(np.sin(np.linspace(0, 6.28, 100)) * 30000) / 32768.0
+    )
+
+
+def test_real_decode_end_to_end(spark):
+    payloads = [_ppm_p6(8, 6), _ppm_p3(5, 4), _wav_pcm16(333)]
+    rows = [
+        (i, p, {"format": "unknown", "width": 0, "height": 0, "n_frames": 1})
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert [out[i].format for i in range(3)] == ["ppm", "ppm", "wav"]
+    for i, p in enumerate(payloads):
+        fmt, samples = decode_media(p)
+        if len(samples) % FEATURE_DIM:
+            samples = samples[: len(samples) - len(samples) % FEATURE_DIM]
+        expected = samples.reshape(FEATURE_DIM, -1).mean(axis=1)
+        assert np.allclose(out[i].features, expected)
+        assert out[i].n_bytes == len(p)
 
 
 def test_frame_sampling(spark, media):
