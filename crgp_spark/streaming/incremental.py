@@ -51,12 +51,23 @@ class IncrementalDeriver:
         spark: SparkSession,
         state_dir: str,
         friendships: DataFrame | None = None,
+        batch_size: int | None = None,
     ):
         """``friendships``: optional ``(user, friend)`` candidate
-        restriction, same contract as ``derive.derive_edge_turns``."""
+        restriction, same contract as ``derive.derive_edge_turns``.
+
+        ``batch_size``: maximum turns merged per state step. The file
+        source caps epochs by file count or bytes; this caps by ROWS —
+        the reference's exact ``batch_size = 50_000`` retweets-per-epoch
+        semantics (``configuration/main.rs:44``, ``run.rs:118-129``).
+        An oversized micro-batch is re-batched into ``<= batch_size``
+        -turn sub-epochs in stream order before the state merge; the
+        manifest commit (and hence replay idempotency) stays one per
+        source micro-batch."""
         self.spark = spark
         self.state_dir = state_dir
         self.friendships = friendships
+        self.batch_size = batch_size
         os.makedirs(os.path.join(state_dir, "state"), exist_ok=True)
 
     # -- manifest helpers --------------------------------------------------
@@ -117,15 +128,13 @@ class IncrementalDeriver:
         )
 
     # -- the epoch step ----------------------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """One epoch: merge state, emit this batch's edges, commit."""
-        self._check_edges_layout()
-        acts_old, origs_old, last_epoch = self._load_state()
-        if batch_id <= last_epoch:
-            return  # replayed epoch after restart: already committed
-
-        turns = prepare_turns(batch_df)
-
+    def _epoch_step(
+        self, turns: DataFrame, acts_old: DataFrame, origs_old: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Pure-DataFrame state transition for one (sub-)epoch: returns
+        (acts_new, origs_new, edges) — the merged state and the edges of
+        THIS step's turns against it (``reconstruct.rs:69-115`` for one
+        epoch's retweets)."""
         # Merge activation state forward: first-wins == global min of the
         # (turn, ts) key over old state + this batch (or_insert analog).
         # min/min_by (hash-aggregable) rather than min(struct(...)):
@@ -151,17 +160,11 @@ class IncrementalDeriver:
                 ),
             )
         )
-
-        epoch = int(batch_id)
-        acts_path = os.path.join(self.state_dir, "state", f"acts_{epoch}")
-        origs_path = os.path.join(self.state_dir, "state", f"origs_{epoch}")
-        acts_new.write.mode("overwrite").parquet(acts_path)
-        origs_new.write.mode("overwrite").parquet(origs_path)
-        acts_new = self.spark.read.parquet(acts_path)
-        origs_new = self.spark.read.parquet(origs_path)
-
-        # Edges for THIS batch's turns only, against the merged state
-        # (reconstruct.rs:69-115 for one epoch's retweets).
+        # materialize the merged state once: the edge plan below reuses
+        # it instead of recomputing the aggregation, and chained
+        # sub-epochs get truncated lineage (the iterative-plan rule)
+        acts_new = acts_new.localCheckpoint(eager=True)
+        origs_new = origs_new.localCheckpoint(eager=True)
         targets = turns.join(origs_new, "conv_id").filter(
             F.col("turn_idx") != F.col("orig_turn")
         )
@@ -195,6 +198,65 @@ class IncrementalDeriver:
             "ts",
             "orig_turn",
         )
+        return acts_new, origs_new, edges
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One epoch: merge state, emit this batch's edges, commit."""
+        self._check_edges_layout()
+        acts_old, origs_old, last_epoch = self._load_state()
+        if batch_id <= last_epoch:
+            return  # replayed epoch after restart: already committed
+
+        turns_all = prepare_turns(batch_df)
+
+        if self.batch_size is not None:
+            # row-capped re-batching: sub-epochs of <= batch_size turns
+            # in stream order. Any global order consistent with
+            # per-conversation turn order yields the batch-identical
+            # output (a later turn's activation can never influence an
+            # earlier one: strict act_ts < ts, and the originator is the
+            # per-conversation minimum turn), so the global sort here is
+            # a determinism convenience, bounded by the source's
+            # per-epoch file/byte cap — not a scale concern.
+            from pyspark.sql import Window
+
+            w = Window.orderBy("ts", "conv_id", "turn_idx")
+            numbered = (
+                turns_all.withColumn(
+                    "_sub",
+                    F.floor((F.row_number().over(w) - 1) / self.batch_size),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_subs = int(
+                numbered.agg(F.max("_sub")).first()[0] or 0
+            ) + 1
+            subs = [
+                numbered.filter(F.col("_sub") == i).drop("_sub")
+                for i in range(n_subs)
+            ]
+        else:
+            subs = [turns_all]
+
+        acts_cur, origs_cur = acts_old, origs_old
+        edge_parts: list[DataFrame] = []
+        for turns in subs:
+            acts_cur, origs_cur, e = self._epoch_step(
+                turns, acts_cur, origs_cur
+            )
+            if len(subs) > 1:
+                e = e.localCheckpoint(eager=True)
+            edge_parts.append(e)
+
+        epoch = int(batch_id)
+        acts_path = os.path.join(self.state_dir, "state", f"acts_{epoch}")
+        origs_path = os.path.join(self.state_dir, "state", f"origs_{epoch}")
+        acts_cur.write.mode("overwrite").parquet(acts_path)
+        origs_cur.write.mode("overwrite").parquet(origs_path)
+
+        edges = edge_parts[0]
+        for e in edge_parts[1:]:
+            edges = edges.unionByName(e)
         # One directory per epoch, written with overwrite: a replay of an
         # epoch that crashed between the edge write and the manifest
         # commit rewrites the same directory instead of appending a
@@ -227,6 +289,7 @@ def stream_derive(
     friendships: DataFrame | None = None,
     max_files_per_trigger: int | None = 1,
     max_bytes_per_trigger: int | None = None,
+    batch_size: int | None = None,
 ) -> None:
     """Run the incremental derivation over a parquet directory stream
     with an ``availableNow`` trigger (process everything pending, then
@@ -238,10 +301,15 @@ def stream_derive(
     (``max_files_per_trigger``) or by input volume
     (``max_bytes_per_trigger``, a positive byte count — the row-count analog
     for columnar input, where mid-file row slicing isn't possible
-    without breaking exactly-once file tracking)."""
+    without breaking exactly-once file tracking). ``batch_size``
+    additionally caps each state step at that many ROWS by re-batching
+    oversized micro-batches into sub-epochs — the reference's literal
+    ``batch_size`` knob (``configuration/main.rs:44``)."""
     from crgp_spark.schemas import TRANSCRIPTS
 
-    deriver = IncrementalDeriver(spark, state_dir, friendships=friendships)
+    deriver = IncrementalDeriver(
+        spark, state_dir, friendships=friendships, batch_size=batch_size
+    )
     reader = spark.readStream.schema(TRANSCRIPTS)
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)

@@ -133,6 +133,62 @@ def test_stream_derive_available_now(spark, tmp_path, knobs):
     assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
 
 
+@pytest.mark.parametrize("batch_size", [1, 7, 50_000])
+def test_row_capped_sub_epochs(spark, tmp_path, batch_size):
+    """The reference's literal batch_size knob (configuration/main.rs:44):
+    an oversized epoch is re-batched into <=N-turn sub-epochs before the
+    state merge; the committed result equals the batch derivation at
+    every N (1 = one turn per state step, 7 = mid-epoch split, 50k =
+    no split)."""
+    t = golden_transcripts(spark)
+    d = IncrementalDeriver(
+        spark,
+        str(tmp_path / "state"),
+        friendships=golden_friendships(spark),
+        batch_size=batch_size,
+    )
+    d.process_batch(t, 0)
+    got = {
+        (c, s, dt, ts // 1_000_000) for (c, s, dt, ts) in _edge_set(d.edges())
+    }
+    assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
+
+
+def test_row_capped_sub_epochs_synthetic(spark, tmp_path):
+    """Row-capped re-batching across multiple source epochs on a bigger
+    synthetic input still equals the batch derivation."""
+    t = synthetic_transcripts(spark, n_convs=20, seed=5, max_turns=24).persist()
+    d = IncrementalDeriver(spark, str(tmp_path / "state"), batch_size=50)
+    d.process_batch(t.filter(F.col("turn_idx") < 6), 0)
+    d.process_batch(t.filter(F.col("turn_idx") >= 6), 1)
+    assert _edge_set(d.edges()) == _edge_set(derive_edge_turns(t))
+    t.unpersist()
+
+
+def test_stateful_friendships_restriction(spark, tmp_path):
+    """The state-store path accepts the same friendships restriction as
+    the batch/incremental paths (ADVICE r2) and reproduces the golden
+    7-edge fixture, which depends on that restriction."""
+    from crgp_spark.streaming.stateful import stream_derive_stateful
+
+    t = golden_transcripts(spark)
+    inp = str(tmp_path / "in")
+    t.coalesce(1).write.parquet(inp)
+    out = str(tmp_path / "edges")
+    stream_derive_stateful(
+        spark,
+        inp,
+        out,
+        max_files_per_trigger=None,
+        friendships=golden_friendships(spark),
+    )
+    got = {
+        (c, s, dt, ts // 1_000_000)
+        for (c, s, dt, ts) in _edge_set(spark.read.parquet(out))
+    }
+    assert got == {(c, s, dt, ts) for (c, s, dt, ts) in GOLDEN_EDGE_TURNS}
+
+
 @pytest.mark.parametrize("split", ["two_epochs", "one_epoch"])
 def test_stateful_streaming_matches_batch(spark, tmp_path, split):
     """applyInPandasWithState derivation (keyed state store) == batch
