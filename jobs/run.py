@@ -35,6 +35,7 @@ sys.path.insert(
 )
 
 from crgp_spark.config import EngineConfig
+from crgp_spark.validation import nonneg_int, positive_int
 
 
 def main() -> None:
@@ -44,7 +45,7 @@ def main() -> None:
     ap.add_argument("--transcripts", help="transcripts parquet (derive)")
     ap.add_argument("--output", help="output parquet (derive/generate)")
     ap.add_argument("--checkpoint", default="/tmp/crgp_job_ckpt")
-    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--cpus", type=positive_int, default=None)
     ap.add_argument(
         "--master",
         default=None,
@@ -52,22 +53,24 @@ def main() -> None:
         "separate executor JVMs x 4 cores",
     )
     ap.add_argument("--executor-memory", default=None)
-    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--partitions", type=positive_int, default=32)
     ap.add_argument(
         "--graph-partitions",
-        type=int,
+        type=positive_int,
         default=None,
         help="graph block count override (default: --partitions); small "
         "values force multi-million-edge blocks to stress the kernels",
     )
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--tol-mode", default="abs", choices=["abs", "scaled"])
-    ap.add_argument("--max-iterations", type=int, default=100)
-    ap.add_argument("--fixed-iterations", type=int, default=None)
-    ap.add_argument("--checkpoint-every", type=int, default=1)
+    ap.add_argument("--max-iterations", type=positive_int, default=100)
+    ap.add_argument("--fixed-iterations", type=positive_int, default=None)
+    ap.add_argument("--checkpoint-every", type=positive_int, default=1)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--n-convs", type=int, default=100_000, help="generate size")
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--n-convs", type=positive_int, default=100_000, help="generate size"
+    )
+    ap.add_argument("--seed", type=nonneg_int, default=42)
     args = ap.parse_args()
 
     from crgp_spark.session import get_spark
