@@ -645,6 +645,72 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vertex.select("vid", "triangles")
 
 
+# -- cascade-local (conversation-partitioned CSR) variants under the
+# hard gate: same oracles as the generic paths, so the headline
+# architecture's kernels (operators/cascade.py, cascade_algos.py) get
+# their own rows+schema+hash rows instead of pytest-only coverage.
+
+
+def _edges_vid_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, conv_id) vid-encoded edges for the cascade layout
+    (vids are unique per conversation by construction of the encoding)."""
+    e = _edge_turns(spark, sf_dir)
+    return e.select(
+        (_uid("conv_id") * 100000 + F.col("src_turn")).alias("src"),
+        (_uid("conv_id") * 100000 + F.col("dst_turn")).alias("dst"),
+        "conv_id",
+    )
+
+
+def _cascade_cfg(name: str) -> EngineConfig:
+    return EngineConfig(
+        shuffle_partitions=8,
+        graph_partitions=8,
+        checkpoint_dir=f"/tmp/crgp_ckpt_entry_{name}",
+        checkpoint_every=10_000,
+        # tol < 0 never converges -> exactly max_iterations supersteps,
+        # matching the unrolled SQL oracle's iteration count
+        tol=-1.0,
+        max_iterations=_PR_ITERS,
+    )
+
+
+def q_pagerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.cascade import pagerank_cascade
+
+    e = _edges_vid_conv(spark, sf_dir)
+    res = pagerank_cascade(spark, e, _cascade_cfg("prc"))
+    return res.state.select(
+        "vid", decimal_round(F.col("rank"), 6).alias("rank")
+    )
+
+
+def q_components_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.cascade_algos import cascade_components
+
+    e = _edges_vid_conv(spark, sf_dir)
+    return cascade_components(spark, e, _graph_cfg()).select(
+        "vid", "component"
+    )
+
+
+def q_labelprop_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.cascade_algos import cascade_labelprop
+
+    e = _edges_vid_conv(spark, sf_dir)
+    return cascade_labelprop(
+        spark, e, _graph_cfg(), fixed_iterations=2
+    ).select("vid", "label")
+
+
+def q_triangles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.cascade_algos import cascade_triangles
+
+    e = _edges_vid_conv(spark, sf_dir)
+    _total, per_vertex = cascade_triangles(spark, e, _graph_cfg())
+    return per_vertex.select("vid", "triangles")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -872,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "labelprop": q_labelprop,
         "triangles": q_triangles,
+        "pagerank_cascade": q_pagerank_cascade,
+        "components_cascade": q_components_cascade,
+        "labelprop_cascade": q_labelprop_cascade,
+        "triangles_cascade": q_triangles_cascade,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -909,7 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "turns": "SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,\n"
         "  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,\n"
         "  event_type AS role, COALESCE(props, '') AS text\n"
@@ -1263,3 +1333,9 @@ FROM votes GROUP BY doc_id""",
         "FROM events GROUP BY event_type",
         **_SQL_TPCH,
     }
+    # cascade-local variants compute the SAME results as the generic
+    # paths (conversation-disjointness makes per-block computation
+    # per-subgraph computation), so they share oracles verbatim
+    for name in ("pagerank", "components", "labelprop", "triangles"):
+        d[f"{name}_cascade"] = d[name]
+    return d
