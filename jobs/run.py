@@ -70,6 +70,13 @@ def main() -> None:
     ap.add_argument(
         "--n-convs", type=positive_int, default=100_000, help="generate size"
     )
+    ap.add_argument(
+        "--hub-threshold",
+        type=positive_int,
+        default=None,
+        help="hub_degree_threshold override; low values force "
+        "conversation splits (exercises the split-residue hybrid)",
+    )
     ap.add_argument("--seed", type=nonneg_int, default=42)
     args = ap.parse_args()
 
@@ -116,6 +123,8 @@ def main() -> None:
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint,
     )
+    if args.hub_threshold is not None:
+        cfg.hub_degree_threshold = args.hub_threshold
     os.makedirs(args.checkpoint, exist_ok=True)
     out: dict = {"algo": args.algo}
     t0 = time.time()
