@@ -40,6 +40,8 @@ from crgp_spark.operators.dedup import (
     minhash_dedup,
     minhash_signatures,
     simhash,
+    simhash_dedup,
+    simhash_pairs,
 )
 from crgp_spark.operators.multimodal import attach_fake_payload, extract_features
 from crgp_spark.operators.sessions import session_stats
@@ -816,8 +818,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), n_bits=16)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        _docs(spark, sf_dir), n_bits=16, n_bands=4, max_hamming=3
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(
+        _docs(spark, sf_dir), n_bits=16, n_bands=4, max_hamming=3
+    )
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# SimHash signature CTE chain shared by the simhash / simhash_pairs /
+# simhash_dedup oracles (16-bit driver parameterization)
+_SQL_SIMHASH_SIG = f"""{_SQL_SHINGLES},
+hashed AS (SELECT doc_id, MD5(s) AS h FROM sh),
+bits AS (
+  SELECT doc_id, t.j AS j,
+         CAST(FLOOR((INSTR('0123456789abcdef',
+                           SUBSTRING(h, CAST(FLOOR(t.j / 4.0) AS INT) + 1, 1)) - 1)
+              / POW(2, 3 - (t.j % 4))) AS INT) % 2 AS bit
+  FROM hashed, RANGE(16) t(j)
+),
+votes AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS v FROM bits GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         STRING_AGG(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
 
 
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "sessions": q_sessions,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_dedup": q_simhash_dedup,
         "tpch_pricing": q_tpch_pricing,
         "tpch_topk_orders": q_tpch_topk_orders,
         "tpch_region_revenue": q_tpch_region_revenue,
@@ -1312,20 +1347,51 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MAX(us) - MIN(us) AS duration_us,
        FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS total_value
 FROM sess GROUP BY user_id, session_id""",
-        "simhash": f"""
-WITH {_SQL_SHINGLES},
-hashed AS (SELECT doc_id, MD5(s) AS h FROM sh),
-bits AS (
-  SELECT doc_id, t.j AS j,
-         CAST(FLOOR((INSTR('0123456789abcdef',
-                           SUBSTRING(h, CAST(FLOOR(t.j / 4.0) AS INT) + 1, 1)) - 1)
-              / POW(2, 3 - (t.j % 4))) AS INT) % 2 AS bit
-  FROM hashed, RANGE(16) t(j)
+        "simhash": f"WITH {_SQL_SIMHASH_SIG}\n"
+        "SELECT doc_id, simhash FROM sig",
+        "simhash_pairs": f"""
+WITH {_SQL_SIMHASH_SIG},
+bands AS (
+  SELECT doc_id, t.band AS band,
+         SUBSTRING(simhash, t.band * 4 + 1, 4) AS key
+  FROM sig, RANGE(4) t(band)
 ),
-votes AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS v FROM bits GROUP BY doc_id, j)
-SELECT doc_id,
-       STRING_AGG(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-FROM votes GROUP BY doc_id""",
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+withsig AS (
+  SELECT c.a, c.b, sa.simhash AS sa, sb.simhash AS sb
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+)
+SELECT a, b, hamming FROM (
+  SELECT a, b,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(16),
+              i -> CASE WHEN sa[i + 1] <> sb[i + 1] THEN 1 ELSE 0 END)) AS INT)
+           AS hamming
+  FROM withsig
+) WHERE hamming <= 3""",
+        "simhash_dedup": f"""
+WITH {_SQL_SIMHASH_SIG},
+bands AS (
+  SELECT doc_id, t.band AS band,
+         SUBSTRING(simhash, t.band * 4 + 1, 4) AS key
+  FROM sig, RANGE(4) t(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+losers AS (
+  SELECT DISTINCT c.b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+  WHERE CAST(LIST_SUM(LIST_TRANSFORM(RANGE(16),
+        i -> CASE WHEN sa.simhash[i + 1] <> sb.simhash[i + 1]
+                  THEN 1 ELSE 0 END)) AS INT) <= 3
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
         "events_json": "SELECT event_type, COUNT(*) AS n,\n"
         "       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,\n"
         "       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,\n"

@@ -167,6 +167,100 @@ def minhash_dedup(
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 32,
+    k: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Hamming-LSH candidate pairs: documents whose SimHashes agree on
+    at least one of ``n_bands`` contiguous bit bands (the bit-sampling
+    LSH family — two docs within Hamming distance d collide with
+    probability >= 1 - (1 - (1 - d/n)^(n/b))^b). A banded bucket
+    self-join, NOT all-pairs: scale-safe like the MinHash LSH path;
+    near-constant bands (e.g. all-zeros from short docs) are the hot
+    buckets AQE's skew-join handles. Returns distinct (a, b), a < b."""
+    sig = simhash(docs, text_col, n_bits, k)
+    band_len = n_bits // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(f"substring(simhash, band * {band_len} + 1, {band_len})").alias(
+            "key"
+        ),
+    )
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("a")
+    )
+    b = bands.select(
+        "band", "key", F.col("doc_id").alias("b")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 32,
+    k: int = 3,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Verified SimHash near-duplicates: banded candidates whose full
+    signatures are within ``max_hamming`` bits. The Hamming distance is
+    computed on the LSH candidates only (joins back the two signature
+    strings; per-char compare via zip_with — pure JVM codegen).
+    Returns (a, b, hamming)."""
+    sig = simhash(docs, text_col, n_bits, k)
+    cands = simhash_candidate_pairs(docs, text_col, n_bits, k, n_bands)
+    withsig = cands.join(
+        sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa")),
+        "a",
+    ).join(
+        sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb")),
+        "b",
+    )
+    chars = lambda c: F.split(F.col(c), "(?!^)")  # noqa: E731
+    ham = F.aggregate(
+        F.zip_with(chars("sa"), chars("sb"), lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        withsig.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 32,
+    k: int = 3,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate removal: banded candidates -> Hamming
+    verification -> drop the larger doc_id of each verified pair.
+    Returns surviving (doc_id). The Hamming-LSH counterpart of
+    ``minhash_dedup`` (same bucket-join/verify/anti-join shape, same
+    100 TB story)."""
+    verified = simhash_pairs(docs, text_col, n_bits, k, n_bands, max_hamming)
+    losers = verified.select(F.col("b").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", n_bits: int = 32, k: int = 3
 ) -> DataFrame:

@@ -56,6 +56,30 @@ def test_simhash_properties(spark, docs):
     assert ham(out[0], out[2]) < ham(out[0], out[3])
 
 
+def test_simhash_dedup_pipeline(spark, docs):
+    """Hamming-LSH dedup: identical docs always collapse (hamming 0,
+    every band equal); pairs carry the exact hamming distance; the
+    smaller doc_id of each verified pair survives."""
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in dedup.simhash_pairs(
+            docs, n_bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    survivors = {
+        r.doc_id
+        for r in dedup.simhash_dedup(
+            docs, n_bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert 0 in survivors and 1 not in survivors
+    # every dropped doc is the larger side of some verified pair
+    dropped = {r.doc_id for r in docs.select("doc_id").collect()} - survivors
+    assert dropped == {b for (_a, b) in pairs}
+
+
 def test_token_stats(spark, docs):
     out = {r.doc_id: r for r in textstats.token_stats(docs).collect()}
     assert out[0].n_tokens == 9
