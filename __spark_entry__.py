@@ -54,6 +54,7 @@ from crgp_spark.operators.similarity import (
     knn_lsh,
 )
 from crgp_spark.operators.relational import (
+    cheapest_supplier_per_part,
     customer_order_distribution,
     important_parts,
     lapsed_customers,
@@ -532,6 +533,36 @@ per AS (SELECT l_partkey, CAST(SUM(units) AS BIGINT) AS val_units
 SELECT l_partkey, CAST(val_units AS DOUBLE) / 10000.0 AS part_value
 FROM per
 WHERE val_units * 1000 > (SELECT CAST(SUM(units) AS BIGINT) FROM li) * 1""",
+    # Q2 analog: correlated-min subquery + join-back. IEEE division of
+    # exactly-representable integers and MIN are bit-identical across
+    # engines, so the unit == min equality is safe; FLOOR-rounding only
+    # for display.
+    "tpch_corrmin": """
+WITH li AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS qc
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#2'
+),
+u AS (SELECT l_partkey, l_suppkey,
+             CAST(pc AS DOUBLE) / CAST(qc AS DOUBLE) AS unit FROM li),
+atmin AS (
+  SELECT * FROM u u1
+  WHERE unit = (SELECT MIN(unit) FROM u u2 WHERE u2.l_partkey = u1.l_partkey)
+),
+named AS (
+  SELECT a.l_partkey, s.s_name, n.n_name,
+         FLOOR(MIN(a.unit) * 10000.0 + 0.5) / 10000.0 AS min_unit_price
+  FROM atmin a
+  JOIN supplier s ON a.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY a.l_partkey, s.s_name, n.n_name
+)
+SELECT rk, l_partkey, s_name, n_name, min_unit_price FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY l_partkey, s_name, n_name) AS INT) AS rk
+  FROM named
+) WHERE rk <= 20""",
 }
 
 
@@ -943,6 +974,15 @@ def q_tpch_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_corrmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cheapest_supplier_per_part(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -1010,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_notexists": q_tpch_notexists,
         "tpch_suppcnt": q_tpch_suppcnt,
         "tpch_scalar": q_tpch_scalar,
+        "tpch_corrmin": q_tpch_corrmin,
     }
 
 

@@ -476,6 +476,61 @@ def important_parts(
     )
 
 
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    brand: str = "Brand#2",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery + join-back.
+
+    For each part of one brand, ALL suppliers offering the minimum unit
+    price (extendedprice/quantity), with nation; deterministic top-k by
+    (part, supplier). The correlated ``= (SELECT MIN ...)`` decorrelates
+    to a per-part aggregate re-joined on partkey — one shuffle on
+    partkey; part/supplier/min tables broadcast. Cross-engine
+    determinism: the unit price divides two integers exactly
+    representable in doubles (cents / quantity-cents), and IEEE
+    division and MIN are bit-identical in both engines, so the
+    ``unit == min`` equality is safe; the output price is rounded with
+    the boundary-safe FLOOR idiom only for display."""
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    unit = cents.cast("double") / qty.cast("double")
+    li = lineitem.join(
+        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+    ).select("l_partkey", "l_suppkey", unit.alias("_unit"))
+    mins = li.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("_unit").alias("_mn")
+    )
+    at_min = li.join(F.broadcast(mins), li.l_partkey == F.col("mp")).filter(
+        F.col("_unit") == F.col("_mn")
+    )
+    s = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name", "n_name")
+    out = (
+        at_min.join(F.broadcast(s), at_min.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey", "s_name", "n_name")
+        .agg(F.min("_mn").alias("_mn"))
+        .select(
+            "l_partkey", "s_name", "n_name",
+            (F.floor(F.col("_mn") * 10000.0 + F.lit(0.5)) / 10000.0).alias(
+                "min_unit_price"
+            ),
+        )
+    )
+    w = Window.orderBy("l_partkey", "s_name", "n_name")
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "l_partkey", "s_name", "n_name", "min_unit_price")
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, k: int = 5
 ) -> DataFrame:
