@@ -1,0 +1,77 @@
+"""Watch for a quiet host window (raw-CPU 8->32 control >= threshold)
+and immediately run the multi-JVM scaling sweep inside it (VERDICT r2
+ask #8: one sweep whose same-window control exceeds 0.9, whatever the
+Spark numbers then show).
+
+The sandbox host is multi-tenant: ambient control efficiency wanders
+0.5-0.9 on a scale of minutes. Polling and pouncing is the only way to
+land a sweep in a certified-quiet window without parking a human on
+the box.
+
+Usage: python scripts/quiet_window_sweep.py [--threshold 0.9]
+       [--max-minutes 120] [--reps 1] [--out BENCH_SCALING_CLUSTER_QUIET.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+from bench_scaling import cpu_control  # noqa: E402
+
+
+def probe() -> float:
+    return cpu_control(32) / cpu_control(8) / 4.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--max-minutes", type=float, default=120)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--poll-seconds", type=float, default=180)
+    ap.add_argument("--out", default="BENCH_SCALING_CLUSTER_QUIET.json")
+    args = ap.parse_args()
+
+    t_end = time.time() + args.max_minutes * 60
+    history = []
+    while time.time() < t_end:
+        eff = probe()
+        history.append({"t": time.time(), "control_eff": round(eff, 4)})
+        print(f"probe: {eff:.3f}", flush=True)
+        if eff >= args.threshold:
+            print("quiet window — launching sweep", flush=True)
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "bench_scaling_cluster.py"),
+                 "--reps", str(args.reps), "--skip-converged",
+                 "--out", args.out],
+                cwd=REPO,
+            )
+            # post-sweep probe: was the window still quiet at the end?
+            post = probe()
+            history.append({"t": time.time(), "control_eff": round(post, 4),
+                            "post_sweep": True})
+            out_path = os.path.join(REPO, args.out)
+            if r.returncode == 0 and os.path.exists(out_path):
+                with open(out_path) as f:
+                    rep = json.load(f)
+                rep["window_probes"] = history
+                with open(out_path, "w") as f:
+                    json.dump(rep, f, indent=2)
+            print(f"sweep rc={r.returncode} post-probe {post:.3f}", flush=True)
+            return
+        time.sleep(args.poll_seconds)
+    print("no quiet window within budget", flush=True)
+    with open(os.path.join(REPO, "quiet_window_probes.json"), "w") as f:
+        json.dump(history, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
