@@ -52,6 +52,7 @@ from crgp_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    knn_sq8,
 )
 from crgp_spark.operators.relational import (
     cheapest_supplier_per_part,
@@ -805,6 +806,11 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(embs, embs.filter(F.col("vec_id") < 16), k=5)
 
 
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return knn_sq8(embs, embs.filter(F.col("vec_id") < 16), k=5)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return knn_ivf(
@@ -1028,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
+        "knn_sq8": q_knn_sq8,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -1255,6 +1262,35 @@ FROM u""",
         ")\n"
         "SELECT doc_id FROM documents\n"
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)",
+        # SQ8 compressed-domain kNN: L2-normalize, symmetric global-scale
+        # int8 codes (shift-free — shifts distort dot products), exact
+        # integer dot-product ranking
+        "knn_sq8": f"""
+WITH {_SQL_EMB},
+exn AS (
+  SELECT e.vec_id, e.i, e.x / GREATEST(n.nrm, 1e-30) AS x
+  FROM ex e JOIN norms n ON n.vec_id = e.vec_id
+),
+stats AS (
+  SELECT GREATEST(MAX(ABS(x)), 1e-30) AS scale FROM exn
+),
+codes AS (
+  SELECT e.vec_id, e.i,
+         LEAST(127, GREATEST(-127,
+           CAST(FLOOR(e.x / s.scale * 127 + 0.5) AS INT))) AS q
+  FROM exn e, stats s
+),
+sqdots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS score
+  FROM codes a JOIN codes b ON a.i = b.i
+  WHERE a.vec_id < 16 AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM sqdots
+) WHERE rank <= 5""",
         "knn": f"WITH {_SQL_EMB},\n"
         "dots AS (\n"
         "  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot\n"

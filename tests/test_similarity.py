@@ -9,6 +9,8 @@ from crgp_spark.operators.similarity import (
     embedding_neardup_pairs,
     knn_bruteforce,
     knn_lsh,
+    knn_sq8,
+    quantize_sq8,
 )
 
 DIM = 16
@@ -44,6 +46,69 @@ def test_bruteforce_matches_numpy(spark, vectors):
     for qid in range(3):
         got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == qid]
         assert got == _np_topk(rows, qid, 5)
+
+
+def test_sq8_codes_and_ranking(spark, vectors):
+    """Quantized codes stay in [0, 255]; the near-duplicate of vec 0
+    (1e-4 away — far under SQ8's resolution) quantizes to the SAME
+    code; the full ranking equals an exact numpy replication of the
+    quantize-then-integer-dot pipeline."""
+    _row, codes = quantize_sq8(vectors, dim=DIM)
+    cd = {r.id: np.array(r.code, dtype=np.int64) for r in codes.collect()}
+    assert all((c >= -127).all() and (c <= 127).all() for c in cd.values())
+    assert (cd[0] == cd[5]).all()
+
+    # numpy oracle: same min/span stats, same FLOOR rounding
+    raw = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in vectors.collect()
+    }
+    mat = np.stack([raw[i] for i in sorted(raw)])
+    # left-to-right accumulation, matching F.aggregate's fold order
+    seq_norms = np.array(
+        [
+            np.sqrt(sum((float(x) * float(x) for x in v), 0.0))
+            for v in mat
+        ]
+    )
+    mat = mat / np.maximum(seq_norms, 1e-30)[:, None]
+    scale = max(np.abs(mat).max(), 1e-30)
+    qmat = np.clip(
+        np.floor(mat / scale * 127 + 0.5), -127, 127
+    ).astype(np.int64)
+    for i in sorted(raw):
+        assert (qmat[i] == cd[i]).all()
+
+    queries = vectors.filter(F.col("vec_id") < 8)
+    out = knn_sq8(vectors, queries, k=5, dim=DIM).collect()
+    per_q = {}
+    for r in sorted(out, key=lambda r: r.rank):
+        per_q.setdefault(r.query_id, []).append((r.neighbor_id, r.score))
+    assert set(per_q) == set(range(8))
+    for qid, got in per_q.items():
+        scores = qmat @ qmat[qid]
+        order = sorted(
+            (i for i in range(len(qmat)) if i != qid),
+            key=lambda i: (-int(scores[i]), i),
+        )[:5]
+        assert [n for n, _ in got] == order
+        assert [s for _, s in got] == [int(scores[i]) for i in order]
+
+
+def test_sq8_recall_vs_exact(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 20)
+    bf = knn_bruteforce(vectors, queries, k=3).collect()
+    sq = knn_sq8(vectors, queries, k=3, dim=DIM).collect()
+    bf_sets, sq_sets = {}, {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in sq:
+        sq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & sq_sets.get(q, set())) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    # symmetric SQ8 over normalized vectors preserves cosine ranking up
+    # to ~1/254-resolution quantization error: recall should be high
+    assert hits / total > 0.8
 
 
 def test_lsh_recall_reasonable(spark, vectors):
