@@ -91,3 +91,57 @@ def test_cascade_lineage_written(spark, conv_edges, tmp_path):
     rows = lin.collect()
     assert {r["algo"] for r in rows} == {"pr_lin"}
     assert all(r["edges_scanned"] >= 0 for r in rows)
+
+
+def test_old_format_pack_is_repacked_on_reuse(spark, conv_edges, tmp_path):
+    """ADVICE r2: a pack whose _pack_stats.json lacks the current
+    format_version (v1 layout nested the placement table inside the
+    blocks dir) must be repacked on resume/reuse, not trusted."""
+    import json
+    import os
+
+    from crgp_spark.config import EngineConfig
+    from crgp_spark.operators.cascade import pagerank_cascade
+    from crgp_spark.operators.cascade_algos import _ensure_pack
+
+    cfg = EngineConfig(
+        shuffle_partitions=4,
+        graph_partitions=4,
+        checkpoint_dir=str(tmp_path),
+        checkpoint_every=10_000,
+        max_iterations=2,
+        tol=-1.0,
+    )
+    res = pagerank_cascade(spark, conv_edges, cfg, algo_name="vcheck")
+    pack_path = os.path.join(str(tmp_path), "vcheck", "graph")
+    stats_file = os.path.join(pack_path, "_pack_stats.json")
+    with open(stats_file) as f:
+        stats = json.load(f)
+    assert stats["format_version"] >= 2
+    old_pack_id = stats["pack_id"]
+
+    # forge a v1 pack: strip the version marker
+    del stats["format_version"]
+    with open(stats_file, "w") as f:
+        json.dump(stats, f)
+
+    # reuse_pack=True must REPACK (new pack_id), not trust the v1 stats
+    res2 = pagerank_cascade(
+        spark, conv_edges, cfg, algo_name="vcheck", reuse_pack=True
+    )
+    with open(stats_file) as f:
+        new_stats = json.load(f)
+    assert new_stats.get("format_version", 0) >= 2
+    assert new_stats["pack_id"] != old_pack_id
+
+    # same discipline in the cascade-algos ensure-pack helper
+    del new_stats["format_version"]
+    with open(stats_file, "w") as f:
+        json.dump(new_stats, f)
+    refreshed = _ensure_pack(conv_edges, cfg, pack_path, reuse_pack=True)
+    assert refreshed.get("format_version", 0) >= 2
+
+    # results unaffected
+    a = {r.vid: r.rank for r in res.state.collect()}
+    b = {r.vid: r.rank for r in res2.state.collect()}
+    assert a.keys() == b.keys()

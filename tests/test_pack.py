@@ -65,3 +65,29 @@ def test_placement_covers_all_srcs(spark, edges_df):
     # every (part) in placement exists in the salted edges
     sp = {(r.src, r.part) for r in salted(edges_df, cfg).select("src", "part").distinct().collect()}
     assert {(r.src, r.part) for r in pl.collect()} == sp
+
+
+def test_block_cache_evicts_superseded_pack_ids():
+    """ADVICE r2: inserting a block for a new pack_id at the same
+    (path, part) evicts the superseded entry — long-lived workers must
+    not accumulate one CSR copy per repack."""
+    from crgp_spark.operators.pack import _BLOCK_CACHE, _cache_put
+
+    _BLOCK_CACHE.clear()
+    _cache_put(("/p", 0, "pack_a"), {"x": 1})
+    _cache_put(("/p", 1, "pack_a"), {"x": 2})
+    _cache_put(("/q", 0, "pack_a"), {"x": 3})
+    # repack at /p: same parts, new pack_id
+    _cache_put(("/p", 0, "pack_b"), {"x": 4})
+    _cache_put(("/p", 1, "pack_b"), {"x": 5})
+    assert ("/p", 0, "pack_a") not in _BLOCK_CACHE
+    assert ("/p", 1, "pack_a") not in _BLOCK_CACHE
+    assert _BLOCK_CACHE[("/p", 0, "pack_b")] == {"x": 4}
+    assert ("/q", 0, "pack_a") in _BLOCK_CACHE  # other table untouched
+    # cascade-layout keys share the eviction discipline
+    _cache_put(("/p", 0, "cascade", "pack_a"), {"x": 6})
+    _cache_put(("/p", 0, "cascade", "pack_b"), {"x": 7})
+    assert ("/p", 0, "cascade", "pack_a") not in _BLOCK_CACHE
+    # plain key with same (path, part) is a DIFFERENT prefix shape
+    assert ("/p", 0, "pack_b") in _BLOCK_CACHE
+    _BLOCK_CACHE.clear()
