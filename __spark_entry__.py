@@ -57,13 +57,19 @@ from crgp_spark.operators.similarity import (
 from crgp_spark.operators.relational import (
     cheapest_supplier_per_part,
     customer_order_distribution,
+    disjunctive_brand_revenue,
     important_parts,
     lapsed_customers,
+    large_quantity_orders,
+    market_share,
+    nation_trade_volume,
     part_supplier_counts,
     pricing_summary,
     promo_revenue_share,
     region_revenue,
+    returned_item_customers,
     returned_priority_counts,
+    revenue_forecast,
     revenue_rollup,
     small_quantity_revenue,
     sole_blame_suppliers,
@@ -323,6 +329,70 @@ m{it} AS (
     )
 
 
+def _sql_bfs() -> str:
+    """Multi-source BFS min hop distance from conversation originators
+    (operators/bfs.py, cascade_algos.cascade_bfs). The recursive CTE
+    enumerates distinct (vertex, depth) pairs — bounded by |V|·diameter
+    — and MIN-aggregates; UNION (distinct) plus the depth cap guarantee
+    termination."""
+    return f"""WITH RECURSIVE {_SQL_EVID},
+srcs AS (SELECT DISTINCT uid * 100000 + orig_turn AS vid FROM edges),
+bfs AS (
+    SELECT vid, 0 AS d FROM srcs
+    UNION
+    SELECT e.dst AS vid, b.d + 1 AS d
+    FROM bfs b JOIN e ON e.src = b.vid
+    WHERE b.d < 100
+)
+SELECT vid, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY vid"""
+
+
+_HITS_ITERS = 2
+
+
+def _sql_hits() -> str:
+    """HITS hubs/authorities, 2 integer rounds unrolled + one final L1
+    normalization (operators/hits.py — the recurrence is exact BIGINT
+    path-counting, so only the last division is floating point)."""
+    parts = [
+        _sql_evid(),
+        """,
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (SELECT vid, CAST(1 AS BIGINT) AS h FROM verts)""",
+    ]
+    last = 0
+    for it in range(_HITS_ITERS):
+        hp, ac, hc = f"h{it}", f"a{it + 1}", f"h{it + 1}"
+        parts.append(
+            f""",
+{ac} AS (
+  SELECT v.vid, CAST(COALESCE(m.s, 0) AS BIGINT) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, CAST(SUM(h.h) AS BIGINT) AS s
+    FROM e JOIN {hp} h ON h.vid = e.src GROUP BY e.dst) m ON m.vid = v.vid
+),
+{hc} AS (
+  SELECT v.vid, CAST(COALESCE(m.s, 0) AS BIGINT) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, CAST(SUM(a.a) AS BIGINT) AS s
+    FROM e JOIN {ac} a ON a.vid = e.dst GROUP BY e.src) m ON m.vid = v.vid
+)"""
+        )
+        last = it + 1
+    parts.append(
+        f""",
+tot AS (SELECT CAST(SUM(h.h) AS BIGINT) AS th, CAST(SUM(a.a) AS BIGINT) AS ta
+        FROM h{last} h JOIN a{last} a ON a.vid = h.vid)
+SELECT h.vid,
+  FLOOR((CASE WHEN t.th > 0 THEN CAST(h.h AS DOUBLE) / CAST(t.th AS DOUBLE)
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS hub,
+  FLOOR((CASE WHEN t.ta > 0 THEN CAST(a.a AS DOUBLE) / CAST(t.ta AS DOUBLE)
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS auth
+FROM h{last} h JOIN a{last} a ON a.vid = h.vid, tot t"""
+    )
+    return "WITH " + "".join(parts)
+
+
 def _sql_labelprop() -> str:
     """Synchronous min-tie-break label propagation, 2 supersteps unrolled
     (operators/labelprop.py)."""
@@ -534,6 +604,107 @@ per AS (SELECT l_partkey, CAST(SUM(units) AS BIGINT) AS val_units
 SELECT l_partkey, CAST(val_units AS DOUBLE) / 10000.0 AS part_value
 FROM per
 WHERE val_units * 1000 > (SELECT CAST(SUM(units) AS BIGINT) FROM li) * 1""",
+    # Q6 analog: pure scan-agg band predicate (exact integer cents)
+    "tpch_forecast": f"""
+SELECT CAST(SUM({_d('l_extendedprice')} * {_d('l_discount')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) < 2400""",
+    # Q7 analog: bidirectional two-nation trade volume per year
+    "tpch_volume": f"""
+WITH n2 AS (SELECT n_nationkey, n_name FROM nation
+            WHERE n_name IN ('NATION_20', 'NATION_11')),
+s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      JOIN n2 ON s_nationkey = n_nationkey),
+c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+      JOIN n2 ON c_nationkey = n_nationkey)
+SELECT supp_nation, cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN c ON o.o_custkey = c.c_custkey
+JOIN s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((supp_nation = 'NATION_20' AND cust_nation = 'NATION_11')
+    OR (supp_nation = 'NATION_11' AND cust_nation = 'NATION_20'))
+GROUP BY supp_nation, cust_nation, l_year""",
+    # Q8 analog: supplier-nation market share per year (same conditional
+    # aggregate for numerator and denominator; FLOOR-rounded share)
+    "tpch_share": f"""
+WITH rn AS (SELECT n_nationkey FROM nation JOIN region
+            ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey),
+j AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+         {_DISC_PRICE} AS vol, s.supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN s ON l.l_suppkey = s.s_suppkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    AND o.o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_nationkey IN (SELECT n_nationkey FROM rn))
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+                ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE) AS nation_volume,
+  CAST(SUM(vol) AS DOUBLE) AS total_volume,
+  FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+                      ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        / CAST(SUM(vol) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM j GROUP BY o_year""",
+    # Q10 analog: returned-item revenue per customer, top-k
+    "tpch_returned": f"""
+WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'),
+per AS (
+  SELECT o.o_custkey, SUM({_DISC_PRICE}) AS rev
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT rk, c_custkey, c_name, n_name, revenue, acctbal FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(per.rev AS DOUBLE) AS revenue,
+         c.c_acctbal AS acctbal,
+         CAST(ROW_NUMBER() OVER (ORDER BY CAST(per.rev AS DOUBLE) DESC, c.c_custkey) AS INT) AS rk
+  FROM per JOIN customer c ON per.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+) WHERE rk <= 20""",
+    # Q18 analog: HAVING-subquery group filter + join-back, top-k
+    "tpch_bigorders": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qc
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+)
+SELECT rk, o_orderkey, c_custkey, c_name, o_orderdate, totalprice, sum_qty FROM (
+  SELECT o.o_orderkey, c.c_custkey, c.c_name,
+         STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_totalprice AS totalprice,
+         CAST(big.sum_qc AS DOUBLE) / 100.0 AS sum_qty,
+         CAST(ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rk
+  FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 20""",
+    # Q19 analog: disjunction of conjunctive brand/size/quantity clauses
+    "tpch_disjunct": f"""
+SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE ((p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 100 AND 1100)
+    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 1000 AND 2000)
+    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000))""",
     # Q2 analog: correlated-min subquery + join-back. IEEE division of
     # exactly-representable integers and MIN are bit-identical across
     # engines, so the unit == min equality is safe; FLOOR-rounding only
@@ -743,6 +914,47 @@ def q_triangles_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_vid_conv(spark, sf_dir)
     _total, per_vertex = cascade_triangles(spark, e, _graph_cfg())
     return per_vertex.select("vid", "triangles")
+
+
+def _bfs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation originators (of conversations that produced at least
+    one influence edge) as (conv_id, vid) — the natural BFS source set:
+    'how far does influence travel from the openers?'."""
+    e = _edge_turns(spark, sf_dir)
+    return e.select(
+        "conv_id",
+        (_uid("conv_id") * 100000 + F.col("orig_turn")).alias("vid"),
+    ).distinct()
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.bfs import bfs_hops
+
+    e = _edges_vid(spark, sf_dir)
+    srcs = _bfs_sources(spark, sf_dir).select("vid")
+    return bfs_hops(spark, e, srcs, _graph_cfg(), max_iterations=100).select(
+        "vid", "dist"
+    )
+
+
+def q_bfs_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.cascade_algos import cascade_bfs
+
+    e = _edges_vid_conv(spark, sf_dir)
+    srcs = _bfs_sources(spark, sf_dir)
+    return cascade_bfs(spark, e, srcs, _graph_cfg()).select("vid", "dist")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.hits import hits
+
+    e = _edges_vid(spark, sf_dir)
+    res = hits(spark, e, _graph_cfg(), fixed_iterations=_HITS_ITERS)
+    return res.select(
+        "vid",
+        decimal_round(F.col("hub"), 6).alias("hub"),
+        decimal_round(F.col("auth"), 6).alias("auth"),
+    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,6 +1201,55 @@ def q_tpch_corrmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_forecast(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nation_trade_volume(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_share(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+        _tbl(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returned_item_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return large_quantity_orders(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return disjunctive_brand_revenue(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "part")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -1021,6 +1282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_cascade": q_components_cascade,
         "labelprop_cascade": q_labelprop_cascade,
         "triangles_cascade": q_triangles_cascade,
+        "bfs": q_bfs,
+        "bfs_cascade": q_bfs_cascade,
+        "hits": q_hits,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -1058,6 +1322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_suppcnt": q_tpch_suppcnt,
         "tpch_scalar": q_tpch_scalar,
         "tpch_corrmin": q_tpch_corrmin,
+        "tpch_forecast": q_tpch_forecast,
+        "tpch_volume": q_tpch_volume,
+        "tpch_share": q_tpch_share,
+        "tpch_returned": q_tpch_returned,
+        "tpch_bigorders": q_tpch_bigorders,
+        "tpch_disjunct": q_tpch_disjunct,
     }
 
 
@@ -1082,6 +1352,10 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY out_deg DESC, conv_id, src_turn) AS INT) AS rk FROM deg\n"
         ") WHERE rk <= 20",
         "pagerank": _sql_pagerank(),
+        "bfs": _sql_bfs(),
+        # cascade BFS computes the same conversation-local distances
+        "bfs_cascade": _sql_bfs(),
+        "hits": _sql_hits(),
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

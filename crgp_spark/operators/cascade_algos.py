@@ -293,6 +293,98 @@ def _triangles_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"vid": nodes[touched], "triangles": per[touched]})
 
 
+_BFS_INF = np.int64(1) << 60
+
+
+def _bfs_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-source BFS over one conversation's edges.
+
+    Input rows are the conversation's ``(src, dst)`` edges plus
+    source-marker rows flagged ``is_src`` (dst ignored; a boolean flag
+    rather than a NULL dst keeps the vid columns int64 end-to-end — a
+    nullable long would round-trip through float64 in Arrow/pandas and
+    corrupt vids ≥ 2^53).  Distance relaxation is the Bellman-Ford
+    recurrence ``d[v] = min(d[v], d[u]+1)`` run to fixpoint with
+    ``np.minimum.at`` — O(E) per round, rounds = eccentricity of the
+    source set (conversation DAGs: a handful).  Returns ``(vid, dist)``
+    for reached vertices only, matching ``bfs_hops``."""
+    is_src = pdf["is_src"].to_numpy()
+    src = pdf["src"].to_numpy().astype(np.int64)
+    e_src = src[~is_src]
+    e_dst = pdf["dst"].to_numpy().astype(np.int64)[~is_src]
+    s_v = src[is_src]
+    nodes, inv = np.unique(
+        np.concatenate([e_src, e_dst, s_v]), return_inverse=True
+    )
+    ne = len(e_src)
+    si, di, srci = inv[:ne], inv[ne : 2 * ne], inv[2 * ne :]
+    dist = np.full(len(nodes), _BFS_INF, dtype=np.int64)
+    dist[srci] = 0
+    while True:
+        nd = dist.copy()
+        if ne:
+            np.minimum.at(nd, di, dist[si] + 1)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    reached = dist < _BFS_INF
+    return pd.DataFrame(
+        {"vid": nodes[reached], "dist": dist[reached].astype(np.int32)}
+    )
+
+
+def cascade_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Multi-source BFS over the conversation-partitioned layout: ONE
+    ``applyInPandas`` pass grouped by conversation — no supersteps, no
+    per-round shuffles — exact because influence edges never cross
+    conversations, so hop distances are conversation-local.
+
+    ``edges`` = (src, dst, conv_id); ``sources`` = (conv_id, vid).
+    Source markers ride the same shuffle as the edges (``is_src`` flag
+    rows), so the kernel needs no side channel.  Conversations beyond
+    ``RESIDUE_KERNEL_MAX_EDGES`` fall back to the generic superstep
+    ``bfs_hops`` over their edges only and union in (the split-residue
+    hybrid pattern)."""
+    cfg = cfg or EngineConfig()
+    rows = edges.select(
+        "conv_id", F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.lit(False).alias("is_src"),
+    )
+    srows = sources.select(
+        "conv_id",
+        F.col("vid").cast("long").alias("src"),
+        F.col("vid").cast("long").alias("dst"),
+        F.lit(True).alias("is_src"),
+    )
+    sizes = edges.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_e"))
+    big = sizes.filter(F.col("n_e") > RESIDUE_KERNEL_MAX_EDGES).select("conv_id")
+    if big.isEmpty():
+        return rows.unionByName(srows).groupBy("conv_id").applyInPandas(
+            _bfs_kernel, "vid long, dist int"
+        )
+    small = rows.unionByName(srows).join(
+        F.broadcast(big), "conv_id", "left_anti"
+    )
+    local = small.groupBy("conv_id").applyInPandas(
+        _bfs_kernel, "vid long, dist int"
+    )
+    from crgp_spark.operators.bfs import bfs_hops
+
+    big_edges = edges.join(F.broadcast(big), "conv_id", "left_semi")
+    big_sources = sources.join(F.broadcast(big), "conv_id", "left_semi")
+    residue = bfs_hops(
+        spark, big_edges.select("src", "dst"),
+        big_sources.select("vid"), cfg,
+    )
+    return local.unionByName(residue.select("vid", "dist"))
+
+
 # -- connected components ---------------------------------------------------
 
 

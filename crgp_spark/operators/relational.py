@@ -531,6 +531,303 @@ def cheapest_supplier_per_part(
     )
 
 
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_cents_lo: int = 5,
+    disc_cents_hi: int = 7,
+    qty_max: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate with a band predicate.
+
+    The canonical predicate-pushdown showcase — no join at all; the
+    shipdate range reaches the parquet scan as PushedFilters and the
+    discount/quantity bands run inside whole-stage codegen.  The band
+    bounds compare in exact integer cents (``floor(x*100+0.5)``) so
+    boundary rows (discount exactly 0.05) classify identically in both
+    engines.  Revenue = SUM(extendedprice * discount) in DECIMAL."""
+    disc_cents = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+        & disc_cents.between(disc_cents_lo, disc_cents_hi)
+        & (qty_cents < qty_max * 100)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(F.col("_rev").cast("double").alias("revenue"), "n_lines")
+
+
+def nation_trade_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_20",
+    nation_b: str = "NATION_11",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation join + per-year volume.
+
+    Supplier and customer nations are pre-filtered to the two nations of
+    interest BEFORE the fact-table join (a 2-row dim each — broadcast),
+    and the direction predicate (A→B or B→A) applies after both dims are
+    attached.  One shuffle: lineitem⋈orders on orderkey; the per-year
+    aggregate is map-side combinable on a 2×2×years key."""
+    pair = (nation_a, nation_b)
+    n = nation.filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.year("l_shipdate").alias("l_year"),
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(revenue.alias("_rev"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    r_name: str = "ASIA",
+    p_type: str = "PROMO",
+    supp_nation: str = "NATION_9",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation, per year.
+
+    Numerator and denominator are the SAME conditional aggregate over
+    one joined stream (no second pass): share =
+    Σ(case supp_nation) / Σ(all), both kept exact in DECIMAL until the
+    final double division; the displayed share is floor-rounded at 6dp
+    (``decimal_round`` idiom).  part is the selective dim (one p_type)
+    and prunes the fact scan first; region→nation→customer restricts
+    the order side; all dims broadcast."""
+    r = region.filter(F.col("r_name") == r_name)
+    n_cust = nation.join(
+        F.broadcast(r), nation.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cnk"))
+    c = customer.join(
+        F.broadcast(n_cust), customer.c_nationkey == F.col("cnk")
+    ).select("c_custkey")
+    s = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(date_from))
+        & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(25,4)")
+    j = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey, "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    share = F.col("_num").cast("double") / F.col("_den").cast("double")
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == supp_nation, vol).otherwise(zero)).alias("_num"),
+            F.sum(vol).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.col("_num").cast("double").alias("nation_volume"),
+            F.col("_den").cast("double").alias("total_volume"),
+            (F.floor(share * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mkt_share"),
+        )
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer, top-k.
+
+    The quarter filter prunes orders at the scan and the returnflag
+    filter prunes lineitem; they join on orderkey (the only big
+    shuffle), aggregate per customer, then attach the customer/nation
+    dims broadcast-side BEFORE the top-k so the TakeOrderedAndProject
+    carries final columns only."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts(date_from))
+        & (F.col("o_orderdate") < _ts(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(revenue.alias("_rev"))
+    )
+    cn = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    out = per_cust.join(
+        F.broadcast(cn), per_cust.o_custkey == cn.c_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "c_custkey", "c_name", "n_name", "revenue", "acctbal")
+    )
+
+
+def large_quantity_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 250,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery group filter + join-back.
+
+    Orders whose total quantity exceeds the threshold: one shuffle on
+    orderkey for the per-order sum (map-side combinable), the threshold
+    compares in exact integer cents, and the surviving order set (tiny)
+    broadcasts back onto orders⋈customer.  Top-k by totalprice with a
+    total tie-break."""
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    big = (
+        lineitem.select("l_orderkey", qty_cents.alias("_qc"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("_qc").alias("sum_qc"))
+        .filter(F.col("sum_qc") > qty_threshold * 100)
+    )
+    j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            (F.col("sum_qc").cast("double") / 100.0).alias("sum_qty"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "rk", "o_orderkey", "c_custkey", "c_name", "o_orderdate",
+            "totalprice", "sum_qty",
+        )
+    )
+
+
+def disjunctive_brand_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    clauses: tuple[tuple[str, int, int, int], ...] = (
+        ("Brand#1", 5, 1, 11),
+        ("Brand#2", 10, 10, 20),
+        ("Brand#3", 15, 20, 30),
+    ),
+) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across the join.
+
+    Each clause is (brand, max_size, qty_lo, qty_hi).  Catalyst pushes
+    the OR-of-brands disjunction down both sides (part scan keeps only
+    the three brands; lineitem keeps the quantity envelope) before the
+    broadcast join evaluates the full disjunction.  Quantity bounds
+    compare in exact integer cents."""
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    li = lineitem.select(
+        "l_partkey", "l_extendedprice", "l_discount", qty_cents.alias("_qc")
+    )
+    p = part.filter(
+        F.col("p_brand").isin(*[c[0] for c in clauses])
+    ).select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, max_size, qlo, qhi in clauses:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, max_size))
+            & (F.col("_qc").between(qlo * 100, qhi * 100))
+        )
+        cond = c if cond is None else (cond | c)
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(cond)
+        .agg(revenue.alias("_rev"), F.count(F.lit(1)).alias("n_lines"))
+        .select(F.col("_rev").cast("double").alias("revenue"), "n_lines")
+    )
+
+
 def top_orders_per_segment(
     customer: DataFrame, orders: DataFrame, k: int = 5
 ) -> DataFrame:
