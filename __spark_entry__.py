@@ -957,6 +957,18 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.graphstats import degree_histogram
+
+    return degree_histogram(_edges_vid(spark, sf_dir))
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.textstats import ngram_topk
+
+    return ngram_topk(_docs(spark, sf_dir), n=2, k=50)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -1285,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "bfs_cascade": q_bfs_cascade,
         "hits": q_hits,
+        "degree_hist": q_degree_hist,
+        "ngram_topk": q_ngram_topk,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -1356,6 +1370,31 @@ def oracle_sql() -> dict[str, str]:
         # cascade BFS computes the same conversation-local distances
         "bfs_cascade": _sql_bfs(),
         "hits": _sql_hits(),
+        "degree_hist": f"WITH {_SQL_EVID},\n"
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),\n"
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)\n"
+        "SELECT COALESCE(deg.d, 0) AS out_deg, COUNT(*) AS n_vertices\n"
+        "FROM verts v LEFT JOIN deg ON deg.src = v.vid GROUP BY 1",
+        "ngram_topk": """
+WITH ntext AS (
+  SELECT TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+tk AS (
+  SELECT CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+  FROM ntext
+),
+grams AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 1),
+                               i -> ARRAY_TO_STRING(tk[i + 1 : i + 2], ' '))) AS gram
+  FROM tk WHERE LEN(tk) >= 2
+),
+agg AS (SELECT gram, COUNT(*) AS n_occurrences FROM grams GROUP BY gram)
+SELECT rk, gram, n_occurrences FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram) AS INT) AS rk
+  FROM agg
+) WHERE rk <= 50""",
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

@@ -300,6 +300,17 @@ def main() -> None:
         )[0],
     )
 
+    # --- BFS + HITS (the round-3 traversal/ranking additions)
+    from crgp_spark.operators.bfs import bfs_hops
+    from crgp_spark.operators.cascade_algos import cascade_bfs
+    from crgp_spark.operators.hits import hits as hits_op
+
+    # natural source set: one originator per conversation (min vid)
+    srcs = e3.groupBy("conv_id").agg(F.min("src").alias("vid"))
+    timed("bfs", lambda: bfs_hops(spark, e2, srcs.select("vid"), cfg).count())
+    timed("bfs_cascade", lambda: cascade_bfs(spark, e3, srcs, cfg).count())
+    timed("hits_2it", lambda: hits_op(spark, e2, cfg, fixed_iterations=2).count())
+
     # forced-split hybrid: same input with the hub threshold lowered so
     # the largest conversations salt across sub-blocks — exercises the
     # split-residue path (in-block kernels for unsplit conversations +

@@ -14,7 +14,7 @@ integer arithmetic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crgp_spark.functions import decimal_round
@@ -176,3 +176,37 @@ def winnowing_fingerprints(
         "doc_id",
         F.when(n == 0, F.array().cast("array<string>")).otherwise(fps).alias("_f"),
     ).select("doc_id", F.explode("_f").alias("fp"))
+
+
+def ngram_topk(
+    docs: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level word n-gram frequency: the top-``k`` most frequent
+    n-grams of the normalized corpus as ``(rk, gram, n_occurrences)``
+    with a deterministic (count desc, gram asc) total order.
+
+    The vocabulary-building primitive of a tokenizer-training pipeline
+    (counting EVERY occurrence — unlike ``word_shingles``, which
+    dedupes per document for set similarity).  Scale shape: the explode
+    is scan-side, the count is a map-side-combinable groupBy on the
+    gram, and the top-k compiles to TakeOrderedAndProject — no global
+    sort, no per-row Python."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    agg = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "gram", "n_occurrences")
+    )
