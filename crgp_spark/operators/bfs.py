@@ -91,7 +91,11 @@ def bfs_hops(
         n_new = nxt.count()
         if n_new == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # no re-checkpoint of the accumulated state: dist stays a
+        # shallow union of the already-checkpointed per-round frontiers
+        # (K leaves after K rounds), so growing it is free — only the
+        # new frontier ever materializes
+        dist = dist.unionByName(nxt)
         frontier = nxt
         n_state += n_new
 

@@ -93,6 +93,37 @@ def main() -> None:
         "Correlated-min subquery decorrelated to agg + join-back "
         "(Q2 shape)": rel.cheapest_supplier_per_part(
             tbl["lineitem"], tbl["supplier"], tbl["part"], tbl["nation"]),
+        "Band-predicate scan-agg, no join at all (Q6 shape)":
+            rel.revenue_forecast(tbl["lineitem"]),
+        "Two-nation bidirectional volume: pre-filtered 2-row dims "
+        "(Q7 shape)": rel.nation_trade_volume(
+            tbl["customer"], tbl["orders"], tbl["lineitem"],
+            tbl["supplier"], tbl["nation"]),
+        "Market share: one conditional aggregate for numerator and "
+        "denominator (Q8 shape)": rel.market_share(
+            tbl["customer"], tbl["orders"], tbl["lineitem"],
+            tbl["supplier"], tbl["nation"], tbl["region"], tbl["part"]),
+        "Returned-item customers: fact-side filters + broadcast dims + "
+        "top-k (Q10 shape)": rel.returned_item_customers(
+            tbl["customer"], tbl["orders"], tbl["lineitem"], tbl["nation"]),
+        "HAVING-subquery group filter broadcast back (Q18 shape)":
+            rel.large_quantity_orders(
+                tbl["customer"], tbl["orders"], tbl["lineitem"]),
+        "Disjunctive brand/size/qty clauses pushed down both join sides "
+        "(Q19 shape)": rel.disjunctive_brand_revenue(
+            tbl["lineitem"], tbl["part"]),
+    })
+
+    from crgp_spark.operators.graphstats import degree_histogram
+    from crgp_spark.operators.textstats import ngram_topk
+
+    docs2 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sections.update({
+        "Degree histogram: two map-side-combinable aggregates, outer "
+        "join for the 0 bucket": degree_histogram(
+            derive_edges(t).select("src", "dst")),
+        "Corpus n-gram top-k: scan-side explode, partial count, "
+        "TakeOrderedAndProject": ngram_topk(docs2),
     })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
