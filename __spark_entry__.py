@@ -347,6 +347,54 @@ bfs AS (
 SELECT vid, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY vid"""
 
 
+def _sql_ppr() -> str:
+    """Personalized PageRank with teleport/dangling mass restricted to
+    the conversation originators, 3 iterations unrolled
+    (operators/pagerank.py::personalized_pagerank — expression
+    association mirrored term-for-term so only the 6dp rounding absorbs
+    float-summation order)."""
+    a = _PR_ALPHA
+    parts = [
+        _sql_evid(),
+        """,
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+srcs AS (SELECT DISTINCT uid * 100000 + orig_turn AS vid FROM edges),
+sv AS (
+    SELECT v.vid, CASE WHEN s.vid IS NOT NULL THEN 1 ELSE 0 END AS is_src
+    FROM verts v LEFT JOIN srcs s ON s.vid = v.vid
+),
+ns AS (SELECT CAST(SUM(is_src) AS DOUBLE) AS s FROM sv),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+p0 AS (SELECT vid, is_src / (SELECT s FROM ns) AS rank FROM sv)""",
+    ]
+    for it in range(_PR_ITERS):
+        p, c = f"p{it}", f"p{it + 1}"
+        parts.append(
+            f""",
+pdang{it} AS (
+    SELECT COALESCE(SUM(r.rank), 0) AS dm FROM {p} r
+    LEFT JOIN deg ON deg.src = r.vid WHERE deg.src IS NULL
+),
+pm{it} AS (
+    SELECT e.dst AS vid, SUM(r.rank / deg.d) AS c
+    FROM e JOIN deg ON deg.src = e.src JOIN {p} r ON r.vid = e.src
+    GROUP BY e.dst
+),
+{c} AS (
+    SELECT sv.vid,
+           sv.is_src * ({1.0 - a} / (SELECT s FROM ns)
+                        + ({a} * (SELECT dm FROM pdang{it})) / (SELECT s FROM ns))
+           + {a} * COALESCE(m.c, 0) AS rank
+    FROM sv LEFT JOIN pm{it} m ON m.vid = sv.vid
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT vid, FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS rank FROM p{_PR_ITERS}"
+    )
+
+
 _HITS_ITERS = 2
 
 
@@ -957,6 +1005,23 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.pagerank import personalized_pagerank
+
+    e = _edges_vid(spark, sf_dir)
+    srcs = _bfs_sources(spark, sf_dir).select("vid")
+    ranks = personalized_pagerank(
+        spark, e, srcs, _graph_cfg(), fixed_iterations=_PR_ITERS
+    )
+    return ranks.select("vid", decimal_round(F.col("rank"), 6).alias("rank"))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crgp_spark.operators.graphstats import clustering_coefficient
+
+    return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crgp_spark.operators.graphstats import degree_histogram
 
@@ -1297,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "bfs_cascade": q_bfs_cascade,
         "hits": q_hits,
+        "ppr": q_ppr,
+        "clustering": q_clustering,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
         "exact_dedup": q_exact_dedup,
@@ -1370,6 +1437,25 @@ def oracle_sql() -> dict[str, str]:
         # cascade BFS computes the same conversation-local distances
         "bfs_cascade": _sql_bfs(),
         "hits": _sql_hits(),
+        "ppr": _sql_ppr(),
+        "clustering": f"WITH {_SQL_EVID},\n"
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
+        "nbrs AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),\n"
+        "cdeg AS (SELECT a AS vid, COUNT(*) AS degree FROM nbrs GROUP BY a),\n"
+        "tri AS (\n"
+        "  SELECT ab.a AS x, ab.b AS y, bc.b AS z\n"
+        "  FROM und ab JOIN und bc ON bc.a = ab.b JOIN und ac ON ac.a = ab.a AND ac.b = bc.b\n"
+        "),\n"
+        "cnt AS (\n"
+        "  SELECT vid, COUNT(*) AS triangles FROM (\n"
+        "    SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri\n"
+        "  ) GROUP BY vid\n"
+        ")\n"
+        "SELECT d.vid, d.degree, COALESCE(c.triangles, 0) AS triangles,\n"
+        "  FLOOR((CASE WHEN d.degree >= 2\n"
+        "              THEN 2.0 * COALESCE(c.triangles, 0) / (d.degree * (d.degree - 1))\n"
+        "              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS coeff\n"
+        "FROM cdeg d LEFT JOIN cnt c ON c.vid = d.vid",
         "degree_hist": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),\n"
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)\n"

@@ -37,3 +37,43 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         .groupBy("out_deg")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
     )
+
+
+def clustering_coefficient(spark, edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: ``coeff = 2·triangles / (degree·(degree−1))``
+    (0 where degree < 2), with the distinct-neighbor degree.
+
+    Composes the degree-oriented triangle counter with one
+    distinct-neighbor aggregate — the standard cohesion metric next to
+    the degree histogram.  The coefficient divides two exact integers,
+    so the floor-rounded 6dp output is engine-independent.  Returns
+    ``(vid, degree, triangles, coeff)``."""
+    from crgp_spark.operators.triangles import triangles as _tri
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = nbrs.groupBy(F.col("a").alias("vid")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    _total, per_vertex = _tri(spark, edges)
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.col("triangles").cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return deg.join(per_vertex, "vid", "left").select(
+        "vid",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        (F.floor(coeff * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("coeff"),
+    )

@@ -333,3 +333,88 @@ def pagerank_df(
     verts.unpersist()
     dangling_vids.unpersist()
     return ranks
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    cfg: EngineConfig | None = None,
+    fixed_iterations: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to the
+    ``sources`` set only, so scores measure proximity to the sources
+    rather than global centrality — 'influence reach' when seeded with
+    the conversation originators (the recommendation/expansion primitive
+    built on the same reconstructed cascade edges).
+
+    Same plan shape as ``pagerank_df`` (one job per iteration: dangling
+    scalar folded in via a broadcast 1-row cross-join, ``state_hint``-ed
+    per-iteration joins, ``localCheckpoint`` truncation); the restart
+    vector is uniform over sources.  Fixed iteration count — the driver
+    oracle unrolls the identical recurrence in SQL.  Returns
+    ``(vid, rank)``."""
+    cfg = cfg or EngineConfig()
+    alpha = cfg.damping
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = (
+        edges.select("src", "dst")
+        .join(deg, "src")
+        .repartition(cfg.shuffle_partitions, "src")
+        .persist()
+    )
+    verts = vertex_universe(edges, cfg).persist()
+    n = verts.count()
+    src_set = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
+    flagged = verts.join(
+        src_set.withColumn("_s", F.lit(1)), "vid", "left"
+    ).select("vid", F.coalesce("_s", F.lit(0)).alias("is_src")).persist()
+    s = flagged.agg(F.sum("is_src")).first()[0] or 0
+    if s == 0:
+        raise ValueError("personalized_pagerank: no source vertex is in the graph")
+    dangling_vids = verts.join(
+        deg.select(F.col("src").alias("vid")), "vid", "left_anti"
+    ).persist()
+
+    ranks = flagged.select(
+        "vid", (F.col("is_src") / F.lit(float(s))).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _it in range(fixed_iterations):
+        dang = (
+            ranks.join(_state_hint(dangling_vids, n), "vid", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        msgs = e.join(_state_hint(ranks, n), e["src"] == ranks["vid"]).select(
+            "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
+        )
+        sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
+        ranks = (
+            flagged.join(
+                _state_hint(sums, n), flagged["vid"] == sums["dst"], "left"
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "vid",
+                (
+                    F.col("is_src")
+                    * (
+                        F.lit((1.0 - alpha) / s)
+                        + F.lit(alpha) * F.col("_dang") / F.lit(float(s))
+                    )
+                    + F.lit(alpha)
+                    * F.coalesce(F.col("in_contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        from crgp_spark.plans.superstep import _release_stale_checkpoints
+
+        _release_stale_checkpoints(spark, _it)
+
+    e.unpersist()
+    verts.unpersist()
+    flagged.unpersist()
+    dangling_vids.unpersist()
+    return ranks

@@ -19,6 +19,8 @@ Subcommands per --algo:
   components  small-star/large-star connected components
   labelprop   synchronous label propagation
   triangles   exact triangle count
+  bfs         multi-source BFS hops (sources: originator per conv)
+  hits        HITS hubs/authorities (exact integer rounds)
   generate    synthetic transcripts parquet (deterministic, seeded)
 """
 
@@ -231,6 +233,51 @@ def main() -> None:
         secs = time.time() - t0
         out.update(edges=n_edges, triangles=total, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "bfs":
+        from crgp_spark.operators.bfs import bfs_hops
+        from pyspark.sql import functions as F
+
+        full = spark.read.parquet(args.edges)
+        edges = full.select("src", "dst")
+        n_edges = edges.count()
+        # source set: one originator per conversation if the edge table
+        # carries conv_id, else every vertex with no in-edges
+        if "conv_id" in full.columns:
+            sources = full.groupBy("conv_id").agg(F.min("src").alias("vid"))
+            sources = sources.select("vid")
+        else:
+            sources = (
+                edges.select(F.col("src").alias("vid"))
+                .distinct()
+                .join(
+                    edges.select(F.col("dst").alias("vid")).distinct(),
+                    "vid",
+                    "left_anti",
+                )
+            )
+        t0 = time.time()
+        reached = bfs_hops(
+            spark, edges, sources, cfg,
+            max_iterations=args.fixed_iterations,
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices_reached=reached,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "hits":
+        from crgp_spark.operators.hits import hits
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        iters = args.fixed_iterations or 2
+        t0 = time.time()
+        n = hits(spark, edges, cfg, fixed_iterations=iters).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, iterations=iters, vertices_scored=n,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges * iters / secs))
 
     elif args.algo in (
         "cascade_components", "cascade_labelprop", "cascade_triangles"
