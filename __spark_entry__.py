@@ -860,6 +860,25 @@ def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation under the hard gate: drain
+    the sf events through Structured Streaming in capped micro-batches
+    and hash the final windowed totals against the batch GROUP BY SQL.
+    Integer-cents accumulation makes the result independent of
+    micro-batch boundaries and summation order, so stream==batch holds
+    bit-for-bit (streaming/windows.py)."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_window_counts
+
+    work = "/tmp/crgp_stream_window"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_window_counts(
+        spark, work, window="1 hour", max_files_per_trigger=2
+    )
+
+
 def q_top_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edge_turns(spark, sf_dir)
     deg = e.groupBy("conv_id", "src_turn", "src_participant").agg(
@@ -1350,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activations": q_activations,
         "derive_edges": q_derive_edges,
         "stream_edges": q_stream_edges,
+        "stream_window": q_stream_window,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -1426,6 +1446,15 @@ def oracle_sql() -> dict[str, str]:
         # batch derivation exactly, so its oracle IS the batch SQL
         "stream_edges": f"WITH {_SQL_EDGES}\n"
         "SELECT conv_id, src_turn, src_participant, dst_turn, dst_participant, orig_turn FROM edges",
+        # stream==batch again: the streamed tumbling-window totals must
+        # equal the batch GROUP BY (integer-cents accumulation)
+        "stream_window": (
+            "SELECT CAST(FLOOR(EPOCH(ts)/3600)*3600 AS BIGINT) AS window_start,\n"
+            "       event_type,\n"
+            "       COUNT(*) AS n_events,\n"
+            "       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents\n"
+            "FROM events GROUP BY 1, 2"
+        ),
         "top_influencers": f"WITH {_SQL_EDGES},\n"
         "deg AS (SELECT conv_id, src_turn, src_participant, COUNT(*) AS out_deg\n"
         "        FROM edges GROUP BY conv_id, src_turn, src_participant)\n"

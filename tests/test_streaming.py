@@ -216,3 +216,35 @@ def test_stateful_streaming_matches_batch(spark, tmp_path, split):
     want = _edge_set(derive_edge_turns(t))
     assert got == want and got
     t.unpersist()
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_stream_window_matches_batch(spark, tmp_path, files_per_trigger):
+    """Tumbling-window streamed totals == batch GROUP BY, independent of
+    micro-batch granularity (integer-cents accumulation)."""
+    from crgp_spark.streaming.windows import stream_window_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "ev")
+    ev.repartition(4, "event_id").write.parquet(inp)
+
+    got = stream_window_counts(
+        spark, inp, window="1 hour", max_files_per_trigger=files_per_trigger
+    )
+    from crgp_spark.functions import ts_micros
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    want = (
+        ev.groupBy(
+            (
+                F.floor(ts_micros("ts") / F.lit(3_600_000_000)) * 3600
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    key = lambda df: {tuple(r) for r in df.collect()}
+    assert key(got) == key(want) and got.count() > 100
