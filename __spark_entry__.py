@@ -879,6 +879,14 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (sort-based `percentile` aggregate ==
+    DuckDB quantile_cont bit-for-bit; operators/quantiles.py)."""
+    from crgp_spark.operators.quantiles import value_quantiles
+
+    return value_quantiles(_events(spark, sf_dir))
+
+
 def q_top_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edge_turns(spark, sf_dir)
     deg = e.groupBy("conv_id", "src_turn", "src_participant").agg(
@@ -1370,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derive_edges": q_derive_edges,
         "stream_edges": q_stream_edges,
         "stream_window": q_stream_window,
+        "quantiles": q_quantiles,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -1454,6 +1463,17 @@ def oracle_sql() -> dict[str, str]:
             "       COUNT(*) AS n_events,\n"
             "       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents\n"
             "FROM events GROUP BY 1, 2"
+        ),
+        # exact percentiles: Spark `percentile` and DuckDB quantile_cont
+        # share the linear-interpolation definition — no rounding needed
+        "quantiles": (
+            "SELECT event_type, COUNT(*) AS n,\n"
+            "  QUANTILE_CONT(value, 0.25) AS p25,\n"
+            "  QUANTILE_CONT(value, 0.50) AS p50,\n"
+            "  QUANTILE_CONT(value, 0.75) AS p75,\n"
+            "  QUANTILE_CONT(value, 0.90) AS p90,\n"
+            "  QUANTILE_CONT(value, 0.99) AS p99\n"
+            "FROM events GROUP BY event_type"
         ),
         "top_influencers": f"WITH {_SQL_EDGES},\n"
         "deg AS (SELECT conv_id, src_turn, src_participant, COUNT(*) AS out_deg\n"
