@@ -1107,6 +1107,23 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: LSH pairs -> connected
+    components -> min-doc_id representative + cluster size
+    (dedup.py::neardup_clusters; oracle closes the pair graph with a
+    recursive CTE)."""
+    from crgp_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(
+        spark,
+        _docs(spark, sf_dir),
+        n_hashes=4,
+        band_size=2,
+        threshold=0.6,
+        cfg=_graph_cfg(),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched decode kernel runs for real (mapInPandas over
     the fake decoder standing in for PIL/libav); the oracle checks the
@@ -1406,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "jaccard": q_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "neardup_clusters": q_neardup_clusters,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -1710,6 +1728,47 @@ FROM u""",
         ")\n"
         "SELECT doc_id FROM documents\n"
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)",
+        # transitive closure of the verified near-dup pair graph
+        # (recursive CTE == the engine's connected-components rounds)
+        "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
+        "bands AS (\n"
+        "  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS key FROM sig\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS key FROM sig\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key\n"
+        "  WHERE l.doc_id < r.doc_id\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),\n"
+        "inter AS (\n"
+        "  SELECT c.a, c.b, COUNT(*) AS i\n"
+        "  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y\n"
+        "    ON y.doc_id = c.b AND y.s = x.s\n"
+        "  GROUP BY c.a, c.b\n"
+        "),\n"
+        "ver AS (\n"
+        "  SELECT a, b FROM inter\n"
+        "  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b\n"
+        "  WHERE i > 0.6 * (sa.n + sb.n - i)\n"
+        "),\n"
+        "und AS (SELECT a, b FROM ver UNION SELECT b AS a, a AS b FROM ver),\n"
+        "reach(a, b) AS (\n"
+        "  SELECT a, b FROM und\n"
+        "  UNION\n"
+        "  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b\n"
+        "),\n"
+        "lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster\n"
+        "        FROM reach GROUP BY a),\n"
+        "asg AS (\n"
+        "  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster\n"
+        "  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id\n"
+        "),\n"
+        "csz AS (SELECT cluster, COUNT(*) AS cluster_size\n"
+        "        FROM asg GROUP BY cluster)\n"
+        "SELECT a.doc_id, a.cluster, s.cluster_size\n"
+        "FROM asg a JOIN csz s ON s.cluster = a.cluster",
         # SQ8 compressed-domain kNN: L2-normalize, symmetric global-scale
         # int8 codes (shift-free — shifts distort dot products), exact
         # integer dot-product ranking

@@ -167,6 +167,53 @@ def minhash_dedup(
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
+def neardup_clusters(
+    spark,
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.6,
+    cfg=None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: LSH candidates -> exact-Jaccard
+    verified pairs -> connected components over the pair graph ->
+    one row per document with its cluster representative (min doc_id
+    reachable through verified near-dup pairs) and the cluster size.
+
+    ``minhash_dedup`` drops the larger side of each PAIR, which keeps a
+    doc whose only near-dups were themselves dropped; clustering gives
+    the transitive answer (one canonical doc per dup *family*) — the
+    policy large-corpus pipelines actually want.  Every stage is a
+    bucketed join or the small-/large-star component rounds, so the
+    composition inherits both families' 100 TB properties.
+    """
+    from crgp_spark.operators.components import connected_components
+
+    cands = lsh_candidate_pairs(docs, text_col, n_hashes, band_size, k)
+    verified = jaccard_pairs(docs, cands, text_col, k, threshold)
+    edges = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ids = docs.select("doc_id")
+    if edges.isEmpty():
+        lab = ids.select("doc_id", F.col("doc_id").alias("cluster"))
+    else:
+        comps = connected_components(
+            spark, edges, cfg, algo_name="neardup_cc"
+        )
+        lab = ids.join(
+            comps, ids["doc_id"] == comps["vid"], "left"
+        ).select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster")
+        )
+    sizes = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
+    )
+
+
 def simhash_candidate_pairs(
     docs: DataFrame,
     text_col: str = "text",
