@@ -347,6 +347,33 @@ bfs AS (
 SELECT vid, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY vid"""
 
 
+def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peel rounds (operators/kcore.py with fixed_rounds):
+    b0 = both-direction simple edges; each round keeps endpoints with
+    degree >= k; output = round-``rounds`` degrees still >= k."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "u0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v\n"
+        "       FROM e WHERE src <> dst GROUP BY 1, 2),",
+        "b0 AS (SELECT u, v FROM u0 UNION ALL SELECT v AS u, u AS v FROM u0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT u, COUNT(*) AS deg FROM b{r - 1} GROUP BY u),"
+        )
+        if r < rounds:
+            parts.append(f"k{r} AS (SELECT u FROM d{r} WHERE deg >= {k}),")
+            parts.append(
+                f"b{r} AS (SELECT b.u, b.v FROM b{r - 1} b\n"
+                f"  JOIN k{r} x ON x.u = b.u JOIN k{r} y ON y.u = b.v),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT u AS vid, CAST(deg AS INT) AS deg FROM d{rounds} WHERE deg >= {k}"
+    )
+    return "\n".join(parts)
+
+
 def _sql_ppr() -> str:
     """Personalized PageRank with teleport/dangling mass restricted to
     the conversation originators, 3 iterations unrolled
@@ -1049,6 +1076,17 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core after 4 pinned peel rounds (operators/kcore.py; the
+    oracle unrolls the same 4 rounds — the fixpoint mode is
+    convergence-probed and covered by tests/test_kcore.py)."""
+    from crgp_spark.operators.kcore import kcore
+
+    return kcore(
+        spark, _edges_vid(spark, sf_dir), k=3, fixed_rounds=4, cfg=_graph_cfg()
+    )
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crgp_spark.operators.graphstats import degree_histogram
 
@@ -1410,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "ppr": q_ppr,
         "clustering": q_clustering,
+        "kcore": q_kcore,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
         "exact_dedup": q_exact_dedup,
@@ -1523,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "              THEN 2.0 * COALESCE(c.triangles, 0) / (d.degree * (d.degree - 1))\n"
         "              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS coeff\n"
         "FROM cdeg d LEFT JOIN cnt c ON c.vid = d.vid",
+        "kcore": _sql_kcore(k=3, rounds=4),
         "degree_hist": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),\n"
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)\n"
