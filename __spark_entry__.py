@@ -1093,6 +1093,13 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_edges_vid(spark, sf_dir))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (textstats.py::tfidf_topk)."""
+    from crgp_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k_top=5)
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crgp_spark.operators.textstats import ngram_topk
 
@@ -1451,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
+        "tfidf": q_tfidf,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
         "token_stats": q_token_stats,
@@ -1588,6 +1596,25 @@ SELECT rk, gram, n_occurrences FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram) AS INT) AS rk
   FROM agg
 ) WHERE rk <= 50""",
+        # smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1)); ties in the raw
+        # score imply equal (tf, df), so the term tie-break is exact
+        "tfidf": f"""WITH {_SQL_SHINGLES},
+tok AS (SELECT doc_id, UNNEST(tk) AS term FROM tk WHERE LEN(tk) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * (LN(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) + 1) AS raw
+  FROM tf t JOIN dfx d ON d.term = t.term, nd n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(tf AS INT) AS tf,
+       CAST(df AS INT) AS df, FLOOR(raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+FROM ranked WHERE rk <= 5""",
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

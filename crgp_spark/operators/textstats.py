@@ -210,3 +210,51 @@ def ngram_topk(
         .filter(F.col("rk") <= k)
         .select("rk", "gram", "n_occurrences")
     )
+
+
+def tfidf_topk(docs: DataFrame, k_top: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document top-``k_top`` terms by smoothed TF-IDF:
+    ``tf · (ln((N+1)/(df+1)) + 1)`` (the sklearn smoothing), ranked
+    tfidf DESC then term ASC.  Returns (doc_id, rk, term, tf, df,
+    tfidf) with tfidf rounded at 6dp via ``decimal_round``.
+
+    Scale shape: one explode + two map-side-combinable groupBys, the
+    corpus size folded in as a broadcast 1-row aggregate (no driver
+    collect), and a per-doc (not global) window for the top-k.  Equal
+    raw scores can only arise from equal (tf, df) pairs — both engines
+    then agree exactly — so the term tie-break makes the ranking
+    cross-engine deterministic despite float scoring."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = F.col("tf") * (
+        F.log(
+            (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double")
+        )
+        + 1
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("raw", raw)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("raw").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_top)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            decimal_round(F.col("raw"), 6).alias("tfidf"),
+        )
+    )

@@ -135,3 +135,26 @@ def test_winnowing_fingerprints(spark, docs):
     assert not (by_doc[0] & by_doc[3])
     # empty text -> no fingerprints
     assert 5 not in by_doc
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    from crgp_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only here common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_topk(docs, k_top=2).collect()
+    }
+    # doc 1: 'apple' is tf=2 df=1 — beats 'common' (tf=3 df=3)
+    assert out[(1, 1)] == ("apple", 2, 1)
+    # doc 2: 'common' (tf=2, score 2.0) edges 'cherry' (1·(ln2+1)=1.69),
+    # which in turn beats 'banana' (df=2, lower idf)
+    assert out[(2, 1)] == ("common", 2, 3)
+    assert out[(2, 2)] == ("cherry", 1, 1)
