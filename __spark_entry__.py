@@ -906,6 +906,21 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed exact-dedup under the hard gate: min/count per content
+    digest maintained in the streaming state store across capped
+    micro-batches; oracle = the batch exact_dedup SQL (stream==batch —
+    MIN/COUNT are order-independent monoids)."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_exact_dedup
+
+    work = "/tmp/crgp_stream_dedup"
+    shutil.rmtree(work, ignore_errors=True)
+    _docs(spark, sf_dir).repartition(8, "doc_id").write.parquet(work)
+    return stream_exact_dedup(spark, work, max_files_per_trigger=2)
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (sort-based `percentile` aggregate ==
     DuckDB quantile_cont bit-for-bit; operators/quantiles.py)."""
@@ -1441,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_edges": q_stream_edges,
         "stream_window": q_stream_window,
         "quantiles": q_quantiles,
+        "stream_dedup": q_stream_dedup,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -1634,6 +1650,9 @@ FROM ranked WHERE rk <= 5""",
         "SELECT allv.vid, COALESCE(cnt.triangles, 0) AS triangles\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
         "exact_dedup": "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes\n"
+        "FROM (SELECT doc_id, MD5(text) AS h FROM documents) GROUP BY h",
+        # stream==batch: the streamed state-store dedup must equal it
+        "stream_dedup": "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes\n"
         "FROM (SELECT doc_id, MD5(text) AS h FROM documents) GROUP BY h",
         "fingerprint": "SELECT doc_id,\n"
         "  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp\n"

@@ -73,3 +73,40 @@ def stream_window_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streamed exact-duplicate grouping: drain a document parquet
+    stream and maintain per-content-digest state in the streaming
+    aggregation store; emit ``(keep_id, n_dupes)`` — the min doc_id and
+    multiplicity per distinct text. MIN and COUNT are commutative
+    monoids, so the result is independent of epoch boundaries and
+    arrival order: stream == batch ``exact_dedup`` exactly."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    agg = (
+        stream.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

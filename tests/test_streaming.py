@@ -248,3 +248,20 @@ def test_stream_window_matches_batch(spark, tmp_path, files_per_trigger):
     )
     key = lambda df: {tuple(r) for r in df.collect()}
     assert key(got) == key(want) and got.count() > 100
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streamed per-digest min/count == batch exact_dedup regardless of
+    micro-batch granularity."""
+    from crgp_spark.operators.dedup import exact_dedup
+    from crgp_spark.streaming.windows import stream_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "text %d" % (i % 7)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "docs")
+    docs.repartition(5, "doc_id").write.parquet(inp)
+    got = {tuple(r) for r in stream_exact_dedup(spark, inp, 1).collect()}
+    want = {tuple(r) for r in exact_dedup(docs).collect()}
+    assert got == want and len(got) == 7
