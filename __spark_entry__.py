@@ -1091,6 +1091,14 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary incl. integer-moment assortativity
+    (graphstats.py::graph_summary — float only in the last division)."""
+    from crgp_spark.operators.graphstats import graph_summary
+
+    return graph_summary(_edges_vid(spark, sf_dir))
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core after 4 pinned peel rounds (operators/kcore.py; the
     oracle unrolls the same 4 rounds — the fixpoint mode is
@@ -1472,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": q_ppr,
         "clustering": q_clustering,
         "kcore": q_kcore,
+        "graph_summary": q_graph_summary,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
         "tfidf": q_tfidf,
@@ -1587,6 +1596,32 @@ def oracle_sql() -> dict[str, str]:
         "              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS coeff\n"
         "FROM cdeg d LEFT JOIN cnt c ON c.vid = d.vid",
         "kcore": _sql_kcore(k=3, rounds=4),
+        # assortativity from exact BIGINT moments — float only in the
+        # final divisions, so no cross-engine summation-order drift
+        "graph_summary": f"""WITH {_SQL_EVID},
+u0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       FROM e WHERE src <> dst GROUP BY 1, 2),
+b0 AS (SELECT u, v FROM u0 UNION ALL SELECT v AS u, u AS v FROM u0),
+dg AS (SELECT u, COUNT(*) AS d FROM b0 GROUP BY u),
+pr AS (SELECT x.d AS dx, y.d AS dy
+       FROM b0 b JOIN dg x ON x.u = b.u JOIN dg y ON y.u = b.v),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS M,
+              CAST(SUM(dx) AS BIGINT) AS sx,
+              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+              CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+              MAX(dx) AS max_deg
+       FROM pr),
+nv AS (SELECT COUNT(*) AS n_vertices FROM dg)
+SELECT n_vertices,
+       CAST(M // 2 AS BIGINT) AS n_edges,
+       CAST(max_deg AS INT) AS max_deg,
+       FLOOR(CAST(M AS DOUBLE) / (CAST(n_vertices AS DOUBLE) * CAST(n_vertices - 1 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS density,
+       FLOOR(CAST(M AS DOUBLE) / CAST(n_vertices AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_deg,
+       FLOOR(CAST(M * sxy - sx * sx AS DOUBLE) / CAST(M * sxx - sx * sx AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+FROM mm, nv""",
         "degree_hist": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),\n"
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)\n"

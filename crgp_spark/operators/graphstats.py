@@ -77,3 +77,71 @@ def clustering_coefficient(spark, edges: DataFrame) -> DataFrame:
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
         (F.floor(coeff * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("coeff"),
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row structural summary of the undirected simple graph:
+    ``(n_vertices, n_edges, max_deg, density, avg_deg, assortativity)``.
+
+    Degree assortativity (Newman 2002) is computed from INTEGER moments
+    over the directed orientation list — M, Σx, Σx², Σxy are exact
+    BIGINT sums (map-side combinable), and the only float ops are the
+    two final divisions, so the result is bit-identical in any engine
+    and independent of partitioning/summation order.  At 100 TB the
+    same plan holds; the BIGINT moments overflow only past ~3·10^9
+    edge-endpoints × 10^4-degree hubs — switch the two product sums to
+    DECIMAL(38,0) there, same shape.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("_su"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("_sv"), F.col("d").alias("dy"))
+    pairs = (
+        both.join(du, both["u"] == du["_su"])
+        .join(dv, both["v"] == dv["_sv"])
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("M"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.max("dx").alias("max_deg"),
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    num = F.col("M") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("M") * F.col("sxx") - F.col("sx") * F.col("sx")
+    from crgp_spark.functions import decimal_round
+
+    return (
+        m.crossJoin(F.broadcast(nv))
+        .select(
+            "n_vertices",
+            (F.col("M") / 2).cast("long").alias("n_edges"),
+            F.col("max_deg").cast("int").alias("max_deg"),
+            decimal_round(
+                F.col("M").cast("double")
+                / (
+                    F.col("n_vertices").cast("double")
+                    * (F.col("n_vertices") - 1).cast("double")
+                ),
+                6,
+            ).alias("density"),
+            decimal_round(
+                F.col("M").cast("double") / F.col("n_vertices").cast("double"),
+                6,
+            ).alias("avg_deg"),
+            decimal_round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("assortativity"),
+        )
+    )

@@ -117,3 +117,21 @@ def test_ppr_requires_source_in_graph(spark, tmp_path):
             spark.createDataFrame(pd.DataFrame({"vid": [99]})),
             _cfg(tmp_path),
         )
+
+
+def test_graph_summary_star(spark):
+    """Star K1,3: assortativity is exactly -1; density 6/(4·3) = 0.5."""
+    from crgp_spark.operators.graphstats import graph_summary
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (3, 0)], "src long, dst long"
+    )
+    r = graph_summary(e).collect()[0]
+    assert (
+        r["n_vertices"],
+        r["n_edges"],
+        r["max_deg"],
+        r["density"],
+        r["avg_deg"],
+        r["assortativity"],
+    ) == (4, 3, 3, 0.5, 1.5, -1.0)
