@@ -518,6 +518,18 @@ _D1 = "CAST(1 AS DECIMAL(12,2))"
 _DISC_PRICE = f"{_d('l_extendedprice')} * ({_D1} - {_d('l_discount')})"
 
 _SQL_TPCH = {
+    # Q15 analog: revenue view + scalar-max subquery; DECIMAL-exact
+    # max equality keeps ties deterministic
+    "tpch_topsupp": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)""",
     "tpch_pricing": f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM({_d('l_quantity')}) AS DOUBLE) AS sum_qty,
@@ -1394,6 +1406,16 @@ def q_tpch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_forecast(_tbl(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 analog: scalar-max subquery over a revenue view
+    (relational.py::top_revenue_suppliers)."""
+    from crgp_spark.operators.relational import top_revenue_suppliers
+
+    return top_revenue_suppliers(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "supplier")
+    )
+
+
 def q_tpch_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation_trade_volume(
         _tbl(spark, sf_dir, "customer"),
@@ -1528,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_returned": q_tpch_returned,
         "tpch_bigorders": q_tpch_bigorders,
         "tpch_disjunct": q_tpch_disjunct,
+        "tpch_topsupp": q_tpch_topsupp,
     }
 
 

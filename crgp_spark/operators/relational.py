@@ -857,3 +857,42 @@ def top_orders_per_segment(
             F.col("o_totalprice").alias("totalprice"),
         )
     )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarterly revenue view, scalar-max
+    subquery keeps the top supplier(s).
+
+    The revenue view is computed ONCE (map-side-partial sum on the
+    shipdate-pruned scan); its max folds back in as a broadcast 1-row
+    aggregate — no re-scan, no global window.  Revenue stays DECIMAL
+    through the max-equality (ties select all maxima exactly, as the
+    spec requires), cast to DOUBLE only on output."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= _ts(date_from))
+            & (F.col("l_shipdate") < _ts(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(D) - _dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
