@@ -344,9 +344,27 @@ def main() -> None:
         )[0],
     )
 
+    # --- round-3 structural additions over the same edge table
+    from crgp_spark.operators.graphstats import graph_summary
+    from crgp_spark.operators.kcore import kcore as kcore_op
+
+    timed("kcore_fixpoint", lambda: kcore_op(spark, e2, k=3, cfg=cfg).count())
+    timed("graph_summary", lambda: graph_summary(e2).count())
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())
+
+    from crgp_spark.operators.dedup import neardup_clusters
+    from crgp_spark.operators.quantiles import value_quantiles
+    from crgp_spark.operators.textstats import tfidf_topk
+
+    timed("tfidf_topk", lambda: tfidf_topk(docs).count())
+    timed(
+        "neardup_clusters",
+        lambda: neardup_clusters(spark, docs, cfg=cfg).count(),
+    )
+    timed("quantiles", lambda: value_quantiles(events).count())
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     timed(
         "knn_bruteforce",

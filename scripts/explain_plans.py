@@ -114,16 +114,27 @@ def main() -> None:
             tbl["lineitem"], tbl["part"]),
     })
 
-    from crgp_spark.operators.graphstats import degree_histogram
-    from crgp_spark.operators.textstats import ngram_topk
+    from crgp_spark.operators.graphstats import degree_histogram, graph_summary
+    from crgp_spark.operators.quantiles import value_quantiles
+    from crgp_spark.operators.textstats import ngram_topk, tfidf_topk
 
     docs2 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    e_vid = derive_edges(t).select("src", "dst")
     sections.update({
         "Degree histogram: two map-side-combinable aggregates, outer "
-        "join for the 0 bucket": degree_histogram(
-            derive_edges(t).select("src", "dst")),
+        "join for the 0 bucket": degree_histogram(e_vid),
         "Corpus n-gram top-k: scan-side explode, partial count, "
         "TakeOrderedAndProject": ngram_topk(docs2),
+        "Q15 shape: scalar-max over a revenue view via broadcast 1-row "
+        "cross-join (no re-scan)": rel.top_revenue_suppliers(
+            tbl["lineitem"], tbl["supplier"]),
+        "Graph summary: exact BIGINT moments, degrees joined to both "
+        "endpoints, one final 1-row project": graph_summary(e_vid),
+        "TF-IDF top-k: explode + two partial-agg groupBys, corpus size "
+        "as broadcast 1-row cross-join, per-doc (partitioned) window":
+            tfidf_topk(docs2),
+        "Exact grouped percentiles (sort-based percentile aggregate, "
+        "map-side partial)": value_quantiles(events),
     })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
