@@ -918,6 +918,31 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the same user's most
+    recent prior-or-equal purchase (operators/asof.py — union+window
+    idiom, one shuffle, no join blow-up; oracle = the identical
+    LAST_VALUE IGNORE NULLS construction)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", ts_micros("ts").alias("pts"), "value"
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", right_cols=["pts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_micros("ts").alias("ts_us"),
+        F.col("pts_asof").alias("purchase_ts_us"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed exact-dedup under the hard gate: min/count per content
     digest maintained in the streaming state store across capped
@@ -1487,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "quantiles": q_quantiles,
         "stream_dedup": q_stream_dedup,
+        "asof": q_asof,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -1712,6 +1738,31 @@ FROM ranked WHERE rk <= 5""",
         # stream==batch: the streamed state-store dedup must equal it
         "stream_dedup": "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes\n"
         "FROM (SELECT doc_id, MD5(text) AS h FROM documents) GROUP BY h",
+        # as-of join, the same union+window encoding
+        "asof": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, CAST(EPOCH_US(ts) AS BIGINT) AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+u AS (
+  SELECT event_id, user_id, ts, 1 AS side,
+         CAST(NULL AS BIGINT) AS r_pts, CAST(NULL AS DOUBLE) AS r_value
+  FROM l
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT), user_id, ts, 0, pts, value FROM r
+),
+w AS (
+  SELECT event_id, user_id, ts, side,
+         LAST_VALUE(r_pts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, r_pts, r_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts_us,
+         LAST_VALUE(r_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, r_pts, r_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+  FROM u
+)
+SELECT event_id, user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts_us,
+       purchase_ts_us, purchase_value
+FROM w WHERE side = 1""",
         "fingerprint": "SELECT doc_id,\n"
         "  MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fp\n"
         "FROM documents",
