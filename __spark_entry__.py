@@ -1229,6 +1229,25 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partitioning-independent 10% hash sample
+    (operators/sample.py — df.sample() is partitioning-dependent and
+    unreproducible; this is the pipeline-grade replacement)."""
+    from crgp_spark.operators.sample import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), "doc_id", 10).select("doc_id")
+
+
+def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic draw by hash order
+    (operators/sample.py::stratified_sample)."""
+    from crgp_spark.operators.sample import stratified_sample
+
+    return stratified_sample(
+        _events(spark, sf_dir), "event_type", "event_id", 50
+    ).select("event_id", "event_type", "rk")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched decode kernel runs for real (mapInPandas over
     the fake decoder standing in for PIL/libav); the oracle checks the
@@ -1544,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard": q_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "neardup_clusters": q_neardup_clusters,
+        "doc_sample": q_doc_sample,
+        "stratified": q_stratified,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -1923,6 +1944,18 @@ FROM u""",
         ")\n"
         "SELECT doc_id FROM documents\n"
         "WHERE doc_id NOT IN (SELECT doc_id FROM losers)",
+        # deterministic hash sampling (md5-u32, same bytes both engines)
+        "doc_sample": f"""
+WITH m AS (SELECT doc_id, MD5('s0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+SELECT doc_id FROM m WHERE ({_MD5_U32}) % 100 < 10""",
+        "stratified": f"""
+WITH m AS (SELECT event_id, event_type,
+                  MD5('s0:' || CAST(event_id AS VARCHAR)) AS h FROM events),
+r AS (SELECT event_id, event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ({_MD5_U32}), event_id) AS INT) AS rk
+      FROM m)
+SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
