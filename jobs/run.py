@@ -69,6 +69,7 @@ def main() -> None:
     ap.add_argument("--fixed-iterations", type=positive_int, default=None)
     ap.add_argument("--checkpoint-every", type=positive_int, default=1)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--k", type=positive_int, default=3, help="kcore k")
     ap.add_argument(
         "--n-convs", type=positive_int, default=100_000, help="generate size"
     )
@@ -222,6 +223,29 @@ def main() -> None:
         out.update(edges=n_edges, iterations=res.iterations,
                    seconds=round(secs, 3),
                    edges_per_sec=round(n_edges * res.iterations / secs))
+
+    elif args.algo == "kcore":
+        from crgp_spark.operators.kcore import kcore
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = kcore(
+            spark, edges, k=args.k, fixed_rounds=args.fixed_iterations, cfg=cfg
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, k=args.k, core_vertices=n,
+                   seconds=round(secs, 3), edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "summary":
+        from crgp_spark.operators.graphstats import graph_summary
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        row = graph_summary(edges).collect()[0]
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3), **row.asDict())
 
     elif args.algo == "triangles":
         from crgp_spark.operators.triangles import triangles
