@@ -943,6 +943,32 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/rangejoin.py): events joined to the
+    session intervals containing them — the range predicate turned into
+    a (key, bucket) equi-join with exact post-filter; oracle = the
+    naive BETWEEN join (identical result by construction)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.rangejoin import range_join_banded
+    from crgp_spark.operators.sessions import sessionize
+
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev).select(
+        "user_id", "session_id", ts_micros("ts").alias("us")
+    )
+    bounds = s.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("s_start"), F.max("us").alias("s_end")
+    )
+    points = ev.select("event_id", "user_id", ts_micros("ts").alias("ts_us"))
+    out = range_join_banded(
+        points, bounds, key="user_id", ts="ts_us",
+        start="s_start", end="s_end", band=3_600_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed exact-dedup under the hard gate: min/count per content
     digest maintained in the streaming state store across capped
@@ -1532,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "stream_dedup": q_stream_dedup,
         "asof": q_asof,
+        "range_join": q_range_join,
         "top_influencers": q_top_influencers,
         "pagerank": q_pagerank,
         "components": q_components,
@@ -1759,6 +1786,30 @@ FROM ranked WHERE rk <= 5""",
         # stream==batch: the streamed state-store dedup must equal it
         "stream_dedup": "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes\n"
         "FROM (SELECT doc_id, MD5(text) AS h FROM documents) GROUP BY h",
+        # range join: the oracle uses the NAIVE between-join — the
+        # banded encoding must reproduce it exactly
+        "range_join": """
+WITH seq AS (
+  SELECT user_id, event_id, ts, EPOCH_US(ts) AS us,
+         LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT user_id, event_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+bounds AS (SELECT user_id, session_id, MIN(us) AS s_start, MAX(us) AS s_end
+           FROM sess GROUP BY user_id, session_id)
+SELECT p.event_id, p.user_id, CAST(b.session_id AS BIGINT) AS session_id
+FROM sess p JOIN bounds b
+  ON b.user_id = p.user_id AND p.us BETWEEN b.s_start AND b.s_end""",
         # as-of join, the same union+window encoding
         "asof": """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
