@@ -1274,6 +1274,26 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "rk")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py::decontaminate):
+    flag training docs sharing a word 4-gram with a held-out benchmark
+    set (the deterministic 10% hash sample doubling as the eval set)."""
+    from crgp_spark.operators.curation import decontaminate
+    from crgp_spark.operators.sample import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    bench = hash_sample(docs, "doc_id", 10).select("doc_id")
+    return decontaminate(docs, bench, n=4)
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/curation.py::repetition_stats)."""
+    from crgp_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched decode kernel runs for real (mapInPandas over
     the fake decoder standing in for PIL/libav); the oracle checks the
@@ -1592,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "doc_sample": q_doc_sample,
         "stratified": q_stratified,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -2007,6 +2029,76 @@ r AS (SELECT event_id, event_type,
                                      ORDER BY ({_MD5_U32}), event_id) AS INT) AS rk
       FROM m)
 SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
+        # benchmark decontamination: word-4-gram collision against the
+        # 10% hash-sample benchmark set (curation.py::decontaminate)
+        "decontaminate": f"""
+WITH ntext AS (
+  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+  FROM ntext
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 3),
+                               i -> MD5(ARRAY_TO_STRING(tk[i + 1 : i + 4], ' ')))) AS g
+  FROM tk WHERE LEN(tk) >= 4
+),
+m AS (SELECT doc_id, MD5('s0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+bench AS (SELECT doc_id FROM m WHERE ({_MD5_U32}) % 100 < 10),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM bench)),
+train AS (SELECT doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+hit AS (SELECT DISTINCT doc_id FROM grams
+        WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+          AND g IN (SELECT g FROM bg))
+SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM train t LEFT JOIN hit h ON h.doc_id = t.doc_id""",
+        # Gopher-style repetition signals (curation.py::repetition_stats)
+        "repetition": """
+WITH ntext AS (
+  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+  FROM ntext
+),
+base AS (SELECT doc_id, LEN(tk) AS n, LEN(LIST_DISTINCT(tk)) AS nd FROM tk),
+bg AS (SELECT doc_id,
+              UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 1),
+                                    i -> ARRAY_TO_STRING(tk[i + 1 : i + 2], ' '))) AS gram
+       FROM tk WHERE LEN(tk) >= 2),
+bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+btop AS (SELECT doc_id, gram AS top_bigram, CAST(c AS INT) AS top_bigram_n
+         FROM (SELECT doc_id, gram, c,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, gram) AS rk
+               FROM bc) WHERE rk = 1),
+tg AS (SELECT doc_id,
+              UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 2),
+                                    i -> ARRAY_TO_STRING(tk[i + 1 : i + 3], ' '))) AS gram
+       FROM tk WHERE LEN(tk) >= 3),
+tc AS (SELECT doc_id, gram, COUNT(*) AS c FROM tg GROUP BY doc_id, gram),
+tfr AS (SELECT doc_id, SUM(c) AS tot,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+        FROM tc GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE FLOOR(CAST(b.n - b.nd AS DOUBLE) / b.n * 10000.0 + 0.5)
+                 / 10000.0 END AS dup_token_frac,
+       t.top_bigram, t.top_bigram_n,
+       CASE WHEN f.tot IS NULL OR f.tot = 0 THEN 0.0
+            ELSE FLOOR(CAST(f.dup AS DOUBLE) / f.tot * 10000.0 + 0.5)
+                 / 10000.0 END AS dup_trigram_frac
+FROM base b LEFT JOIN btop t ON t.doc_id = b.doc_id
+LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"

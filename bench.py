@@ -360,6 +360,17 @@ def main() -> None:
     from crgp_spark.operators.textstats import tfidf_topk
 
     timed("tfidf_topk", lambda: tfidf_topk(docs).count())
+
+    from crgp_spark.operators.curation import decontaminate, repetition_stats
+    from crgp_spark.operators.sample import hash_sample
+
+    timed(
+        "decontaminate",
+        lambda: decontaminate(
+            docs, hash_sample(docs, "doc_id", 10).select("doc_id"), n=4
+        ).count(),
+    )
+    timed("repetition_stats", lambda: repetition_stats(docs).count())
     timed(
         "neardup_clusters",
         lambda: neardup_clusters(spark, docs, cfg=cfg).count(),

@@ -136,6 +136,19 @@ def main() -> None:
         "Exact grouped percentiles (sort-based percentile aggregate, "
         "map-side partial)": value_quantiles(events),
     })
+
+    from crgp_spark.operators.curation import decontaminate, repetition_stats
+    from crgp_spark.operators.sample import hash_sample
+
+    bench_ids = hash_sample(docs2, "doc_id", 10).select("doc_id")
+    sections.update({
+        "Decontamination: scan-side gram explode + broadcast semi-join "
+        "against the benchmark gram set (no self-join)":
+            decontaminate(docs2, bench_ids, n=4),
+        "Repetition signals: per-gram partial-agg groupBys + partitioned "
+        "top-1 window, shuffles on doc_id only":
+            repetition_stats(docs2),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "

@@ -1,0 +1,75 @@
+"""Curation operators: decontamination + repetition stats (exact
+hand-computed expectations, including the short-document edge cases)."""
+
+from __future__ import annotations
+
+from crgp_spark.operators.curation import decontaminate, repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon"),  # benchmark member
+            (1, "x alpha beta gamma delta y"),      # shares a 4-gram -> hit
+            (2, "alpha beta gamma zeta eta"),       # only 3 shared -> clean
+            (3, "unrelated words entirely here"),   # clean
+            (4, "tiny doc"),                        # < n tokens -> clean
+        ],
+    )
+    bench = _docs(spark, [(0, "")]).select("doc_id")
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=4).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False}  # 0 excluded
+
+
+def test_decontaminate_broadcast_off_same_result(spark):
+    docs = _docs(
+        spark,
+        [(i, f"w{i} alpha beta gamma delta w{i + 1}") for i in range(20)],
+    )
+    bench = docs.filter("doc_id < 2").select("doc_id")
+    a = sorted(map(tuple, decontaminate(docs, bench, n=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(
+                docs, bench, n=4, broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 18
+    assert all(flag for _, flag in a)  # every doc shares "alpha beta gamma delta"
+
+
+def test_repetition_stats_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            # 6 tokens, 3 distinct; bigrams: "a b"x2,"b a"x2,"b c" ->
+            # top "a b" (tie vs "b a" resolved lexicographically);
+            # trigrams: "a b a","b a b","a b c","b c a"? no: a b a b c a
+            # -> grams: "a b a","b a b","a b c","b c a" all unique -> 0.0
+            (0, "a b a b c a"),
+            (1, "x x x x"),   # 4 tokens 1 distinct; "x x"x3; "x x x"x2
+            (2, "solo"),      # 1 token: no bigrams/trigrams
+            (3, "two words"),  # bigram exists, no trigram
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["dup_token_frac"] == 0.5
+    assert got[0]["top_bigram"] == "a b" and got[0]["top_bigram_n"] == 2
+    assert got[0]["dup_trigram_frac"] == 0.0
+    assert got[1]["top_bigram"] == "x x" and got[1]["top_bigram_n"] == 3
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["dup_trigram_frac"] == 1.0  # both trigrams are "x x x"
+    assert got[2]["top_bigram"] is None and got[2]["top_bigram_n"] is None
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram"] == "two words" and got[3]["top_bigram_n"] == 1
