@@ -71,6 +71,11 @@ def main() -> None:
                     "throughput jobs (default all)")
     ap.add_argument("--skip-converged", action="store_true")
     ap.add_argument("--out", default="BENCH_SCALING_CLUSTER.json")
+    ap.add_argument("--scratch", default="/tmp", help="dir for checkpoints "
+                    "and derived outputs; point at /dev/shm (with "
+                    "SPARK_LOCAL_DIRS also on tmpfs and --edges/--transcripts "
+                    "copied there) to take the single shared spindle out of "
+                    "the measurement — the disk-vs-plan discriminator sweep")
     args = ap.parse_args()
     assert os.path.exists(args.edges), "run scripts/bench_scaling.py first"
 
@@ -78,7 +83,7 @@ def main() -> None:
         "pagerank_df_20it": ["--algo", "pagerank_df", "--edges", args.edges,
                              "--fixed-iterations", "20"],
         "derive": ["--algo", "derive", "--transcripts", args.transcripts,
-                   "--output", "/tmp/crgp_scale/_edges_cluster"],
+                   "--output", f"{args.scratch}/crgp_scale_edges_cluster"],
         "triangles": ["--algo", "triangles", "--edges", args.edges],
     }
     if args.jobs:
@@ -108,14 +113,14 @@ def main() -> None:
         converged[lbl] = run_job(
             ["--algo", "pagerank", "--edges", args.edges, "--tol-mode",
              "scaled", "--max-iterations", "120", "--checkpoint-every", "5",
-             "--checkpoint", f"/tmp/crgp_lc_ckpt_{lbl}"], master)
+             "--checkpoint", f"{args.scratch}/crgp_lc_ckpt_{lbl}"], master)
         print(f"   {converged[lbl]}", flush=True)
         print(f"== converged cascade pagerank at {lbl}", flush=True)
         converged_cascade[lbl] = run_job(
             ["--algo", "pagerank_cascade", "--edges", args.edges,
              "--tol-mode", "scaled", "--max-iterations", "120",
              "--checkpoint-every", "5",
-             "--checkpoint", f"/tmp/crgp_lc_casc_{lbl}"], master)
+             "--checkpoint", f"{args.scratch}/crgp_lc_casc_{lbl}"], master)
         print(f"   {converged_cascade[lbl]}", flush=True)
 
     cpu = {lbl: max(cpu_control(cores) for _ in range(args.reps))
