@@ -1154,6 +1154,15 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links by common-neighbor / Jaccard /
+    Adamic–Adar scores (operators/linkpred.py::top_predicted_links);
+    ranking key integer-derived so cross-engine deterministic."""
+    from crgp_spark.operators.linkpred import top_predicted_links
+
+    return top_predicted_links(_edges_vid(spark, sf_dir), k=100, min_common=2)
+
+
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural summary incl. integer-moment assortativity
     (graphstats.py::graph_summary — float only in the last division)."""
@@ -1593,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "ppr": q_ppr,
         "clustering": q_clustering,
+        "linkpred": q_linkpred,
         "kcore": q_kcore,
         "graph_summary": q_graph_summary,
         "degree_hist": q_degree_hist,
@@ -1696,6 +1706,44 @@ def oracle_sql() -> dict[str, str]:
         "bfs_cascade": _sql_bfs(),
         "hits": _sql_hits(),
         "ppr": _sql_ppr(),
+        # common-neighbor link prediction, top-100 by the
+        # integer-deterministic (common, jaccard4dp, a, b) key
+        # (linkpred.py::top_predicted_links)
+        "linkpred": f"""
+WITH {_SQL_EVID},
+adj AS (
+  SELECT DISTINCT v, n FROM (
+    SELECT src AS v, dst AS n FROM e UNION ALL SELECT dst AS v, src AS n FROM e
+  ) WHERE v <> n
+),
+deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+zside AS (
+  SELECT a.v AS z, a.n AS endpoint, 1.0 / LN(CAST(d.deg AS DOUBLE)) AS w
+  FROM adj a JOIN deg d ON d.v = a.v
+),
+pairs AS (
+  SELECT l.endpoint AS a, r.endpoint AS b, COUNT(*) AS common, SUM(l.w) AS aa
+  FROM zside l JOIN zside r ON l.z = r.z AND l.endpoint < r.endpoint
+  GROUP BY l.endpoint, r.endpoint
+  HAVING COUNT(*) >= 2
+),
+newp AS (
+  SELECT p.a, p.b, p.common, p.aa FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM adj x WHERE x.v = p.a AND x.n = p.b)
+),
+scored AS (
+  SELECT a, b, CAST(common AS INT) AS common,
+         FLOOR(CAST(common AS DOUBLE) / (da.deg + db.deg - common)
+               * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         FLOOR(aa * 1000000.0 + 0.5) / 1000000.0 AS adamic_adar
+  FROM newp JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY common DESC, jaccard DESC, a, b)
+            AS INT) AS rk,
+       a, b, common, jaccard, adamic_adar
+FROM scored
+ORDER BY rk
+LIMIT 100""",
         "clustering": f"WITH {_SQL_EVID},\n"
         "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
         "nbrs AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),\n"

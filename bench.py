@@ -351,6 +351,13 @@ def main() -> None:
     timed("kcore_fixpoint", lambda: kcore_op(spark, e2, k=3, cfg=cfg).count())
     timed("graph_summary", lambda: graph_summary(e2).count())
 
+    from crgp_spark.operators.linkpred import top_predicted_links
+
+    timed(
+        "linkpred_top100",
+        lambda: top_predicted_links(e2, k=100, min_common=2).count(),
+    )
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())

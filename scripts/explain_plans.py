@@ -138,6 +138,7 @@ def main() -> None:
     })
 
     from crgp_spark.operators.curation import decontaminate, repetition_stats
+    from crgp_spark.operators.linkpred import top_predicted_links
     from crgp_spark.operators.sample import hash_sample
 
     bench_ids = hash_sample(docs2, "doc_id", 10).select("doc_id")
@@ -148,6 +149,9 @@ def main() -> None:
         "Repetition signals: per-gram partial-agg groupBys + partitioned "
         "top-1 window, shuffles on doc_id only":
             repetition_stats(docs2),
+        "Link prediction top-k: wedge self-join on the shared neighbor, "
+        "shuffle-hash state joins, rank-limit window (WindowGroupLimit)":
+            top_predicted_links(e_vid, k=100, min_common=2),
     })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
