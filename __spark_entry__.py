@@ -374,6 +374,39 @@ def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
     return "\n".join(parts)
 
 
+def _sql_ktruss(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled edge-support peel rounds (operators/ktruss.py with
+    fixed_rounds): support(u,v) = common-neighbor count over the
+    current round's edge set; each round keeps edges with support
+    >= k-2; output = round-``rounds`` supports still >= k-2."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "u0 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v\n"
+        "       FROM e WHERE src <> dst GROUP BY 1, 2),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"b{r - 1} AS (SELECT u, v FROM u{r - 1} "
+            f"UNION ALL SELECT v AS u, u AS v FROM u{r - 1}),"
+        )
+        parts.append(
+            f"s{r} AS (SELECT e.u, e.v, COUNT(y.v) AS sup\n"
+            f"  FROM u{r - 1} e LEFT JOIN b{r - 1} x ON x.u = e.u\n"
+            f"  LEFT JOIN b{r - 1} y ON y.u = e.v AND y.v = x.v\n"
+            f"  GROUP BY e.u, e.v),"
+        )
+        if r < rounds:
+            parts.append(
+                f"u{r} AS (SELECT u, v FROM s{r} WHERE sup >= {k - 2}),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT u, v, CAST(sup AS INT) AS support FROM s{rounds} "
+        f"WHERE sup >= {k - 2}"
+    )
+    return "\n".join(parts)
+
+
 def _sql_ppr() -> str:
     """Personalized PageRank with teleport/dangling mass restricted to
     the conversation originators, 3 iterations unrolled
@@ -1154,6 +1187,17 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss after 2 pinned peel rounds (operators/ktruss.py; the
+    oracle unrolls the same rounds via common-neighbor counts — the
+    fixpoint mode is convergence-probed in tests/test_ktruss.py)."""
+    from crgp_spark.operators.ktruss import ktruss
+
+    return ktruss(
+        spark, _edges_vid(spark, sf_dir), k=4, fixed_rounds=2, cfg=_graph_cfg()
+    )
+
+
 def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 predicted links by common-neighbor / Jaccard /
     Adamic–Adar scores (operators/linkpred.py::top_predicted_links);
@@ -1604,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering": q_clustering,
         "linkpred": q_linkpred,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "graph_summary": q_graph_summary,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
@@ -1763,6 +1808,7 @@ LIMIT 100""",
         "              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS coeff\n"
         "FROM cdeg d LEFT JOIN cnt c ON c.vid = d.vid",
         "kcore": _sql_kcore(k=3, rounds=4),
+        "ktruss": _sql_ktruss(k=4, rounds=2),
         # assortativity from exact BIGINT moments — float only in the
         # final divisions, so no cross-engine summation-order drift
         "graph_summary": f"""WITH {_SQL_EVID},

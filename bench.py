@@ -358,6 +358,10 @@ def main() -> None:
         lambda: top_predicted_links(e2, k=100, min_common=2).count(),
     )
 
+    from crgp_spark.operators.ktruss import ktruss as ktruss_op
+
+    timed("ktruss_fixpoint", lambda: ktruss_op(spark, e2, k=4, cfg=cfg).count())
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())

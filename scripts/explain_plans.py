@@ -153,6 +153,17 @@ def main() -> None:
         "shuffle-hash state joins, rank-limit window (WindowGroupLimit)":
             top_predicted_links(e_vid, k=100, min_common=2),
     })
+
+    from crgp_spark.operators.ktruss import edge_support
+
+    und4 = e_vid.selectExpr(
+        "least(src, dst) AS u", "greatest(src, dst) AS v"
+    ).where("u <> v").distinct()
+    sections.update({
+        "k-truss edge support (one peel round): degree-oriented wedge "
+        "join + triple explode + partial-agg support groupBy":
+            edge_support(und4),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
