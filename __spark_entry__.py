@@ -1187,6 +1187,17 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_coparticipation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of conversation membership onto the
+    weighted participant co-occurrence graph
+    (operators/project.py::coparticipation)."""
+    from crgp_spark.derive import prepare_turns
+    from crgp_spark.operators.project import coparticipation
+
+    t = prepare_turns(transcripts_from_events(_events(spark, sf_dir)))
+    return coparticipation(t)
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss after 2 pinned peel rounds (operators/ktruss.py; the
     oracle unrolls the same rounds via common-neighbor counts — the
@@ -1649,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred": q_linkpred,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
+        "coparticipation": q_coparticipation,
         "graph_summary": q_graph_summary,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
@@ -1809,6 +1821,13 @@ LIMIT 100""",
         "FROM cdeg d LEFT JOIN cnt c ON c.vid = d.vid",
         "kcore": _sql_kcore(k=3, rounds=4),
         "ktruss": _sql_ktruss(k=4, rounds=2),
+        # two-mode -> one-mode projection (project.py::coparticipation)
+        "coparticipation": f"WITH {_SQL_TURNS},\n"
+        "pc AS (SELECT DISTINCT conv_id, participant FROM turns)\n"
+        "SELECT l.participant AS a, r.participant AS b, COUNT(*) AS n_convs\n"
+        "FROM pc l JOIN pc r ON l.conv_id = r.conv_id\n"
+        "  AND l.participant < r.participant\n"
+        "GROUP BY 1, 2",
         # assortativity from exact BIGINT moments — float only in the
         # final divisions, so no cross-engine summation-order drift
         "graph_summary": f"""WITH {_SQL_EVID},

@@ -362,6 +362,14 @@ def main() -> None:
 
     timed("ktruss_fixpoint", lambda: ktruss_op(spark, e2, k=4, cfg=cfg).count())
 
+    from crgp_spark.derive import prepare_turns
+    from crgp_spark.operators.project import coparticipation
+
+    timed(
+        "coparticipation",
+        lambda: coparticipation(prepare_turns(transcripts)).count(),
+    )
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())

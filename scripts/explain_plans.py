@@ -164,6 +164,14 @@ def main() -> None:
         "join + triple explode + partial-agg support groupBy":
             edge_support(und4),
     })
+
+    from crgp_spark.derive import prepare_turns
+    from crgp_spark.operators.project import coparticipation
+
+    sections.update({
+        "Bipartite projection: distinct membership, conv-key self-join, "
+        "partial-agg pair count": coparticipation(prepare_turns(t)),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--poll-seconds", type=float, default=180)
     ap.add_argument("--out", default="BENCH_SCALING_CLUSTER_QUIET.json")
+    ap.add_argument("--sweep-args", default="", help="extra args appended "
+                    "verbatim to bench_scaling_cluster.py (e.g. the tmpfs "
+                    "--edges/--transcripts/--scratch triplet)")
     args = ap.parse_args()
 
     t_end = time.time() + args.max_minutes * 60
@@ -51,7 +54,7 @@ def main() -> None:
                 [sys.executable,
                  os.path.join(REPO, "scripts", "bench_scaling_cluster.py"),
                  "--reps", str(args.reps), "--skip-converged",
-                 "--out", args.out],
+                 "--out", args.out, *args.sweep_args.split()],
                 cwd=REPO,
             )
             # post-sweep probe: was the window still quiet at the end?
