@@ -21,6 +21,8 @@ Subcommands per --algo:
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
   hits        HITS hubs/authorities (exact integer rounds)
+  ktruss      k-truss by edge-support peeling
+  linkpred    top-100 predicted links (common-neighbor family)
   generate    synthetic transcripts parquet (deterministic, seeded)
 """
 
@@ -236,6 +238,30 @@ def main() -> None:
         secs = time.time() - t0
         out.update(edges=n_edges, k=args.k, core_vertices=n,
                    seconds=round(secs, 3), edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "ktruss":
+        from crgp_spark.operators.ktruss import ktruss
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = ktruss(
+            spark, edges, k=args.k, fixed_rounds=args.fixed_iterations, cfg=cfg
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, k=args.k, truss_edges=n,
+                   seconds=round(secs, 3), edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "linkpred":
+        from crgp_spark.operators.linkpred import top_predicted_links
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = top_predicted_links(edges, k=100, min_common=2).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, predicted=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "summary":
         from crgp_spark.operators.graphstats import graph_summary
