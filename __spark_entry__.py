@@ -374,6 +374,50 @@ def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
     return "\n".join(parts)
 
 
+def _sql_pagerank_weighted() -> str:
+    """Weighted PageRank over the participant-level aggregated influence
+    graph (edge weight = number of turn-level influence edges between
+    the participant pair), 3 iterations unrolled — pagerank_df's
+    weighted formula term-for-term (operators/pagerank.py,
+    weight_col): partial = rank·w/out_w with BIGINT weights so the
+    out-mass sums are exact in both engines."""
+    parts = [
+        f"WITH {_SQL_EDGES},",
+        "we AS (SELECT src_participant AS src, dst_participant AS dst,\n"
+        "              CAST(COUNT(*) AS BIGINT) AS w FROM edges GROUP BY 1, 2),",
+        "verts AS (SELECT DISTINCT vid FROM\n"
+        "  (SELECT src AS vid FROM we UNION ALL SELECT dst FROM we)),",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM we GROUP BY src),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    a = _PR_ALPHA
+    for it in range(_PR_ITERS):
+        p, c = f"r{it}", f"r{it + 1}"
+        parts.append(
+            f""",
+wdang{it} AS (
+    SELECT COALESCE(SUM(r.rank), 0) AS dm FROM {p} r
+    LEFT JOIN ow ON ow.src = r.vid WHERE ow.src IS NULL
+),
+wm{it} AS (
+    SELECT we.dst AS vid, SUM(r.rank * we.w / ow.ow) AS c
+    FROM we JOIN ow ON ow.src = we.src JOIN {p} r ON r.vid = we.src
+    GROUP BY we.dst
+),
+{c} AS (
+    SELECT v.vid,
+           {1.0 - a} / (SELECT n FROM nv)
+           + {a} * (COALESCE(m.c, 0) + (SELECT dm FROM wdang{it}) / (SELECT n FROM nv)) AS rank
+    FROM verts v LEFT JOIN wm{it} m ON m.vid = v.vid
+)"""
+        )
+    return (
+        "\n".join(parts)
+        + f"\nSELECT vid, FLOOR(rank * 1000000.0 + 0.5) / 1000000.0 AS rank FROM r{_PR_ITERS}"
+    )
+
+
 def _sql_ktruss(k: int = 4, rounds: int = 2) -> str:
     """Unrolled edge-support peel rounds (operators/ktruss.py with
     fixed_rounds): support(u,v) = common-neighbor count over the
@@ -1187,6 +1231,23 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, _edges_vid(spark, sf_dir))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the participant-level influence graph
+    (weight = turn-level edge multiplicity; pagerank_df weight_col)."""
+    e = (
+        _edge_turns(spark, sf_dir)
+        .groupBy(
+            F.col("src_participant").alias("src"),
+            F.col("dst_participant").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_df(
+        spark, e, _graph_cfg(), fixed_iterations=_PR_ITERS, weight_col="w"
+    )
+    return ranks.select("vid", decimal_round(F.col("rank"), 6).alias("rank"))
+
+
 def q_coparticipation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection of conversation membership onto the
     weighted participant co-occurrence graph
@@ -1661,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "coparticipation": q_coparticipation,
+        "pagerank_weighted": q_pagerank_weighted,
         "graph_summary": q_graph_summary,
         "degree_hist": q_degree_hist,
         "ngram_topk": q_ngram_topk,
@@ -1758,6 +1820,7 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY out_deg DESC, conv_id, src_turn) AS INT) AS rk FROM deg\n"
         ") WHERE rk <= 20",
         "pagerank": _sql_pagerank(),
+        "pagerank_weighted": _sql_pagerank_weighted(),
         "bfs": _sql_bfs(),
         # cascade BFS computes the same conversation-local distances
         "bfs_cascade": _sql_bfs(),

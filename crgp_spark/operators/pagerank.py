@@ -244,19 +244,32 @@ def pagerank_df(
     cfg: EngineConfig | None = None,
     max_iterations: int | None = None,
     fixed_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Pure-DataFrame PageRank (no Python in the loop body) — reference
     implementation for cross-checks and the JVM-only baseline in
     benchmarks. ``fixed_iterations`` disables the convergence test (used
     by the DuckDB-oracle driver query, whose SQL unrolls the same fixed
-    number of iterations). Returns ``(vid, rank)``."""
+    number of iterations). Returns ``(vid, rank)``.
+
+    ``weight_col`` names an (integer-typed, for cross-engine exactness
+    of the out-mass sums) edge-weight column: rank mass then flows
+    proportionally to weight instead of uniformly — weighted PageRank;
+    a vertex is dangling iff it has no out-edge at all. Plan shape is
+    identical to the unweighted loop (the per-edge expression becomes
+    ``rank·w/out_w``)."""
     cfg = cfg or EngineConfig()
     alpha, tol = cfg.damping, cfg.tol
 
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weight_col is None:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        e_cols = ["src", "dst"]
+    else:
+        deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_deg"))
+        e_cols = ["src", "dst", weight_col]
     # (tol is rescaled after n is known below when tol_mode == "scaled")
     e = (
-        edges.select("src", "dst")
+        edges.select(*e_cols)
         .join(deg, "src")
         .repartition(cfg.shuffle_partitions, "src")
         .persist()
@@ -285,8 +298,13 @@ def pagerank_df(
         )
         # shuffle_hash: broadcasting the |V|-row state per iteration is
         # the wrong plan at any scale (see the CSR step comment).
+        partial = (
+            F.col("rank") / F.col("out_deg")
+            if weight_col is None
+            else F.col("rank") * F.col(weight_col) / F.col("out_deg")
+        )
         msgs = e.join(_state_hint(ranks, n), e["src"] == ranks["vid"]).select(
-            "dst", (F.col("rank") / F.col("out_deg")).alias("partial")
+            "dst", partial.alias("partial")
         )
         sums = msgs.groupBy("dst").agg(F.sum("partial").alias("in_contrib"))
         new_ranks = (
