@@ -418,6 +418,37 @@ wm{it} AS (
     )
 
 
+def _sql_pii_redact() -> str:
+    """Staged count-then-mask chain mirroring curation.redact_pii
+    pattern-for-pattern (the SQL stages are generated from the same
+    PII_PATTERNS list, so Spark and DuckDB cannot drift)."""
+    from crgp_spark.operators.curation import PII_PATTERNS
+
+    card = (
+        "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel ' "
+        "|| CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' "
+        "|| LPAD(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' "
+        "|| LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+        "|| ' https://example.com/u/' || CAST(c_custkey AS VARCHAR) "
+        "|| ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) "
+        "|| '.' || CAST(c_custkey % 250 AS VARCHAR)"
+    )
+    parts = [f"WITH s0 AS (SELECT c_custkey AS doc_id, {card} AS t FROM customer)"]
+    prev, seen = "s0", []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        carried = "".join(f"n_{c}, " for c in seen)
+        parts.append(
+            f",\ns{i} AS (SELECT doc_id, {carried}"
+            f"CAST(LEN(REGEXP_EXTRACT_ALL(t, '{pat}')) AS INT) AS n_{name},\n"
+            f"  REGEXP_REPLACE(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+        seen.append(name)
+    cols = ", ".join(f"n_{c}" for c in seen)
+    parts.append(f"\nSELECT doc_id, t AS redacted, {cols} FROM {prev}")
+    return "".join(parts)
+
+
 def _sql_ktruss(k: int = 4, rounds: int = 2) -> str:
     """Unrolled edge-support peel rounds (operators/ktruss.py with
     fixed_rounds): support(u,v) = common-neighbor count over the
@@ -859,6 +890,23 @@ SELECT rk, o_orderkey, c_custkey, c_name, o_orderdate, totalprice, sum_qty FROM 
   FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
 ) WHERE rk <= 20""",
+    # Q22 analog: scalar-avg subquery threshold + NOT EXISTS
+    # (relational.py::prospect_customers; exact BIGINT-cents cross-multiply)
+    "tpch_prospects": """
+WITH cust AS (
+  SELECT c_custkey, n_name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3','NATION_8','NATION_13','NATION_18','NATION_23')
+),
+pos AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS pos_sum, COUNT(*) AS pos_cnt
+        FROM cust WHERE bal_cents > 0)
+SELECT n_name, COUNT(*) AS n_custs,
+       CAST(CAST(SUM(bal_cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
+FROM cust, pos
+WHERE bal_cents * pos_cnt > pos_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey)
+GROUP BY n_name""",
     # Q19 analog: disjunction of conjunctive brand/size/quantity clauses
     "tpch_disjunct": f"""
 SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
@@ -1676,6 +1724,52 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/curation.py::redact_pii) over deterministic
+    customer contact cards.  The warehouse tables carry no natural
+    contact strings, so the card text (name, synthetic e-mail, phone,
+    profile URL, IPv4) is constructed identically in both engines from
+    ``c_custkey`` — the operator under test is the generic staged
+    count-then-mask chain, which here matches every category on every
+    row."""
+    from crgp_spark.operators.curation import redact_pii
+
+    k = F.col("c_custkey")
+    card = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        k.cast("string"),
+        F.lit("@example.com> tel "),
+        (k % 900 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" https://example.com/u/"),
+        k.cast("string"),
+        F.lit(" ip 10.0."),
+        (k % 256).cast("string"),
+        F.lit("."),
+        (k % 250).cast("string"),
+    )
+    docs = _tbl(spark, sf_dir, "customer").select(
+        k.alias("doc_id"), card.alias("text")
+    )
+    return redact_pii(docs)
+
+
+def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog: above-average-balance customers with no orders
+    (relational.py::prospect_customers)."""
+    from crgp_spark.operators.relational import prospect_customers
+
+    return prospect_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -1776,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_bigorders": q_tpch_bigorders,
         "tpch_disjunct": q_tpch_disjunct,
         "tpch_topsupp": q_tpch_topsupp,
+        "tpch_prospects": q_tpch_prospects,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -2275,6 +2371,8 @@ SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
                  / 10000.0 END AS dup_trigram_frac
 FROM base b LEFT JOIN btop t ON t.doc_id = b.doc_id
 LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
+        # staged PII count-then-mask chain (curation.py::redact_pii)
+        "pii_redact": _sql_pii_redact(),
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"

@@ -172,3 +172,44 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+#: (name, pattern, replacement) — applied strictly in this order.  The
+#: patterns are restricted to constructs with identical semantics in
+#: Spark's Java regex and DuckDB's RE2 (character classes, bounded
+#: quantifiers; no lookarounds, no backrefs, no \p classes), and both
+#: engines scan left-to-right non-overlapping, so the staged
+#: count-then-replace below is bit-identical cross-engine.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", "https?://[a-zA-Z0-9./_-]+", "<URL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction: mask emails, URLs, IPv4 addresses and
+    NNN-NNN-NNNN phone numbers with typed placeholder tokens and count
+    each category — the standard pre-training scrub step (C4/RefinedWeb
+    drop or mask contact strings before anything else sees the text).
+
+    Each category is counted on the text AS IT STANDS when that
+    pattern's turn comes (emails first, so an address inside a URL
+    query string is attributed to the email pass) and then replaced;
+    the oracle twin stages identically.  Returns ``(id_col, redacted,
+    n_email, n_url, n_ipv4, n_phone)``.
+
+    Scale shape: pure ``regexp_count``/``regexp_replace`` column
+    expressions — whole-stage codegen at scan speed, no shuffle, no
+    UDF; at 100 TB this is exactly as expensive as reading the text
+    column once.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(F.col(id_col), cur.alias("redacted"), *counts)

@@ -896,3 +896,58 @@ def top_revenue_suppliers(
             F.col("_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+def prospect_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    nations: tuple[str, ...] = (
+        "NATION_3",
+        "NATION_8",
+        "NATION_13",
+        "NATION_18",
+        "NATION_23",
+    ),
+) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery threshold + NOT EXISTS.
+
+    Per nation, count (and total the balances of) customers from a
+    target nation set whose account balance exceeds the average
+    positive balance of that set AND who have never placed an order —
+    the "global sales opportunity" query.
+
+    Plan: the nation filter broadcasts into the customer scan; the
+    positive-balance average is a 1-row aggregate broadcast-cross-
+    joined back (one job, no driver collect); "no orders" is a
+    left-anti join against the orders key column only.  The threshold
+    compares in exact BIGINT cents cross-multiplied by the count
+    (``bal·cnt > sum``), so both engines agree on boundary customers
+    bit-for-bit; the balance total is summed in cents and divided by
+    100 once at the end.
+    """
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    cust = customer.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*nations))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name", cents.alias("bal_cents"))
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("pos_sum"),
+        F.count(F.lit(1)).alias("pos_cnt"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("pos_cnt") > F.col("pos_sum"))
+        .join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum("bal_cents").cast("double") / F.lit(100.0)).alias(
+                "total_bal"
+            ),
+        )
+    )

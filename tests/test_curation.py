@@ -73,3 +73,34 @@ def test_repetition_stats_exact(spark):
     assert got[2]["top_bigram"] is None and got[2]["top_bigram_n"] is None
     assert got[2]["dup_trigram_frac"] == 0.0
     assert got[3]["top_bigram"] == "two words" and got[3]["top_bigram_n"] == 1
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from crgp_spark.operators.curation import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            (0, "mail bob@corp.io and visit https://a.io/x from 10.1.2.3"),
+            (1, "call 555-123-4567 or 555-000-1111 today"),
+            (2, "nothing personal here"),
+            (3, ""),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert got[0]["redacted"] == "mail <EMAIL> and visit <URL> from <IP>"
+    assert (got[0]["n_email"], got[0]["n_url"], got[0]["n_ipv4"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "call <PHONE> or <PHONE> today"
+    assert got[1]["n_phone"] == 2 and got[1]["n_email"] == 0
+    assert got[2]["redacted"] == "nothing personal here"
+    assert all(got[3][f"n_{c}"] == 0 for c in ("email", "url", "ipv4", "phone"))
+
+
+def test_redact_pii_email_beats_url_order(spark):
+    from crgp_spark.operators.curation import redact_pii
+
+    # an address embedded in a URL query string: the email pass runs
+    # first by contract, so the host tail is consumed as an email
+    docs = _docs(spark, [(0, "see https://t.co/r?to=a@b.com end")])
+    row = redact_pii(docs).collect()[0]
+    assert row["n_email"] == 1 and "<EMAIL>" in row["redacted"]
