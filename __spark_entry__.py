@@ -418,6 +418,34 @@ wm{it} AS (
     )
 
 
+def _sql_walks(steps: int = 4) -> str:
+    """Unrolled hash-walk steps (operators/walks.py::hash_walks): at
+    step t the walk moves to ARG_MIN(dst, md5(cur:dst:t)) over the
+    current vertex's out-edges — the same pure-function transition the
+    engine computes, so the corpus matches row-for-row."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "ed AS (SELECT DISTINCT src, dst FROM e),",
+        "w0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM ed)",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""",
+w{t} AS (
+    SELECT walk_id,
+           ARG_MIN(dst, MD5(CAST(cur AS VARCHAR) || ':'
+                            || CAST(dst AS VARCHAR) || ':{t}')) AS cur
+    FROM w{t - 1} JOIN ed ON ed.src = w{t - 1}.cur
+    GROUP BY walk_id
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS vid FROM w{t}"
+        for t in range(steps + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
 def _sql_pii_redact() -> str:
     """Staged count-then-mask chain mirroring curation.redact_pii
     pattern-for-pattern (the SQL stages are generated from the same
@@ -1724,6 +1752,15 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-walk corpus over the influence graph
+    (operators/walks.py::hash_walks, 4 steps, one walk per
+    non-dangling vertex)."""
+    from crgp_spark.operators.walks import hash_walks
+
+    return hash_walks(spark, _edges_vid(spark, sf_dir), steps=4, cfg=_graph_cfg())
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/curation.py::redact_pii) over deterministic
     customer contact cards.  The warehouse tables carry no natural
@@ -1872,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_topsupp": q_tpch_topsupp,
         "tpch_prospects": q_tpch_prospects,
         "pii_redact": q_pii_redact,
+        "walks": q_walks,
     }
 
 
@@ -2373,6 +2411,8 @@ FROM base b LEFT JOIN btop t ON t.doc_id = b.doc_id
 LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         # staged PII count-then-mask chain (curation.py::redact_pii)
         "pii_redact": _sql_pii_redact(),
+        # deterministic hash-walk corpus (walks.py::hash_walks)
+        "walks": _sql_walks(),
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
