@@ -418,6 +418,54 @@ wm{it} AS (
     )
 
 
+def _sql_harmonic(radius: int = 3) -> str:
+    """Unrolled level sets (operators/harmonic.py): l_d = expand(l_{d-1})
+    EXCEPT earlier levels EXCEPT self; harmonic derived from the integer
+    counts by ONE division (lcm idiom), matching both engine paths
+    bit-for-bit."""
+    import math
+
+    lcm = math.lcm(*range(1, radius + 1))
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "sym AS (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst),",
+        "l1 AS (SELECT DISTINCT src AS s, dst AS v FROM sym)",
+    ]
+    for d in range(2, radius + 1):
+        earlier = " ".join(
+            f"EXCEPT SELECT s, v FROM l{k}" for k in range(1, d)
+        )
+        parts.append(
+            f""",
+x{d} AS (SELECT DISTINCT l{d - 1}.s, y.dst AS v
+         FROM l{d - 1} JOIN sym y ON y.src = l{d - 1}.v),
+l{d} AS (SELECT s, v FROM x{d} {earlier}
+         EXCEPT SELECT src AS s, src AS v FROM sym)"""
+        )
+    for d in range(1, radius + 1):
+        parts.append(
+            f",\nc{d} AS (SELECT s, CAST(COUNT(*) AS INT) AS c FROM l{d} GROUP BY s)"
+        )
+    parts.append(",\nverts AS (SELECT DISTINCT src AS vid FROM sym)")
+    cnt_sel = ", ".join(
+        f"COALESCE(c{d}.c, 0) AS cnt_d{d}" for d in range(1, radius + 1)
+    )
+    units = " + ".join(
+        f"{lcm // d} * CAST(COALESCE(c{d}.c, 0) AS BIGINT)"
+        for d in range(1, radius + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN c{d} ON c{d}.s = verts.vid" for d in range(1, radius + 1)
+    )
+    parts.append(
+        f"\nSELECT verts.vid, {cnt_sel},\n"
+        f"       CAST({units} AS DOUBLE) / {lcm}.0 AS harmonic\n"
+        f"FROM verts {joins}"
+    )
+    return "".join(parts)
+
+
 def _sql_walks(steps: int = 4) -> str:
     """Unrolled hash-walk steps (operators/walks.py::hash_walks): at
     step t the walk moves to ARG_MIN(dst, md5(cur:dst:t)) over the
@@ -1752,6 +1800,27 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-3 harmonic centrality, generic distributed level-set path
+    (operators/harmonic.py::harmonic_bounded)."""
+    from crgp_spark.operators.harmonic import harmonic_bounded
+
+    return harmonic_bounded(
+        spark, _edges_vid(spark, sf_dir), radius=3, cfg=_graph_cfg()
+    )
+
+
+def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-3 harmonic centrality via the conversation-local kernel
+    (operators/harmonic.py::cascade_harmonic) — same oracle as the
+    generic path (the two implementations must agree exactly)."""
+    from crgp_spark.operators.harmonic import cascade_harmonic
+
+    return cascade_harmonic(
+        spark, _edges_vid_conv(spark, sf_dir), radius=3, cfg=_graph_cfg()
+    )
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-walk corpus over the influence graph
     (operators/walks.py::hash_walks, 4 steps, one walk per
@@ -1910,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_prospects": q_tpch_prospects,
         "pii_redact": q_pii_redact,
         "walks": q_walks,
+        "harmonic": q_harmonic,
+        "harmonic_cascade": q_harmonic_cascade,
     }
 
 
@@ -2413,6 +2484,10 @@ LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         "pii_redact": _sql_pii_redact(),
         # deterministic hash-walk corpus (walks.py::hash_walks)
         "walks": _sql_walks(),
+        # radius-3 harmonic centrality: generic and cascade paths share
+        # one oracle (they must agree exactly)
+        "harmonic": _sql_harmonic(),
+        "harmonic_cascade": _sql_harmonic(),
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"

@@ -1,0 +1,72 @@
+"""Bounded harmonic centrality: hand-computed path graph, generic vs
+cascade-kernel agreement, forced-residue hybrid."""
+
+from __future__ import annotations
+
+from crgp_spark.config import EngineConfig
+from crgp_spark.operators import harmonic as H
+
+
+def _cfg():
+    return EngineConfig(shuffle_partitions=4, graph_partitions=4,
+                        checkpoint_dir="/tmp/crgp_ckpt_harm")
+
+
+def test_path_graph_counts_and_values(spark):
+    # undirected path 0-1-2-3-4, radius 3
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["vid"]: r.asDict()
+        for r in H.harmonic_bounded(spark, df, radius=3, cfg=_cfg()).collect()
+    }
+    # vertex 0: d1={1} d2={2} d3={3}; H = 1 + 1/2 + 1/3 = 11/6
+    assert (got[0]["cnt_d1"], got[0]["cnt_d2"], got[0]["cnt_d3"]) == (1, 1, 1)
+    assert got[0]["harmonic"] == 11 / 6
+    # vertex 2 (center): d1={1,3} d2={0,4}; H = 2 + 1
+    assert (got[2]["cnt_d1"], got[2]["cnt_d2"], got[2]["cnt_d3"]) == (2, 2, 0)
+    assert got[2]["harmonic"] == 3.0
+    # direction of the input edges must not matter
+    assert got[4]["harmonic"] == got[0]["harmonic"]
+
+
+def test_cascade_kernel_matches_generic(spark):
+    rows = []
+    # conv A: triangle + tail; conv B: star
+    for s, d in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]:
+        rows.append((s, d, "cA"))
+    for leaf in (11, 12, 13, 14):
+        rows.append((10, leaf, "cB"))
+    df = spark.createDataFrame(rows, "src long, dst long, conv_id string")
+    a = sorted(
+        map(tuple, H.cascade_harmonic(spark, df, radius=3, cfg=_cfg()).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            H.harmonic_bounded(
+                spark, df.select("src", "dst"), radius=3, cfg=_cfg()
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_forced_residue_hybrid_exact(spark, monkeypatch):
+    monkeypatch.setattr(H, "KERNEL_MAX_VERTICES", 3)
+    rows = [(s, d, "big") for s, d in [(0, 1), (1, 2), (2, 3), (3, 0)]]
+    rows += [(20, 21, "small"), (21, 22, "small")]
+    df = spark.createDataFrame(rows, "src long, dst long, conv_id string")
+    a = sorted(
+        map(tuple, H.cascade_harmonic(spark, df, radius=2, cfg=_cfg()).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            H.harmonic_bounded(
+                spark, df.select("src", "dst"), radius=2, cfg=_cfg()
+            ).collect(),
+        )
+    )
+    assert a == b
