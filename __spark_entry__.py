@@ -418,6 +418,38 @@ wm{it} AS (
     )
 
 
+def _sql_featprop(hops: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled quantized neighbor-mean hops
+    (operators/featprop.py::neighborhood_mean): each hop is one
+    BIGINT-unit sum / count division floored back to units — exact in
+    both engines."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "verts AS (SELECT DISTINCT vid FROM\n"
+        "  (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),",
+        "od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),",
+        f"f0 AS (SELECT v.vid, CAST(COALESCE(od.deg, 0) * {scale} AS BIGINT) AS u\n"
+        "       FROM verts v LEFT JOIN od ON od.src = v.vid)",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""",
+g{k} AS (SELECT e.dst AS vid,
+               CAST(FLOOR(CAST(SUM(f.u) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS u
+        FROM e JOIN f{k - 1} f ON f.vid = e.src GROUP BY e.dst),
+f{k} AS (SELECT v.vid, CAST(COALESCE(g{k}.u, 0) AS BIGINT) AS u
+        FROM verts v LEFT JOIN g{k} ON g{k}.vid = v.vid)"""
+        )
+    cols = ", ".join(
+        f"CAST(f{k}.u AS DOUBLE) / {scale}.0 AS f{k}" for k in range(hops + 1)
+    )
+    joins = " ".join(
+        f"JOIN f{k} ON f{k}.vid = f0.vid" for k in range(1, hops + 1)
+    )
+    parts.append(f"\nSELECT f0.vid, {cols} FROM f0 {joins}")
+    return "".join(parts)
+
+
 def _sql_harmonic(radius: int = 3) -> str:
     """Unrolled level sets (operators/harmonic.py): l_d = expand(l_{d-1})
     EXCEPT earlier levels EXCEPT self; harmonic derived from the integer
@@ -1800,6 +1832,16 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop quantized neighbor-mean feature propagation
+    (operators/featprop.py::neighborhood_mean)."""
+    from crgp_spark.operators.featprop import neighborhood_mean
+
+    return neighborhood_mean(
+        spark, _edges_vid(spark, sf_dir), hops=2, cfg=_graph_cfg()
+    )
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-3 harmonic centrality, generic distributed level-set path
     (operators/harmonic.py::harmonic_bounded)."""
@@ -1981,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks": q_walks,
         "harmonic": q_harmonic,
         "harmonic_cascade": q_harmonic_cascade,
+        "featprop": q_featprop,
     }
 
 
@@ -2488,6 +2531,8 @@ LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         # one oracle (they must agree exactly)
         "harmonic": _sql_harmonic(),
         "harmonic_cascade": _sql_harmonic(),
+        # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
+        "featprop": _sql_featprop(),
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
