@@ -418,6 +418,49 @@ wm{it} AS (
     )
 
 
+def _sql_mis(rounds: int = 4) -> str:
+    """Unrolled Luby rounds (operators/mis.py): per-round md5
+    priorities, winners = below every active neighbor, losers =
+    winners' active neighbors.  Per-round CTEs are MATERIALIZED: each
+    round references the previous one ~6×, so DuckDB's default CTE
+    inlining would expand the chain exponentially (it exhausts file
+    handles re-scanning the parquet at rounds=4)."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+e{r} AS (SELECT s.src, s.dst FROM sym s
+         JOIN a{p} x ON x.v = s.src JOIN a{p} y ON y.v = s.dst),
+m{r} AS (SELECT src AS v, MIN(MD5(CAST(dst AS VARCHAR) || ':{r}')) AS mn
+         FROM e{r} GROUP BY src),
+w{r} AS MATERIALIZED (SELECT a.v FROM a{p} a LEFT JOIN m{r} m ON m.v = a.v
+         WHERE m.mn IS NULL OR MD5(CAST(a.v AS VARCHAR) || ':{r}') < m.mn),
+o{r} AS MATERIALIZED (SELECT DISTINCT s.dst AS v
+         FROM sym s JOIN w{r} w ON w.v = s.src
+         WHERE s.dst IN (SELECT v FROM a{p})
+           AND s.dst NOT IN (SELECT v FROM w{r})),
+a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
+         EXCEPT SELECT v FROM o{r})"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT v AS vid, 'mis' AS status, CAST({r} AS INT) AS rnd FROM w{r}\n"
+        f"UNION ALL SELECT v, 'out', CAST({r} AS INT) FROM o{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + sel
+        + f"\nUNION ALL SELECT v, 'open', CAST(0 AS INT) FROM a{rounds}"
+    )
+
+
 def _sql_featprop(hops: int = 2, scale: int = 1_000_000) -> str:
     """Unrolled quantized neighbor-mean hops
     (operators/featprop.py::neighborhood_mean): each hop is one
@@ -1832,6 +1875,15 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby MIS, 4 rounds (operators/mis.py)."""
+    from crgp_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        spark, _edges_vid(spark, sf_dir), rounds=4, cfg=_graph_cfg()
+    )
+
+
 def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop quantized neighbor-mean feature propagation
     (operators/featprop.py::neighborhood_mean)."""
@@ -2024,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "harmonic_cascade": q_harmonic_cascade,
         "featprop": q_featprop,
+        "mis": q_mis,
     }
 
 
@@ -2533,6 +2586,8 @@ LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         "harmonic_cascade": _sql_harmonic(),
         # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
         "featprop": _sql_featprop(),
+        # deterministic Luby MIS (mis.py::maximal_independent_set)
+        "mis": _sql_mis(),
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
