@@ -1875,6 +1875,14 @@ def q_tpch_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seqpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence-packing manifest per source shard
+    (operators/seqpack.py::sequence_pack, budget=256)."""
+    from crgp_spark.operators.seqpack import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), budget=256)
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby MIS, 4 rounds (operators/mis.py)."""
     from crgp_spark.operators.mis import maximal_independent_set
@@ -2077,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_cascade": q_harmonic_cascade,
         "featprop": q_featprop,
         "mis": q_mis,
+        "seqpack": q_seqpack,
     }
 
 
@@ -2588,6 +2597,25 @@ LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         "featprop": _sql_featprop(),
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
+        # contiguous-stream sequence packing (seqpack.py::sequence_pack)
+        "seqpack": """
+WITH tk AS (
+  SELECT doc_id, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS s
+  FROM tk
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(FLOOR(CAST(s AS DOUBLE) / 256) AS BIGINT) AS bin,
+       CAST(s % 256 AS BIGINT) AS offset
+FROM c""",
         # transitive closure of the verified near-dup pair graph
         # (recursive CTE == the engine's connected-components rounds)
         "neardup_clusters": f"WITH RECURSIVE {_SQL_MINHASH},\n"
