@@ -370,9 +370,43 @@ def main() -> None:
         lambda: coparticipation(prepare_turns(transcripts)).count(),
     )
 
+    # --- walk corpus, symmetry breaking, bounded centrality, GNN prep
+    from crgp_spark.operators.walks import hash_walks
+
+    timed("hash_walks_4", lambda: hash_walks(spark, e2, steps=4, cfg=cfg).count())
+
+    from crgp_spark.operators.mis import maximal_independent_set
+
+    timed(
+        "mis_4r",
+        lambda: maximal_independent_set(spark, e2, rounds=4, cfg=cfg).count(),
+    )
+
+    from crgp_spark.operators.harmonic import cascade_harmonic
+
+    timed(
+        "harmonic_cascade_r3",
+        lambda: cascade_harmonic(spark, e3, radius=3, cfg=cfg).count(),
+    )
+
+    from crgp_spark.operators.featprop import neighborhood_mean
+
+    timed(
+        "featprop_2hop",
+        lambda: neighborhood_mean(spark, e2, hops=2, cfg=cfg).count(),
+    )
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
     timed("quality_score", lambda: quality_score(docs).count())
+
+    from crgp_spark.operators.curation import redact_pii
+    from crgp_spark.operators.seqpack import sequence_pack
+
+    # no PII matches in the synthetic corpus — this times the staged
+    # regex chain itself at scan speed
+    timed("redact_pii", lambda: redact_pii(docs).count())
+    timed("seqpack", lambda: sequence_pack(docs, budget=256).count())
 
     from crgp_spark.operators.dedup import neardup_clusters
     from crgp_spark.operators.quantiles import value_quantiles

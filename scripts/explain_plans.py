@@ -172,6 +172,25 @@ def main() -> None:
         "Bipartite projection: distinct membership, conv-key self-join, "
         "partial-agg pair count": coparticipation(prepare_turns(t)),
     })
+
+    from crgp_spark.operators.curation import redact_pii
+    from crgp_spark.operators.featprop import neighborhood_mean
+    from crgp_spark.operators.harmonic import cascade_harmonic
+    from crgp_spark.operators.seqpack import sequence_pack
+
+    e_conv = derive_edges(t).select("src", "dst", "conv_id")
+    sections.update({
+        "PII redaction: staged regexp count+mask chain, pure project at "
+        "scan speed (no shuffle, no UDF)": redact_pii(docs2),
+        "Sequence packing: token-count project + ONE shard-partitioned "
+        "window prefix sum (no global sort)": sequence_pack(docs2),
+        "Neighbor-mean feature propagation (2 hops): per-hop "
+        "partial-agg groupBy(dst) + left join back, linear plan":
+            neighborhood_mean(spark, e_vid, hops=2, cfg=cfg),
+        "Harmonic centrality, cascade kernel path: single "
+        "applyInPandas pass grouped by conversation":
+            cascade_harmonic(spark, e_conv, radius=3, cfg=cfg),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
