@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
+from crgp_spark.plans.superstep import state_hint
 
 
 def neighborhood_mean(
@@ -54,9 +55,12 @@ def neighborhood_mean(
         .cast("long")
         .alias("u0"),
     )
+    # the feature map is |V|-row state joined once per hop — same
+    # broadcast-vs-shuffle_hash policy as the iterative operators
+    n_verts = feats.count()
     for k in range(1, hops + 1):
         agg = (
-            e.join(feats, e.src == feats.vid)
+            e.join(state_hint(feats, n_verts), e.src == feats.vid)
             .groupBy("dst")
             .agg(
                 F.floor(

@@ -252,6 +252,64 @@ def main() -> None:
         out.update(edges=n_edges, k=args.k, truss_edges=n,
                    seconds=round(secs, 3), edges_per_sec=round(n_edges / secs))
 
+    elif args.algo == "walks":
+        from crgp_spark.operators.walks import hash_walks
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = hash_walks(
+            spark, edges, steps=args.fixed_iterations or 4, cfg=cfg
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, walk_rows=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "mis":
+        from crgp_spark.operators.mis import maximal_independent_set
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = maximal_independent_set(
+            spark, edges, rounds=args.fixed_iterations or 4, cfg=cfg
+        )
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["status"]: r["n"]
+            for r in res.groupBy("status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs), **counts)
+
+    elif args.algo == "harmonic":
+        from crgp_spark.operators.harmonic import (
+            cascade_harmonic,
+            harmonic_bounded,
+        )
+
+        full = spark.read.parquet(args.edges)
+        n_edges = full.count()
+        t0 = time.time()
+        if "conv_id" in full.columns:
+            res = cascade_harmonic(
+                spark, full.select("src", "dst", "conv_id"),
+                radius=args.fixed_iterations or 3, cfg=cfg,
+            )
+        else:
+            res = harmonic_bounded(
+                spark, full.select("src", "dst"),
+                radius=args.fixed_iterations or 3, cfg=cfg,
+            )
+        n = res.count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
     elif args.algo == "linkpred":
         from crgp_spark.operators.linkpred import top_predicted_links
 
