@@ -1058,6 +1058,33 @@ FROM cust, pos
 WHERE bal_cents * pos_cnt > pos_sum
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey)
 GROUP BY n_name""",
+    # Q12 analog: join + CASE conditional aggregation
+    "tpch_shipmode": """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag""",
+    # Q9 analog: nation x year profit in exact BIGINT 1e-5 money units
+    "tpch_profit": """
+SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(
+         10 * CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+            * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+         - CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+            * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)
+       ) AS BIGINT) AS DOUBLE) / 100000.0 AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, o_year""",
     # Q19 analog: disjunction of conjunctive brand/size/quantity clauses
     "tpch_disjunct": f"""
 SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
@@ -1966,6 +1993,30 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog: conditional priority counts per return-flag class
+    (relational.py::shipmode_priority_counts)."""
+    from crgp_spark.operators.relational import shipmode_priority_counts
+
+    return shipmode_priority_counts(
+        _tbl(spark, sf_dir, "orders"), _tbl(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog: nation x year profit rollup
+    (relational.py::product_type_profit)."""
+    from crgp_spark.operators.relational import product_type_profit
+
+    return product_type_profit(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "part"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "orders"),
+    )
+
+
 def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 analog: above-average-balance customers with no orders
     (relational.py::prospect_customers)."""
@@ -2079,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_disjunct": q_tpch_disjunct,
         "tpch_topsupp": q_tpch_topsupp,
         "tpch_prospects": q_tpch_prospects,
+        "tpch_shipmode": q_tpch_shipmode,
+        "tpch_profit": q_tpch_profit,
         "pii_redact": q_pii_redact,
         "walks": q_walks,
         "harmonic": q_harmonic,

@@ -951,3 +951,82 @@ def prospect_customers(
             ),
         )
     )
+
+
+def shipmode_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE conditional aggregation.
+
+    Per return-flag class (the schema's shipmode stand-in), count lines
+    from high-priority orders (1-URGENT / 2-HIGH) vs the rest within a
+    shipdate year.  Pure conditional counts — integer-exact; the
+    shipdate band reaches the scan as a PushedFilter and the
+    orderpriority column rides a plain shuffle join on orderkey."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= _ts(date_from))
+        & (F.col("l_shipdate") < _ts(date_to))
+    ).select("l_orderkey", "l_returnflag")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q9 shape: multi-join profit rollup by nation and year.
+
+    Profit per (supplier nation, order year) for one part type:
+    ``extprice·(1−disc) − retailprice·qty/10`` (the schema has no
+    partsupp supplycost; a fixed 10% of retail value stands in).  All
+    money math in BIGINT 1e-5 units (the cents cross-multiply idiom,
+    scaled so the /10 stays integral), ONE cast to DOUBLE at the end.
+    Part and nation dims broadcast; lineitem stays the probe side
+    through both fact joins."""
+    p = part.filter(F.col("p_type") == p_type).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supplier.join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    profit = (
+        F.lit(10) * cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+        - cents("p_retailprice") * cents("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            (F.sum(profit).cast("double") / F.lit(100000.0)).alias(
+                "sum_profit"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
