@@ -1221,6 +1221,23 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed sessionization with the native session_window
+    state-store operator, gated against the batch lag/gap SQL (split
+    only on > gap, the operator's boundary semantics). Epoch micros, counts
+    and value cents are all integer-derived, so stream==batch holds
+    bit-for-bit across any micro-batch slicing
+    (streaming/windows.py::stream_sessions)."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_sessions
+
+    work = "/tmp/crgp_stream_sessions"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_sessions(spark, work, max_files_per_trigger=3)
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the same user's most
     recent prior-or-equal purchase (operators/asof.py — union+window
@@ -2134,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_profit": q_tpch_profit,
         "pii_redact": q_pii_redact,
         "walks": q_walks,
+        "stream_sessions": q_stream_sessions,
         "harmonic": q_harmonic,
         "harmonic_cascade": q_harmonic_cascade,
         "featprop": q_featprop,
@@ -2642,6 +2660,31 @@ LEFT JOIN tfr f ON f.doc_id = b.doc_id""",
         "pii_redact": _sql_pii_redact(),
         # deterministic hash-walk corpus (walks.py::hash_walks)
         "walks": _sql_walks(),
+        # streamed session_window == batch lag/gap sessionization
+        # (a gap of exactly 30 min still merges: split only on > gap,
+        # same as the batch sessionize operator)
+        "stream_sessions": """
+WITH seq AS (
+  SELECT user_id, event_id, ts, EPOCH_US(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 30 * 60 * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+sess AS (
+  SELECT user_id, us, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(us) AS session_start_us,
+       MAX(us) + 30 * 60 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM sess GROUP BY user_id, sid""",
         # radius-3 harmonic centrality: generic and cascade paths share
         # one oracle (they must agree exactly)
         "harmonic": _sql_harmonic(),

@@ -110,3 +110,60 @@ def stream_exact_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_sessions(
+    spark: SparkSession,
+    in_dir: str,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = 4,
+) -> DataFrame:
+    """Streamed gap-based sessionization with the NATIVE
+    ``session_window`` state-store operator: per-user session windows
+    merge across micro-batches as events drain (``availableNow``).
+
+    Semantics note (and the oracle's contract): ``session_window``
+    merges two events iff the later one starts AT OR inside
+    ``prev_ts + gap``, i.e. a gap of exactly ``gap_minutes`` still
+    MERGES (verified by test) — the same ``> gap`` new-session test as
+    the batch ``sessionize`` operator, so the two agree on boundary
+    gaps.  Emitted columns are all integer-derived (epoch micros,
+    counts, value cents), so stream == batch bit-for-bit regardless of
+    epoch boundaries.
+
+    Returns ``(user_id, session_start_us, session_end_us, n_events,
+    total_cents)`` where ``session_end_us`` is the window end (last
+    event + gap), matching the operator's definition.
+    """
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        stream.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "user_id",
+            ts_micros(F.col("session_window.start")).alias("session_start_us"),
+            ts_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "total_cents",
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -265,3 +265,50 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in stream_exact_dedup(spark, inp, 1).collect()}
     want = {tuple(r) for r in exact_dedup(docs).collect()}
     assert got == want and len(got) == 7
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 4])
+def test_stream_sessions_matches_batch(spark, tmp_path, files_per_trigger):
+    """session_window state-store sessionization == the batch lag/gap
+    construction (split only on > gap), independent of micro-batch
+    slicing; includes an exact-30-min gap (merges) and a 30-min+1us gap
+    (splits)."""
+    from datetime import datetime, timedelta
+
+    from crgp_spark.streaming.windows import stream_sessions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 2 events 10 min apart, a third at an EXACT 30-min gap
+        # (still merges), then a 30-min+1us gap -> new session
+        (1, t0, 1, "a", 1.0, None),
+        (2, t0 + timedelta(minutes=10), 1, "a", 2.0, None),
+        (3, t0 + timedelta(minutes=40), 1, "a", 3.0, None),
+        (4, t0 + timedelta(minutes=70, microseconds=1), 1, "a", 4.0, None),
+        # user 2: single event
+        (5, t0, 2, "b", 0.515, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    in_dir = os.path.join(str(tmp_path), "ev")
+    ev.repartition(4, "event_id").write.parquet(in_dir)
+    got = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["total_cents"]
+        )
+        for r in stream_sessions(
+            spark, in_dir, max_files_per_trigger=files_per_trigger
+        ).collect()
+    }
+    gap_us = 30 * 60 * 1_000_000
+    us0 = int(t0.timestamp()) * 1_000_000  # container TZ is UTC
+    e3 = us0 + 40 * 60 * 1_000_000
+    e4 = us0 + 70 * 60 * 1_000_000 + 1
+    assert got == {
+        (1, us0): (e3 + gap_us, 3, 600),
+        (1, e4): (e4 + gap_us, 1, 400),
+        (2, us0): (us0 + gap_us, 1, 52),  # 0.515 -> 52 cents (round half up)
+    }
