@@ -1936,6 +1936,14 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd k-means step over the embeddings table
+    (operators/kmeans.py::kmeans_step, k=8, 1e-4-unit quantization)."""
+    from crgp_spark.operators.kmeans import kmeans_step
+
+    return kmeans_step(_embs(spark, sf_dir), k=8, scale=10_000)
+
+
 def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop quantized neighbor-mean feature propagation
     (operators/featprop.py::neighborhood_mean)."""
@@ -2157,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featprop": q_featprop,
         "mis": q_mis,
         "seqpack": q_seqpack,
+        "kmeans": q_kmeans,
     }
 
 
@@ -2693,6 +2702,40 @@ FROM sess GROUP BY user_id, sid""",
         "featprop": _sql_featprop(),
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
+        # one Lloyd k-means step, BIGINT-exact (kmeans.py::kmeans_step)
+        "kmeans": """
+WITH q AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, qv AS qc
+  FROM q ORDER BY vec_id LIMIT 8
+),
+dists AS (
+  SELECT q.vec_id, c.j,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(LEN(q.qv)),
+           i -> (q.qv[i + 1] - c.qc[i + 1]) * (q.qv[i + 1] - c.qc[i + 1])))
+           AS BIGINT) AS d
+  FROM q CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, CAST(MIN(d * 8 + j) % 8 AS INT) AS cluster
+  FROM dists GROUP BY vec_id
+),
+ex AS (
+  -- dim is the table's fixed 64 (DuckDB 1.0 cannot lateral-join
+  -- RANGE on a column)
+  SELECT a.cluster, t.i AS dim, q.qv[t.i + 1] AS u
+  FROM assign a JOIN q ON q.vec_id = a.vec_id, RANGE(64) t(i)
+)
+SELECT cluster, CAST(dim AS INT) AS dim,
+       CAST(FLOOR(CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / COUNT(*) + 0.5)
+            AS BIGINT) AS c_unit,
+       COUNT(*) AS n_members
+FROM ex GROUP BY cluster, dim""",
         # contiguous-stream sequence packing (seqpack.py::sequence_pack)
         "seqpack": """
 WITH tk AS (

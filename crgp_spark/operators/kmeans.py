@@ -1,0 +1,84 @@
+"""Deterministic distributed k-means step (Lloyd iteration).
+
+Embedding-table clustering is the other half of the similarity family
+(knn answers "who is near X", k-means answers "what groups exist") and
+the workhorse behind IVF index construction — `similarity.knn_ivf`'s
+centroid table is exactly what repeated application of this step
+produces.  One step = ASSIGN (each vector to its nearest centroid) +
+UPDATE (per-cluster dimension-wise mean).
+
+Cross-engine exactness, the module family's contract: embeddings are
+quantized once to integer ``scale``-units (float32 → double widening is
+value-exact, then one floor), squared L2 distances are BIGINT sums,
+the argmin is a single ``MIN`` over the composite ``dist·k + j`` (ties
+to the lowest centroid index j), and centroid means are ONE
+``floor(sum/count + 0.5)`` division per dimension.  No float
+accumulation anywhere, so the DuckDB oracle matches bit-for-bit.
+
+Seeding is deterministic: the k lowest-``vec_id`` vectors (callers
+doing real clustering feed the previous step's output instead).
+
+Scale shape at 100 TB: ASSIGN is a broadcast cross-join against k
+centroid rows — O(N·k) work, no shuffle of the vector table; UPDATE is
+a ``posexplode`` + map-side-combinable ``groupBy(cluster, dim)``.
+This is the canonical Spark k-means plan (MLlib's own step has the
+same two phases); the long-form integer output keeps the driver gate
+free of float-array comparison hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    k: int = 8,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration from the deterministic seed.  Returns the
+    updated centroids in long form: ``(cluster, dim, c_unit,
+    n_members)`` — ``c_unit`` is the per-dimension mean in integer
+    ``scale``-units; clusters that attracted no vectors are absent."""
+    q = embeddings.select(
+        id_col,
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    cents = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("j"),
+            F.col("qv").alias("qc"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "qc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cents))
+        .select(id_col, (dist * k + F.col("j")).alias("comp"))
+        .groupBy(id_col)
+        .agg((F.min("comp") % k).cast("int").alias("cluster"))
+    )
+    ex = q.join(assign, id_col).select(
+        "cluster", F.posexplode("qv").alias("dim", "u")
+    )
+    return ex.groupBy("cluster", "dim").agg(
+        F.floor(F.sum("u").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("c_unit"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
