@@ -446,6 +446,9 @@ def main() -> None:
             embs, threshold=0.4, prefilter_bits=8, dim=64
         ).count(),
     )
+    from crgp_spark.operators.kmeans import kmeans_step
+
+    timed("kmeans_step", lambda: kmeans_step(embs, k=8).count())
 
     # --- relational (TPC-H-shape) family over the warehouse tables
     from crgp_spark.operators import relational as rel

@@ -191,6 +191,15 @@ def main() -> None:
         "applyInPandas pass grouped by conversation":
             cascade_harmonic(spark, e_conv, radius=3, cfg=cfg),
     })
+
+    from crgp_spark.operators.kmeans import kmeans_step
+
+    embs2 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sections.update({
+        "k-means step: broadcast k-row centroid cross-join (sanctioned "
+        "BroadcastNestedLoopJoin, like the Q11 scalar) + partial-agg "
+        "argmin + posexplode partial-agg update": kmeans_step(embs2, k=8),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
