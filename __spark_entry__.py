@@ -1936,6 +1936,14 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fanout-3 neighbor sampling
+    (operators/featprop.py::neighbor_sample)."""
+    from crgp_spark.operators.featprop import neighbor_sample
+
+    return neighbor_sample(_edges_vid(spark, sf_dir), fanout=3)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic Lloyd k-means step over the embeddings table
     (operators/kmeans.py::kmeans_step, k=8, 1e-4-unit quantization)."""
@@ -2166,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "seqpack": q_seqpack,
         "kmeans": q_kmeans,
+        "neighbor_sample": q_neighbor_sample,
     }
 
 
@@ -2700,6 +2709,17 @@ FROM sess GROUP BY user_id, sid""",
         "harmonic_cascade": _sql_harmonic(),
         # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
         "featprop": _sql_featprop(),
+        # deterministic fanout cut (featprop.py::neighbor_sample)
+        "neighbor_sample": f"""WITH {_SQL_EVID},
+ed AS (SELECT DISTINCT src, dst FROM e),
+rk AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+              MD5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)))
+              AS INT) AS rk
+  FROM ed
+)
+SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
         # one Lloyd k-means step, BIGINT-exact (kmeans.py::kmeans_step)

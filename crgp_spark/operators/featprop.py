@@ -22,7 +22,7 @@ linear DataFrame plan; no loop state, no checkpoint needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
@@ -82,4 +82,33 @@ def neighborhood_mean(
             (F.col(f"u{k}").cast("double") / F.lit(float(scale))).alias(f"f{k}")
             for k in range(hops + 1)
         ],
+    )
+
+
+def neighbor_sample(
+    edges: DataFrame, fanout: int = 5
+) -> DataFrame:
+    """Deterministic GraphSAGE-style neighbor sampling: keep at most
+    ``fanout`` out-neighbors per vertex — the ones with the smallest
+    ``md5(src:dst)``, so the subsample is uniform-ish yet a pure
+    function of the edge set (retries and the oracle reproduce it
+    exactly; same idiom as operators/walks.py).
+
+    Returns ``(src, dst, rk)`` with ``rk`` the 1-based hash rank.  The
+    per-vertex top-``fanout`` compiles to a rank-limit window
+    (WindowGroupLimit pushes the cut below the sort), partitioned by
+    ``src`` — no global sort, one shuffle.  At 100 TB this is the
+    standard fanout cut that bounds downstream neighborhood-aggregation
+    cost per vertex regardless of hub degree."""
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("src").cast("string"), F.col("dst").cast("string")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(h)
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= fanout)
     )

@@ -82,3 +82,86 @@ def kmeans_step(
         .alias("c_unit"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterate Lloyd steps from the deterministic seed: each round's
+    centroid table (still in integer units — re-quantization between
+    rounds is inherent, which is what keeps every round cross-engine
+    reproducible) feeds the next assignment.  Returns the final
+    ``(cluster, dim, c_unit, n_members)`` table.
+
+    The per-round plan is the `kmeans_step` shape; the centroid table
+    (k·dim rows) is collected into the next round's broadcast — the
+    k-means driver loop every distributed implementation uses (MLlib
+    included), with O(k·dim) driver state only."""
+    q = embeddings.select(
+        id_col,
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).persist()
+    spark = embeddings.sparkSession
+    cents = (
+        q.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("j"),
+            F.col("qv").alias("qc"),
+        )
+    )
+    out = None
+    for _ in range(iterations):
+        dist = F.aggregate(
+            F.zip_with("qv", "qc", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            q.crossJoin(F.broadcast(cents))
+            .select(id_col, (dist * k + F.col("j")).alias("comp"))
+            .groupBy(id_col)
+            .agg((F.min("comp") % k).cast("int").alias("cluster"))
+        )
+        out = (
+            q.join(assign, id_col)
+            .select("cluster", F.posexplode("qv").alias("dim", "u"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("u").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("c_unit"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+        rows = out.collect()  # O(k·dim) driver state, the k-means loop
+        dims = max(r["dim"] for r in rows) + 1
+        arr: dict[int, list[int]] = {}
+        for r in rows:
+            arr.setdefault(r["cluster"], [0] * dims)[r["dim"]] = r["c_unit"]
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(j, arr[j]) for j in sorted(arr)], "j int, qc array<long>"
+            )
+        )
+    q.unpersist()
+    # hand back the already-materialized final table (q is unpersisted;
+    # the lazy plan would recompute the whole history)
+    return spark.createDataFrame(
+        [(r["cluster"], r["dim"], r["c_unit"], r["n_members"]) for r in rows],
+        "cluster int, dim int, c_unit long, n_members long",
+    )

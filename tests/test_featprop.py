@@ -35,3 +35,24 @@ def test_parallel_edges_weight_the_source(spark):
     }
     # three in-EDGES: (2 + 2 + 1)/3 quantized at 1e-6
     assert got[2] == 1.666667
+
+
+def test_neighbor_sample_deterministic_and_capped(spark):
+    import hashlib
+
+    from crgp_spark.operators.featprop import neighbor_sample
+
+    edges = [(0, d) for d in range(10)] + [(1, 5), (2, 6), (2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = neighbor_sample(df, fanout=3).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["rk"], r["dst"]))
+    # capped at fanout, low-degree vertices keep everything
+    assert len(by_src[0]) == 3 and len(by_src[1]) == 1 and len(by_src[2]) == 2
+    # the kept set is the hash-smallest prefix, rank order matching
+    want = sorted(
+        range(10),
+        key=lambda d: hashlib.md5(f"0:{d}".encode()).hexdigest(),
+    )[:3]
+    assert [d for _, d in sorted(by_src[0])] == want

@@ -53,3 +53,36 @@ def test_tie_breaks_to_lowest_centroid(spark):
     )
     got = {r["cluster"] for r in kmeans_step(df, k=2, scale=100).collect()}
     assert got == {0}
+
+
+def test_fit_one_iteration_equals_step(spark):
+    import numpy as np
+
+    from crgp_spark.operators.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 5)).round(2)
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, kmeans_step(df, k=3, scale=1000).collect()))
+    b = sorted(map(tuple, kmeans_fit(df, k=3, iterations=1, scale=1000).collect()))
+    assert a == b
+
+
+def test_fit_converges_on_separated_clusters(spark):
+    from crgp_spark.operators.kmeans import kmeans_fit
+
+    # two tight blobs far apart; k=2 must separate them regardless of
+    # the (poor) lowest-id seed putting both seeds in blob A
+    blob_a = [(i, [0.0 + i * 0.001, 0.0], 0) for i in range(10)]
+    blob_b = [(100 + i, [10.0 + i * 0.001, 10.0], 0) for i in range(10)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<float>, label int"
+    )
+    got = kmeans_fit(df, k=2, iterations=4, scale=1000).collect()
+    sizes = {}
+    for r in got:
+        sizes[r["cluster"]] = r["n_members"]
+    assert sorted(sizes.values()) == [10, 10]
