@@ -1936,6 +1936,22 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain cohort retention triangle
+    (operators/cohort.py::cohort_retention)."""
+    from crgp_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup->view->click->purchase funnel
+    (operators/cohort.py::funnel_counts)."""
+    from crgp_spark.operators.cohort import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir))
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fanout-3 neighbor sampling
     (operators/featprop.py::neighbor_sample)."""
@@ -2175,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqpack": q_seqpack,
         "kmeans": q_kmeans,
         "neighbor_sample": q_neighbor_sample,
+        "cohort": q_cohort,
+        "funnel": q_funnel,
     }
 
 
@@ -2709,6 +2727,42 @@ FROM sess GROUP BY user_id, sid""",
         "harmonic_cascade": _sql_harmonic(),
         # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
         "featprop": _sql_featprop(),
+        # day-grain cohort retention (cohort.py::cohort_retention)
+        "cohort": """
+WITH ev AS (
+  SELECT user_id, EPOCH_US(ts) // 86400000000 AS day FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS offset_days,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN first f ON f.user_id = e.user_id
+GROUP BY f.cohort_day, offset_days""",
+        # ordered funnel with first-touch >= tie semantics
+        # (cohort.py::funnel_counts)
+        "funnel": """
+WITH mins AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN EPOCH_US(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS t1,
+         MIN(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS t3
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT (t0 IS NOT NULL) AS c0,
+         (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0) AS c1
+  , (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+     AND t2 IS NOT NULL AND t2 >= t1) AS c2
+  , (t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+     AND t2 IS NOT NULL AND t2 >= t1
+     AND t3 IS NOT NULL AND t3 >= t2) AS c3
+  FROM mins
+)
+SELECT CAST(SUM(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+FROM flags""",
         # deterministic fanout cut (featprop.py::neighbor_sample)
         "neighbor_sample": f"""WITH {_SQL_EVID},
 ed AS (SELECT DISTINCT src, dst FROM e),

@@ -1,0 +1,78 @@
+"""Behavioral analytics over the events stream: cohort retention and
+funnel conversion — the two canonical product-analytics shapes a user
+of the warehouse runs next to the link-graph queries (SURVEY.md §2.2's
+"query capabilities" parity, same rationale as operators/relational.py).
+
+Cross-engine exactness: calendar bucketing is integer floor-division
+of epoch micros by the day length (``DIV``/``//`` on BIGINT — no float
+date math), users are counted with exact COUNT(DISTINCT), and funnel
+stage ordering compares integer micros.  Nothing rounds, so the DuckDB
+twins match bit-for-bit.
+
+Scale shape: retention is two groupBys keyed on ``user_id`` then
+``(cohort, offset)`` — both map-side-combinable partial aggregates
+(COUNT(DISTINCT) compiles to the two-stage Expand plan); the funnel is
+ONE groupBy(user_id) pivoting the per-stage min timestamps wide (a
+conditional-MIN aggregate per stage, no self-joins at all), then a
+1-row conditional count.  Both shuffle once on ``user_id`` no matter
+how many stages or offsets — the right plan at any event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crgp_spark.functions import ts_micros
+
+_DAY_US = 86_400_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic day-grain retention triangle: cohort = a user's first
+    event day (epoch days), offset = days since cohort day.  Returns
+    ``(cohort_day, offset_days, n_users)`` — distinct users from that
+    cohort active at that offset (offset 0 row = cohort size)."""
+    ev = events.select(
+        "user_id", (ts_micros("ts") - (ts_micros("ts") % _DAY_US))
+        .alias("_d0"),
+    ).select("user_id", (F.col("_d0") / _DAY_US).cast("long").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel conversion: a user clears stage ``i`` if their
+    FIRST stage-``i`` event is at or after their first stage-``i−1``
+    event (equal timestamps count — first-touch semantics), chaining
+    from stage 0.  Returns one row ``(n_<stage> ...)`` with the user
+    count clearing each stage."""
+    us = ts_micros("ts")
+    mins = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, us)).alias(f"t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    cleared = F.col("t0").isNotNull()
+    flags = [cleared.cast("long").alias(f"n_{stages[0]}")]
+    for i in range(1, len(stages)):
+        cleared = (
+            cleared
+            & F.col(f"t{i}").isNotNull()
+            & (F.col(f"t{i}") >= F.col(f"t{i - 1}"))
+        )
+        flags.append(cleared.cast("long").alias(f"n_{stages[i]}"))
+    per_user = mins.select(*flags)
+    return per_user.agg(
+        *[F.sum(f"n_{s}").alias(f"n_{s}") for s in stages]
+    )
