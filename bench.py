@@ -450,6 +450,13 @@ def main() -> None:
 
     timed("kmeans_step", lambda: kmeans_step(embs, k=8).count())
 
+    from crgp_spark.operators.cohort import cohort_retention, funnel_counts
+    from crgp_spark.operators.featprop import neighbor_sample
+
+    timed("cohort_retention", lambda: cohort_retention(events).count())
+    timed("funnel", lambda: funnel_counts(events).count())
+    timed("neighbor_sample", lambda: neighbor_sample(e2, fanout=5).count())
+
     # --- relational (TPC-H-shape) family over the warehouse tables
     from crgp_spark.operators import relational as rel
 

@@ -200,6 +200,20 @@ def main() -> None:
         "BroadcastNestedLoopJoin, like the Q11 scalar) + partial-agg "
         "argmin + posexplode partial-agg update": kmeans_step(embs2, k=8),
     })
+
+    from crgp_spark.operators.cohort import cohort_retention, funnel_counts
+    from crgp_spark.operators.featprop import neighbor_sample
+
+    sections.update({
+        "Cohort retention: two partial-agg groupBys + two-stage "
+        "COUNT(DISTINCT) Expand plan, shuffles on user_id only":
+            cohort_retention(events),
+        "Funnel: ONE groupBy(user_id) with per-stage conditional MINs "
+        "(no self-joins), then a 1-row conditional count":
+            funnel_counts(events),
+        "Neighbor sampling: rank-limit window partitioned by src "
+        "(WindowGroupLimit below the sort)": neighbor_sample(e_vid, fanout=3),
+    })
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
