@@ -1936,6 +1936,70 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT idiom: per-user event counts spread into one column per
+    event type (Spark ``groupBy().pivot()`` compiles to a single
+    conditional aggregate — map-side combinable, one shuffle on
+    user_id; the oracle spells the same CASE counts)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping: event counts and exact value cents over all four
+    (event_type × weekday) grouping combinations; NULL marker columns
+    normalized to 'ALL' so both engines hash identically."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(unix_micros(cast(ts as timestamp)) div 86400000000 AS BIGINT) % 7").alias("wd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        ev.cube("event_type", "wd")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("wd").cast("string"), F.lit("ALL")).alias("wd"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: per event type and epoch day, the
+    day's event count plus the trailing-7-day sum (RANGE BETWEEN 6
+    PRECEDING) — partitioned by event_type, so no global single
+    partition."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    from pyspark.sql import Window
+
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_day")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type", "day", "n_day",
+        F.sum("n_day").over(w).alias("n_7d"),
+    )
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain cohort retention triangle
     (operators/cohort.py::cohort_retention)."""
@@ -2193,6 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "cohort": q_cohort,
         "funnel": q_funnel,
+        "pivot": q_pivot,
+        "cube": q_cube,
+        "rolling": q_rolling,
     }
 
 
@@ -2727,6 +2794,36 @@ FROM sess GROUP BY user_id, sid""",
         "harmonic_cascade": _sql_harmonic(),
         # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
         "featprop": _sql_featprop(),
+        # PIVOT: per-user event-type counts spread wide
+        "pivot": """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id""",
+        # CUBE over (event_type, weekday), NULL markers -> 'ALL'
+        "cube": """
+WITH ev AS (
+  SELECT event_type, EPOCH_US(ts) // 86400000000 % 7 AS wd,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(wd AS VARCHAR), 'ALL') AS wd,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ev GROUP BY CUBE(event_type, wd)""",
+        # RANGE-frame trailing-7-day rolling sum per event type
+        "rolling": """
+WITH ev AS (
+  SELECT event_type, EPOCH_US(ts) // 86400000000 AS day FROM events
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n_day FROM ev GROUP BY 1, 2)
+SELECT event_type, day, n_day,
+       CAST(SUM(n_day) OVER (PARTITION BY event_type ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+FROM daily""",
         # day-grain cohort retention (cohort.py::cohort_retention)
         "cohort": """
 WITH ev AS (
