@@ -1058,6 +1058,24 @@ FROM cust, pos
 WHERE bal_cents * pos_cnt > pos_sum
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey)
 GROUP BY n_name""",
+    # Q20 analog: per-group dominance threshold + semi-join chain
+    "tpch_dominant": """
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+  FROM lineitem
+),
+per_sp AS (SELECT l_partkey, l_suppkey, CAST(SUM(qc) AS BIGINT) AS q_sp
+           FROM li GROUP BY 1, 2),
+per_p AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS q_p
+          FROM li GROUP BY 1),
+dom AS (SELECT DISTINCT s.l_suppkey
+        FROM per_sp s JOIN per_p p ON p.l_partkey = s.l_partkey
+        WHERE s.q_sp * 2 > p.q_p)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM dom)""",
     # Q12 analog: join + CASE conditional aggregation
     "tpch_shipmode": """
 SELECT l.l_returnflag,
@@ -2130,6 +2148,18 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: suppliers dominating a part's shipped quantity
+    (relational.py::dominant_part_suppliers)."""
+    from crgp_spark.operators.relational import dominant_part_suppliers
+
+    return dominant_part_suppliers(
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "supplier"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
 def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 analog: above-average-balance customers with no orders
     (relational.py::prospect_customers)."""
@@ -2245,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_prospects": q_tpch_prospects,
         "tpch_shipmode": q_tpch_shipmode,
         "tpch_profit": q_tpch_profit,
+        "tpch_dominant": q_tpch_dominant,
         "pii_redact": q_pii_redact,
         "walks": q_walks,
         "stream_sessions": q_stream_sessions,

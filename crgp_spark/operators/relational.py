@@ -1030,3 +1030,43 @@ def product_type_profit(
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q20 shape: per-group threshold subquery feeding a
+    semi-join chain.
+
+    Suppliers from one nation who DOMINATE at least one part — shipped
+    more than half of that part's total quantity (the "excess stock"
+    candidate list; the schema has no partsupp, so shipped quantity
+    stands in for stock).  The threshold compares ``2·qty_supplier >
+    qty_part`` in BIGINT quantity-cents — exact on boundaries.
+
+    Plan: two partial-agg groupBys over the SAME scan-projected
+    lineitem slice (Catalyst reuses the exchange), a shuffle join on
+    partkey between them, then a semi-join into the broadcast-filtered
+    supplier dim.  No correlated re-scan, no window."""
+    qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    li = lineitem.select("l_partkey", "l_suppkey", qc.alias("qc"))
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qc").alias("q_sp")
+    )
+    per_p = li.groupBy("l_partkey").agg(F.sum("qc").alias("q_p"))
+    dominant = (
+        per_sp.join(per_p, "l_partkey")
+        .filter(F.col("q_sp") * 2 > F.col("q_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return nat.join(
+        dominant, nat.s_suppkey == dominant.l_suppkey, "left_semi"
+    )
