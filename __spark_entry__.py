@@ -2060,6 +2060,25 @@ def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-capped eccentricity from the harmonic level counts: the
+    greatest level (≤3) with a nonzero count, 0 for vertices whose
+    only edges are self-loops-free but isolated within radius — the
+    per-vertex "how far does this conversation reach" statistic."""
+    from crgp_spark.operators.harmonic import harmonic_bounded
+
+    h = harmonic_bounded(spark, _edges_vid(spark, sf_dir), radius=3,
+                         cfg=_graph_cfg())
+    ecc = (
+        F.when(F.col("cnt_d3") > 0, F.lit(3))
+        .when(F.col("cnt_d2") > 0, F.lit(2))
+        .when(F.col("cnt_d1") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return h.select("vid", ecc.alias("ecc3"))
+
+
 def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-3 harmonic centrality, generic distributed level-set path
     (operators/harmonic.py::harmonic_bounded)."""
@@ -2281,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "harmonic": q_harmonic,
         "harmonic_cascade": q_harmonic_cascade,
+        "eccentricity": q_eccentricity,
         "featprop": q_featprop,
         "mis": q_mis,
         "seqpack": q_seqpack,
@@ -2823,6 +2843,11 @@ FROM sess GROUP BY user_id, sid""",
         # one oracle (they must agree exactly)
         "harmonic": _sql_harmonic(),
         "harmonic_cascade": _sql_harmonic(),
+        # radius-capped eccentricity derived from the same level sets
+        "eccentricity": f"""SELECT vid,
+       CAST(CASE WHEN cnt_d3 > 0 THEN 3 WHEN cnt_d2 > 0 THEN 2
+                 WHEN cnt_d1 > 0 THEN 1 ELSE 0 END AS INT) AS ecc3
+FROM ({_sql_harmonic()})""",
         # 2-hop quantized neighbor-mean (featprop.py::neighborhood_mean)
         "featprop": _sql_featprop(),
         # PIVOT: per-user event-type counts spread wide
