@@ -541,6 +541,67 @@ l{d} AS (SELECT s, v FROM x{d} {earlier}
     return "".join(parts)
 
 
+def _sql_betweenness(n_seeds: int = 8, radius: int = 4) -> str:
+    """Unrolled BFS-with-geodesic-counting twin of
+    operators/betweenness.py::betweenness_seeded.  Two sigma-DP BFS
+    expansions (from the md5-chosen seeds, then from the farthest-
+    vertex targets); every per-level CTE is MATERIALIZED — DuckDB
+    inlines CTEs by default and each level is referenced by every
+    later level's exclusion list (the MIS-oracle lesson)."""
+
+    def bfs(prefix: str, sources: str) -> list[str]:
+        parts = [
+            f"{prefix}0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sig FROM {sources})"
+        ]
+        for d in range(1, radius + 1):
+            excl = "\n    ".join(
+                f"AND NOT EXISTS (SELECT 1 FROM {prefix}{k} x WHERE x.s = p.s AND x.v = y.dst)"
+                for k in range(d)
+            )
+            parts.append(
+                f"""{prefix}{d} AS MATERIALIZED (
+  SELECT p.s, y.dst AS v, CAST(SUM(p.sig) AS BIGINT) AS sig
+  FROM {prefix}{d - 1} p JOIN sym y ON y.src = p.v
+  WHERE TRUE {excl}
+  GROUP BY p.s, y.dst)"""
+            )
+        union = "\n  UNION ALL ".join(
+            f"SELECT s, v, {d} AS d, sig FROM {prefix}{d}"
+            for d in range(radius + 1)
+        )
+        parts.append(f"v{prefix} AS MATERIALIZED (\n  {union})")
+        return parts
+
+    ctes = [
+        _SQL_EVID.strip().removeprefix("WITH").strip(),
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst)",
+        f"seeds AS MATERIALIZED (\n"
+        f"  SELECT vid AS s FROM (SELECT DISTINCT src AS vid FROM sym)\n"
+        f"  ORDER BY MD5(CAST(vid AS VARCHAR)) LIMIT {n_seeds})",
+        *bfs("ls", "seeds"),
+        "dm AS (SELECT s, MAX(d) AS d_st FROM vls WHERE d > 0 GROUP BY s)",
+        "far AS MATERIALIZED (\n"
+        "  SELECT a.s, ARG_MIN(a.v, MD5(CAST(a.v AS VARCHAR))) AS t, dm.d_st\n"
+        "  FROM vls a JOIN dm ON dm.s = a.s AND a.d = dm.d_st\n"
+        "  GROUP BY a.s, dm.d_st)",
+        "targets AS MATERIALIZED (SELECT DISTINCT t AS s FROM far)",
+        *bfs("lt", "targets"),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT a.v AS vid, CAST(COUNT(*) AS INT) AS n_pairs,
+       CAST(SUM(a.sig * b.sig) AS BIGINT) AS paths
+FROM far f
+JOIN vls a ON a.s = f.s
+JOIN vlt b ON b.s = f.t AND b.v = a.v
+WHERE a.d + b.d = f.d_st AND a.v <> f.s AND a.v <> f.t
+GROUP BY a.v"""
+    )
+
+
 def _sql_walks(steps: int = 4) -> str:
     """Unrolled hash-walk steps (operators/walks.py::hash_walks): at
     step t the walk moves to ARG_MIN(dst, md5(cur:dst:t)) over the
@@ -1680,6 +1741,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate segment removal (CCNet/RefinedWeb
+    line-dedup generalized; operators/curation.py::remove_boilerplate):
+    4-token segments occurring in >=2 distinct documents are dropped
+    from every document, survivors rejoined in original order."""
+    from crgp_spark.operators.curation import remove_boilerplate
+
+    return remove_boilerplate(_docs(spark, sf_dir), seg_words=4, min_docs=2)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched decode kernel runs for real (mapInPandas over
     the fake decoder standing in for PIL/libav); the oracle checks the
@@ -1715,6 +1786,19 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(
         embs, embs.filter(F.col("vec_id") < 16), dim=64, k=5, n_bits=6,
         n_tables=2,
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py::knn_pq):
+    4 subspaces x 16 codewords trained with one deterministic Lloyd
+    step, corpus encoded to 4 codes/vector, queries scored via the
+    broadcast lookup table — all BIGINT, oracle-exact."""
+    from crgp_spark.operators.pq import knn_pq
+
+    embs = _embs(spark, sf_dir)
+    return knn_pq(
+        embs, embs.filter(F.col("vec_id") < 16), k=5, m=4, n_codes=16
     )
 
 
@@ -2100,6 +2184,18 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-pair betweenness numerators, integer-exact
+    (operators/betweenness.py::betweenness_seeded): 8 md5-chosen seeds,
+    each paired with its farthest in-radius-4 vertex; geodesic counts
+    through every interior vertex."""
+    from crgp_spark.operators.betweenness import betweenness_seeded
+
+    return betweenness_seeded(
+        spark, _edges_vid(spark, sf_dir), n_seeds=8, radius=4, cfg=_graph_cfg()
+    )
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-walk corpus over the influence graph
     (operators/walks.py::hash_walks, 4 steps, one walk per
@@ -2258,11 +2354,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified": q_stratified,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "boilerplate": q_boilerplate,
+        "betweenness": q_betweenness,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
+        "knn_pq": q_knn_pq,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_json": q_events_json,
@@ -2769,6 +2868,44 @@ hit AS (SELECT DISTINCT doc_id FROM grams
           AND g IN (SELECT g FROM bg))
 SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
 FROM train t LEFT JOIN hit h ON h.doc_id = t.doc_id""",
+        # cross-document boilerplate segment removal
+        # (curation.py::remove_boilerplate, seg_words=4, min_docs=2);
+        # RANGE(256) is a safe constant bound on segments/doc (DuckDB
+        # 1.0 cannot lateral-join RANGE on a column) — max text is
+        # ~550 chars => far fewer than 256 four-token segments
+        "boilerplate": """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')
+         END AS toks
+  FROM documents
+),
+sg AS (
+  SELECT doc_id,
+         CASE WHEN LEN(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE LIST_TRANSFORM(RANGE((LEN(toks) - 1) // 4 + 1),
+                     i -> ARRAY_TO_STRING(toks[i * 4 + 1 : i * 4 + 4], ' '))
+         END AS segs
+  FROM tk
+),
+ex AS (
+  SELECT doc_id, r.i AS pos, segs[r.i + 1] AS seg
+  FROM sg, RANGE(256) r(i) WHERE r.i < LEN(segs)
+),
+boiler AS (SELECT seg FROM ex GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT ex.* FROM ex WHERE seg NOT IN (SELECT seg FROM boiler)),
+re AS (
+  SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY pos) AS clean, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT sg.doc_id, COALESCE(re.clean, '') AS clean_text,
+       CAST(LEN(sg.segs) AS INT) AS n_segs,
+       CAST(LEN(sg.segs) - COALESCE(re.n_kept, 0) AS INT) AS n_removed
+FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
+        # sampled-pair betweenness numerators (betweenness.py)
+        "betweenness": _sql_betweenness(n_seeds=8, radius=4),
         # Gopher-style repetition signals (curation.py::repetition_stats)
         "repetition": """
 WITH ntext AS (
@@ -2929,6 +3066,74 @@ rk AS (
 SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
+        # product-quantization ADC top-k (pq.py::knn_pq): one-step
+        # Lloyd codebooks per subspace (seed fallback for empty
+        # codewords), BIGINT squared distances, composite argmins —
+        # bit-identical to the engine
+        "knn_pq": """
+WITH q AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j.i AS sub, qv[j.i * 16 + 1 : j.i * 16 + 16] AS sv
+  FROM q, RANGE(4) j(i)
+),
+sd AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM q ORDER BY vec_id LIMIT 16
+),
+cent AS (SELECT s.sub, sd.code, s.sv AS qc FROM sd JOIN sub s ON s.vec_id = sd.vec_id),
+d0 AS (
+  SELECT s.vec_id, s.sub, c.code,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(16),
+           i -> (s.sv[i + 1] - c.qc[i + 1]) * (s.sv[i + 1] - c.qc[i + 1])))
+           AS BIGINT) AS d
+  FROM sub s JOIN cent c ON c.sub = s.sub
+),
+a0 AS (SELECT vec_id, sub, CAST(MIN(d * 16 + code) % 16 AS INT) AS code
+       FROM d0 GROUP BY vec_id, sub),
+exd AS (
+  SELECT a.sub, a.code, t.i AS dim, s.sv[t.i + 1] AS u
+  FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.sub = a.sub, RANGE(16) t(i)
+),
+upd AS (
+  SELECT sub, code, dim,
+         CAST(FLOOR(CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / COUNT(*) + 0.5)
+              AS BIGINT) AS upd_u
+  FROM exd GROUP BY sub, code, dim
+),
+seedl AS (SELECT c.sub, c.code, t.i AS dim, c.qc[t.i + 1] AS seed_u
+          FROM cent c, RANGE(16) t(i)),
+cb AS (
+  SELECT sl.sub, sl.code, sl.dim, COALESCE(u.upd_u, sl.seed_u) AS cu
+  FROM seedl sl LEFT JOIN upd u
+    ON u.sub = sl.sub AND u.code = sl.code AND u.dim = sl.dim
+),
+denc AS (
+  SELECT s.vec_id, s.sub, b.code,
+         CAST(SUM((s.sv[b.dim + 1] - b.cu) * (s.sv[b.dim + 1] - b.cu)) AS BIGINT) AS d
+  FROM sub s JOIN cb b ON b.sub = s.sub GROUP BY s.vec_id, s.sub, b.code
+),
+enc AS (SELECT vec_id, sub, CAST(MIN(d * 16 + code) % 16 AS INT) AS code
+        FROM denc GROUP BY vec_id, sub),
+lut AS (
+  SELECT vec_id AS query_id, sub, code, d FROM denc WHERE vec_id < 16
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= 5""",
         # one Lloyd k-means step, BIGINT-exact (kmeans.py::kmeans_step)
         "kmeans": """
 WITH q AS (

@@ -174,6 +174,80 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def remove_boilerplate(
+    docs: DataFrame,
+    seg_words: int = 4,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet / RefinedWeb line-dedup
+    generalized to token segments): a document is re-segmented into
+    non-overlapping ``seg_words``-token chunks of its normalized text; a
+    segment that occurs in >= ``min_docs`` DISTINCT documents is corpus
+    boilerplate (headers, footers, navigation chrome, license blurbs)
+    and is dropped from every document.  Returns ``(doc_id, clean_text,
+    n_segs, n_removed)`` with the surviving segments rejoined in
+    original order.
+
+    Segments rather than literal ``\\n``-lines so the operator is
+    meaningful for single-line corpora too; on real web text pass the
+    line split upstream (one segment per line) and ``seg_words`` large.
+
+    Scale shape at 100 TB: one scan-shaped segmentation (pure array
+    expressions), one map-side-combinable ``groupBy(segment)`` with a
+    partial COUNT(DISTINCT doc) — boilerplate segments are by
+    definition heavy keys, which is exactly what partial aggregation
+    absorbs — and one anti-join back.  The boilerplate set is tiny
+    relative to the corpus (it is the *repeated* fraction), so it is
+    broadcast by default; disable to fall back to a shuffled anti-join
+    on the segment key.  Reassembly shuffles on ``doc_id`` only.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    segs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size(toks) - 1) / F.lit(seg_words)),
+            ),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_words + 1, seg_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), segs.alias("_segs"))
+    ex = base.select("doc_id", F.posexplode("_segs").alias("pos", "seg"))
+    boiler = (
+        ex.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("seg")
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    kept = ex.join(boiler, "seg", "left_anti")
+    re_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return base.join(re_agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        F.size("_segs").cast("int").alias("n_segs"),
+        (F.size("_segs") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
 #: (name, pattern, replacement) — applied strictly in this order.  The
 #: patterns are restricted to constructs with identical semantics in
 #: Spark's Java regex and DuckDB's RE2 (character classes, bounded

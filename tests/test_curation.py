@@ -104,3 +104,67 @@ def test_redact_pii_email_beats_url_order(spark):
     docs = _docs(spark, [(0, "see https://t.co/r?to=a@b.com end")])
     row = redact_pii(docs).collect()[0]
     assert row["n_email"] == 1 and "<EMAIL>" in row["redacted"]
+
+
+def test_remove_boilerplate_drops_repeated_segments(spark):
+    from crgp_spark.operators.curation import remove_boilerplate
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d e f g h"),        # segs: "a b c d" | "e f g h"
+            (1, "a b c d x"),              # segs: "a b c d" | "x"
+            (2, "unique words only here kept"),
+            (3, ""),                       # no tokens -> 0 segments
+            (4, "a b c d"),                # everything is boilerplate
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segs"], r["n_removed"])
+        for r in remove_boilerplate(docs, seg_words=4, min_docs=2).collect()
+    }
+    assert got[0] == ("e f g h", 2, 1)
+    assert got[1] == ("x", 2, 1)
+    assert got[2] == ("unique words only here kept", 2, 0)
+    assert got[3] == ("", 0, 0)
+    assert got[4] == ("", 1, 1)
+
+
+def test_remove_boilerplate_preserves_order_and_duplicates(spark):
+    from crgp_spark.operators.curation import remove_boilerplate
+
+    # the SAME within-doc segment repeated must survive twice (only
+    # cross-document repetition is boilerplate at min_docs=3), and
+    # order must be original, not lexical
+    docs = _docs(
+        spark,
+        [
+            (0, "zz yy zz yy tail"),
+            (1, "other text entirely differs"),
+        ],
+    )
+    got = remove_boilerplate(docs, seg_words=2, min_docs=3).collect()
+    row0 = next(r for r in got if r["doc_id"] == 0)
+    assert row0["clean_text"] == "zz yy zz yy tail"
+    assert row0["n_segs"] == 3 and row0["n_removed"] == 0
+
+
+def test_remove_boilerplate_broadcast_off_same_result(spark):
+    from crgp_spark.operators.curation import remove_boilerplate
+
+    docs = _docs(
+        spark,
+        [(i, f"common head seg w{i} uniq tail w{i + 1}") for i in range(12)],
+    )
+    a = sorted(map(tuple, remove_boilerplate(docs, seg_words=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            remove_boilerplate(
+                docs, seg_words=3, broadcast_boilerplate=False
+            ).collect(),
+        )
+    )
+    assert a == b
+    # "common head seg" repeats in all 12 docs -> removed everywhere
+    assert all(row[3] >= 1 for row in a)
