@@ -382,6 +382,15 @@ def main() -> None:
         lambda: maximal_independent_set(spark, e2, rounds=4, cfg=cfg).count(),
     )
 
+    from crgp_spark.operators.betweenness import betweenness_seeded
+
+    timed(
+        "betweenness_8s_r4",
+        lambda: betweenness_seeded(
+            spark, e2, n_seeds=8, radius=4, cfg=cfg
+        ).count(),
+    )
+
     from crgp_spark.operators.harmonic import cascade_harmonic
 
     timed(
@@ -424,6 +433,13 @@ def main() -> None:
         ).count(),
     )
     timed("repetition_stats", lambda: repetition_stats(docs).count())
+
+    from crgp_spark.operators.curation import remove_boilerplate
+
+    timed(
+        "boilerplate",
+        lambda: remove_boilerplate(docs, seg_words=4, min_docs=2).count(),
+    )
     timed(
         "neardup_clusters",
         lambda: neardup_clusters(spark, docs, cfg=cfg).count(),
@@ -449,6 +465,13 @@ def main() -> None:
     from crgp_spark.operators.kmeans import kmeans_step
 
     timed("kmeans_step", lambda: kmeans_step(embs, k=8).count())
+
+    from crgp_spark.operators.pq import knn_pq
+
+    timed(
+        "knn_pq",
+        lambda: knn_pq(embs, embs.limit(64), k=10, m=4, n_codes=16).count(),
+    )
 
     from crgp_spark.operators.cohort import cohort_retention, funnel_counts
     from crgp_spark.operators.featprop import neighbor_sample

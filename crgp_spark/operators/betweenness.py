@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
+from crgp_spark.plans.superstep import state_hint
 
 
 def _md5v(col):
@@ -52,11 +53,17 @@ def _md5v(col):
 
 
 def _bfs_sigma(
-    sources: DataFrame, sym: DataFrame, radius: int
+    sources: DataFrame, sym: DataFrame, radius: int, state_bound: int
 ) -> DataFrame:
     """Multi-source BFS with geodesic counting.  ``sources``: one
     column ``s``.  Returns ``(s, v, d, sig)`` for every vertex within
-    ``radius`` of its source (including ``d=0`` self rows)."""
+    ``radius`` of its source (including ``d=0`` self rows).
+
+    ``state_bound`` is an upper bound on the per-level state size
+    (sources x vertices) fed to the repo-wide ``state_hint`` policy:
+    per-iteration state tables must never be Catalyst-broadcast on
+    large graphs (bounded executor heaps OOM on accumulated broadcast
+    maps — the round-2 multi-JVM lesson)."""
     frontier = sources.select(
         F.col("s"),
         F.col("s").alias("v"),
@@ -65,11 +72,15 @@ def _bfs_sigma(
     visited = frontier.select("s", "v", F.lit(0).alias("d"), "sig")
     for d in range(1, radius + 1):
         nxt = (
-            sym.join(frontier, sym.src == frontier.v)
+            sym.join(state_hint(frontier, state_bound), sym.src == frontier.v)
             .groupBy("s", F.col("dst").alias("nv"))
             .agg(F.sum("sig").alias("sig"))
             .withColumnRenamed("nv", "v")
-            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .join(
+                state_hint(visited.select("s", "v"), state_bound),
+                ["s", "v"],
+                "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(
@@ -107,13 +118,15 @@ def betweenness_seeded(
     )
 
     verts = sym.select(F.col("src").alias("vid")).distinct()
+    n_vert = verts.count()  # one cheap action; bounds the BFS state
+    state_bound = n_seeds * n_vert
     seeds = (
         verts.orderBy(_md5v("vid"))
         .limit(n_seeds)
         .select(F.col("vid").alias("s"))
     )
 
-    vis_s = _bfs_sigma(seeds, sym, radius)
+    vis_s = _bfs_sigma(seeds, sym, radius, state_bound)
 
     # pair each seed with its farthest in-radius vertex (md5 tie-break)
     far = (
@@ -131,7 +144,7 @@ def betweenness_seeded(
     )
 
     targets = far.select(F.col("t").alias("s")).distinct()
-    vis_t = _bfs_sigma(targets, sym, radius)
+    vis_t = _bfs_sigma(targets, sym, radius, state_bound)
 
     a = vis_s.select(
         F.col("s"), F.col("v"), F.col("d").alias("da"), F.col("sig").alias("siga")
@@ -159,6 +172,7 @@ def betweenness_seeded(
             F.sum("paths").alias("paths"),
         )
     )
-    res = res.localCheckpoint(eager=True)
+    # the combine stage reads only the per-level checkpoints (never sym
+    # directly), so releasing the edge cache here is safe
     sym.unpersist()
     return res

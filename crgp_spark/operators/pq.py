@@ -138,7 +138,8 @@ def pq_codebooks(
     seed_long = cents.select(
         "sub", "code", F.posexplode("qc").alias("dim", "seed_u")
     )
-    return seed_long.join(upd, ["sub", "code", "dim"], "left").select(
+    # the update table is bounded by m*n_codes*d_sub rows — broadcast
+    return seed_long.join(F.broadcast(upd), ["sub", "code", "dim"], "left").select(
         "sub",
         "code",
         "dim",

@@ -214,6 +214,25 @@ def main() -> None:
         "Neighbor sampling: rank-limit window partitioned by src "
         "(WindowGroupLimit below the sort)": neighbor_sample(e_vid, fanout=3),
     })
+    from crgp_spark.operators.betweenness import betweenness_seeded
+    from crgp_spark.operators.curation import remove_boilerplate
+    from crgp_spark.operators.pq import knn_pq
+
+    sections.update({
+        "Boilerplate removal: scan-side segmentation, partial-distinct "
+        "segment groupBy, broadcast anti-join, doc_id-only reassembly "
+        "shuffle": remove_boilerplate(docs2, seg_words=4, min_docs=2),
+        "Sampled-pair betweenness: two sigma-counting BFS sweeps "
+        "(per-level partial-agg SUM + anti-join), final vertex-key "
+        "joins — all BIGINT": betweenness_seeded(
+            spark, e_vid, n_seeds=8, radius=4, cfg=cfg
+        ),
+        "PQ ADC search: broadcast codebook assigns, m-codes/vector "
+        "table joined to broadcast per-query LUT on (sub, code), "
+        "partial-agg ADC sum, per-query (partitioned) top-k window":
+            knn_pq(embs2, embs2.limit(16), k=5, m=4, n_codes=16),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
