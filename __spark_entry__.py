@@ -493,14 +493,10 @@ f{k} AS (SELECT v.vid, CAST(COALESCE(g{k}.u, 0) AS BIGINT) AS u
     return "".join(parts)
 
 
-def _sql_harmonic(radius: int = 3) -> str:
-    """Unrolled level sets (operators/harmonic.py): l_d = expand(l_{d-1})
-    EXCEPT earlier levels EXCEPT self; harmonic derived from the integer
-    counts by ONE division (lcm idiom), matching both engine paths
-    bit-for-bit."""
-    import math
-
-    lcm = math.lcm(*range(1, radius + 1))
+def _sql_level_sets(radius: int) -> list[str]:
+    """Shared unrolled level-set CTEs (operators/harmonic.py's BFS):
+    l_d = expand(l_{d-1}) EXCEPT earlier levels EXCEPT self — the
+    building block of the harmonic and structural-virality oracles."""
     parts = [
         f"WITH {_SQL_EVID},",
         "sym AS (SELECT src, dst FROM e WHERE src <> dst\n"
@@ -518,6 +514,16 @@ x{d} AS (SELECT DISTINCT l{d - 1}.s, y.dst AS v
 l{d} AS (SELECT s, v FROM x{d} {earlier}
          EXCEPT SELECT src AS s, src AS v FROM sym)"""
         )
+    return parts
+
+
+def _sql_harmonic(radius: int = 3) -> str:
+    """Unrolled level sets; harmonic derived from the integer counts by
+    ONE division (lcm idiom), matching both engine paths bit-for-bit."""
+    import math
+
+    lcm = math.lcm(*range(1, radius + 1))
+    parts = _sql_level_sets(radius)
     for d in range(1, radius + 1):
         parts.append(
             f",\nc{d} AS (SELECT s, CAST(COUNT(*) AS INT) AS c FROM l{d} GROUP BY s)"
@@ -538,6 +544,71 @@ l{d} AS (SELECT s, v FROM x{d} {earlier}
         f"       CAST({units} AS DOUBLE) / {lcm}.0 AS harmonic\n"
         f"FROM verts {joins}"
     )
+    return "".join(parts)
+
+
+def _sql_virality(radius: int = 3) -> str:
+    """Structural-virality twin (operators/virality.py): the harmonic
+    level sets grouped by conversation (conv = vid // 100000 under the
+    driver's vid encoding), pair counts and distance sums halved with
+    integer division, ONE rounded double division for the mean."""
+    parts = _sql_level_sets(radius)
+    level_union = "\n  UNION ALL ".join(
+        f"SELECT s, {d} AS d FROM l{d}" for d in range(1, radius + 1)
+    )
+    parts.append(
+        f""",
+vcnt AS (SELECT 'u' || CAST(src // 100000 AS VARCHAR) AS conv_id,
+                COUNT(DISTINCT src) AS n_vertices
+         FROM sym GROUP BY 1),
+lv AS (
+  {level_union}
+),
+tot AS (
+  SELECT 'u' || CAST(s // 100000 AS VARCHAR) AS conv_id,
+         CAST(COUNT(*) AS BIGINT) AS p2,
+         CAST(SUM(d) AS BIGINT) AS w2
+  FROM lv GROUP BY 1
+)
+SELECT v.conv_id, CAST(v.n_vertices AS INT) AS n_vertices,
+       CAST(t.p2 // 2 AS BIGINT) AS n_pairs,
+       CAST(t.w2 // 2 AS BIGINT) AS wiener,
+       FLOOR(CAST(t.w2 AS DOUBLE) / CAST(t.p2 AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_dist
+FROM vcnt v JOIN tot t ON t.conv_id = v.conv_id"""
+    )
+    return "".join(parts)
+
+
+def _sql_latency(rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford twin of operators/sssp.py::bounded_sssp
+    over the influence edges: weight = max(dst_turn - src_turn, 1),
+    sources = the originator vids, one MIN re-aggregation per round."""
+    parts = [
+        f"WITH {_SQL_EDGES},",
+        """ew AS (
+  SELECT uid * 100000 + src_turn AS src,
+         uid * 100000 + dst_turn AS dst,
+         GREATEST(CAST(dst_turn - src_turn AS BIGINT), 1) AS w
+  FROM edges
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT uid * 100000 + orig_turn AS vid, CAST(0 AS BIGINT) AS dist
+  FROM edges
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT vid, MIN(dist) AS dist FROM (
+    SELECT vid, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS vid, p.dist + e.w AS dist
+    FROM d{r - 1} p JOIN ew e ON e.src = p.vid
+  ) GROUP BY vid)"""
+        )
+    parts.append(f"\nSELECT vid, dist FROM d{rounds}")
     return "".join(parts)
 
 
@@ -2184,6 +2255,37 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence latency (operators/sssp.py::bounded_sssp): min total
+    turn-gap from each conversation's originator, Bellman-Ford with 4
+    fixed relaxation rounds, weights clamped at >= 1 (originator edges
+    may point backward in turn order, leaf.rs:53-66)."""
+    from crgp_spark.operators.sssp import bounded_sssp
+
+    e = _edge_turns(spark, sf_dir)
+    vid = lambda c: _uid("conv_id") * 100000 + F.col(c)  # noqa: E731
+    edges = e.select(
+        vid("src_turn").alias("src"),
+        vid("dst_turn").alias("dst"),
+        F.greatest(
+            F.col("dst_turn").cast("long") - F.col("src_turn"), F.lit(1)
+        ).alias("w"),
+    )
+    sources = e.select(vid("orig_turn").alias("vid")).distinct()
+    return bounded_sssp(spark, edges, sources, rounds=4, cfg=_graph_cfg())
+
+
+def q_virality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural virality (radius-3 Wiener index,
+    operators/virality.py) — mean pairwise geodesic distance of each
+    cascade, derived from the cascade-local harmonic level counts."""
+    from crgp_spark.operators.virality import structural_virality
+
+    return structural_virality(
+        spark, _edges_vid_conv(spark, sf_dir), radius=3, cfg=_graph_cfg()
+    )
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-pair betweenness numerators, integer-exact
     (operators/betweenness.py::betweenness_seeded): 8 md5-chosen seeds,
@@ -2356,6 +2458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
         "betweenness": q_betweenness,
+        "virality": q_virality,
+        "latency": q_latency,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -2906,6 +3010,10 @@ SELECT sg.doc_id, COALESCE(re.clean, '') AS clean_text,
 FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         # sampled-pair betweenness numerators (betweenness.py)
         "betweenness": _sql_betweenness(n_seeds=8, radius=4),
+        # per-conversation structural virality (virality.py)
+        "virality": _sql_virality(radius=3),
+        # originator influence latency, 4 Bellman-Ford rounds (sssp.py)
+        "latency": _sql_latency(rounds=4),
         # Gopher-style repetition signals (curation.py::repetition_stats)
         "repetition": """
 WITH ntext AS (

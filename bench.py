@@ -398,6 +398,24 @@ def main() -> None:
         lambda: cascade_harmonic(spark, e3, radius=3, cfg=cfg).count(),
     )
 
+    from crgp_spark.operators.sssp import bounded_sssp
+    from crgp_spark.operators.virality import structural_virality
+
+    timed(
+        "virality_r3",
+        lambda: structural_virality(spark, e3, radius=3, cfg=cfg).count(),
+    )
+    timed(
+        "sssp_4r",
+        lambda: bounded_sssp(
+            spark,
+            e2.select("src", "dst", (F.lit(1)).cast("long").alias("w")),
+            srcs.select("vid"),
+            rounds=4,
+            cfg=cfg,
+        ).count(),
+    )
+
     from crgp_spark.operators.featprop import neighborhood_mean
 
     timed(

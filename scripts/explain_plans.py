@@ -233,6 +233,27 @@ def main() -> None:
             knn_pq(embs2, embs2.limit(16), k=5, m=4, n_codes=16),
     })
 
+    from crgp_spark.operators.sssp import bounded_sssp
+    from crgp_spark.operators.virality import structural_virality
+
+    srcs0 = e_vid.groupBy(F.col("src").alias("vid")).count().select("vid").limit(64)
+    sections.update({
+        "Structural virality: cascade-kernel level counts + one "
+        "broadcast vertex->conv join + map-side-combinable "
+        "groupBy(conv_id)": structural_virality(
+            spark, e_conv, radius=3, cfg=cfg
+        ),
+        "Bounded SSSP (Bellman-Ford, 4 rounds): per-round state join "
+        "under state_hint + map-side-combinable MIN re-aggregation":
+            bounded_sssp(
+                spark,
+                e_vid.withColumn("w", F.lit(1).cast("long")),
+                srcs0,
+                rounds=4,
+                cfg=cfg,
+            ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
