@@ -310,6 +310,63 @@ def main() -> None:
         out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
+    elif args.algo == "betweenness":
+        from crgp_spark.operators.betweenness import betweenness_seeded
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = betweenness_seeded(
+            spark, edges, n_seeds=8,
+            radius=args.fixed_iterations or 4, cfg=cfg,
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, interior_vertices=n,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "virality":
+        from crgp_spark.operators.virality import structural_virality
+
+        full = spark.read.parquet(args.edges)
+        if "conv_id" not in full.columns:
+            raise SystemExit("virality needs a conv_id edge column")
+        n_edges = full.count()
+        t0 = time.time()
+        n = structural_virality(
+            spark, full.select("src", "dst", "conv_id"),
+            radius=args.fixed_iterations or 3, cfg=cfg,
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, conversations=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "sssp":
+        from pyspark.sql import functions as F
+
+        from crgp_spark.operators.sssp import bounded_sssp
+
+        full = spark.read.parquet(args.edges)
+        edges = full.select(
+            "src", "dst",
+            (full["w"] if "w" in full.columns else F.lit(1))
+            .cast("long").alias("w"),
+        )
+        n_edges = edges.count()
+        # deterministic 64-seed source set (md5-smallest vids)
+        srcs = (
+            edges.select(F.col("src").alias("vid")).distinct()
+            .orderBy(F.md5(F.col("vid").cast("string"))).limit(64)
+        )
+        t0 = time.time()
+        n = bounded_sssp(
+            spark, edges, srcs,
+            rounds=args.fixed_iterations or 4, cfg=cfg,
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, reached=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
     elif args.algo == "linkpred":
         from crgp_spark.operators.linkpred import top_predicted_links
 
