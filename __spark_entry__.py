@@ -580,6 +580,51 @@ FROM vcnt v JOIN tot t ON t.conv_id = v.conv_id"""
     return "".join(parts)
 
 
+def _hex15_num(col: str) -> str:
+    """BIGINT value of a hex column's first 15 digits (60 bits) — the
+    INSTR idiom (_MD5_U32) widened; DuckDB 1.0 has no hex->int cast."""
+    return " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTRING({col}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _sql_matching(rounds: int = 4) -> str:
+    """Unrolled local-min edge rounds (operators/matching.py): an edge
+    wins round r when its md5(u:v:r) priority is the MIN at both
+    endpoints; matched endpoints deactivate.  Per-round CTEs
+    MATERIALIZED (the MIS-oracle inlining lesson)."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "a0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,\n"
+        "        GREATEST(src, dst) AS v FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+p{r} AS (SELECT u, v,
+         MD5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':{r}') AS pr
+         FROM a{p}),
+vm{r} AS (SELECT vid, MIN(pr) AS mn FROM (
+         SELECT u AS vid, pr FROM p{r} UNION ALL SELECT v, pr FROM p{r})
+         GROUP BY vid),
+w{r} AS MATERIALIZED (SELECT p.u, p.v FROM p{r} p
+         JOIN vm{r} a ON a.vid = p.u AND a.mn = p.pr
+         JOIN vm{r} b ON b.vid = p.v AND b.mn = p.pr),
+m{r} AS MATERIALIZED (SELECT u AS vid FROM w{r} UNION SELECT v FROM w{r}),
+a{r} AS MATERIALIZED (SELECT u, v FROM a{p}
+         WHERE u NOT IN (SELECT vid FROM m{r})
+           AND v NOT IN (SELECT vid FROM m{r}))"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT u, v, CAST({r} AS INT) AS rnd FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
 def _sql_latency(rounds: int = 4) -> str:
     """Unrolled Bellman-Ford twin of operators/sssp.py::bounded_sssp
     over the influence edges: weight = max(dst_turn - src_turn, 1),
@@ -2255,6 +2300,26 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketch.py::kmv_distinct, k=32):
+    approximate distinct users per event type, deterministic md5
+    hashing so the estimate itself is oracle-exact."""
+    from crgp_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_events(spark, sf_dir), "event_type", "user_id", k=32)
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic maximal matching over the influence graph
+    (operators/matching.py::maximal_matching, 4 local-min edge
+    rounds)."""
+    from crgp_spark.operators.matching import maximal_matching
+
+    return maximal_matching(
+        spark, _edges_vid(spark, sf_dir), rounds=4, cfg=_graph_cfg()
+    )
+
+
 def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence latency (operators/sssp.py::bounded_sssp): min total
     turn-gap from each conversation's originator, Bellman-Ford with 4
@@ -2460,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "virality": q_virality,
         "latency": q_latency,
+        "matching": q_matching,
+        "kmv": q_kmv,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -3014,6 +3081,31 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "virality": _sql_virality(radius=3),
         # originator influence latency, 4 Bellman-Ford rounds (sssp.py)
         "latency": _sql_latency(rounds=4),
+        # deterministic maximal matching, 4 local-min edge rounds
+        "matching": _sql_matching(rounds=4),
+        # KMV distinct sketch, k=32 (sketch.py::kmv_distinct): the
+        # k-th hash's top 15 hex digits -> BIGINT via the INSTR idiom;
+        # division order mirrors the engine exactly
+        "kmv": f"""
+WITH h AS (
+  SELECT DISTINCT event_type, MD5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM h
+),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS INT) AS n_kept, MAX(h) AS kmax
+  FROM r WHERE rk <= 32 GROUP BY event_type
+)
+SELECT event_type, n_kept,
+       CASE WHEN n_kept >= 32 THEN kmax END AS kth_hash,
+       CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+            ELSE FLOOR(31.0 / (CAST(({_hex15_num('kmax')}) AS DOUBLE)
+                 / 1152921504606846976.0) * 10000.0 + 0.5) / 10000.0
+       END AS est_distinct
+FROM t""",
         # Gopher-style repetition signals (curation.py::repetition_stats)
         "repetition": """
 WITH ntext AS (

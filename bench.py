@@ -398,8 +398,14 @@ def main() -> None:
         lambda: cascade_harmonic(spark, e3, radius=3, cfg=cfg).count(),
     )
 
+    from crgp_spark.operators.matching import maximal_matching
     from crgp_spark.operators.sssp import bounded_sssp
     from crgp_spark.operators.virality import structural_virality
+
+    timed(
+        "matching_4r",
+        lambda: maximal_matching(spark, e2, rounds=4, cfg=cfg).count(),
+    )
 
     timed(
         "virality_r3",
@@ -463,6 +469,13 @@ def main() -> None:
         lambda: neardup_clusters(spark, docs, cfg=cfg).count(),
     )
     timed("quantiles", lambda: value_quantiles(events).count())
+
+    from crgp_spark.operators.sketch import kmv_distinct
+
+    timed(
+        "kmv_sketch",
+        lambda: kmv_distinct(events, "event_type", "user_id", k=32).count(),
+    )
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     timed(
         "knn_bruteforce",

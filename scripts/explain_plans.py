@@ -254,6 +254,16 @@ def main() -> None:
             ),
     })
 
+    from crgp_spark.operators.sketch import kmv_distinct
+
+    sections.update({
+        "KMV distinct sketch: distinct (group, hash) + rank-limit "
+        "window (WindowGroupLimit prunes partitions to local top-k) + "
+        "tiny per-group finisher": kmv_distinct(
+            events, "event_type", "user_id", k=32
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "

@@ -1,0 +1,56 @@
+"""KMV distinct sketch: exact below k, estimator above k reproduced
+hash-for-hash in Python, and merge-like stability under duplication."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from crgp_spark.operators.sketch import kmv_distinct
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def _est(values, k):
+    hs = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in values})
+    if len(hs) < k:
+        return float(len(hs)), len(hs), None
+    kth = hs[k - 1]
+    num = int(kth[:15], 16)
+    raw = (k - 1.0) / (float(num) / float(1 << 60))
+    return math.floor(raw * 10000.0 + 0.5) / 10000.0, k, kth
+
+
+def test_exact_below_k(spark):
+    rows = [("a", v) for v in (1, 2, 3)] + [("a", 2)]  # 3 distinct
+    got = kmv_distinct(_df(spark, rows), "g", "v", k=8).collect()[0]
+    assert (got["n_kept"], got["kth_hash"], got["est_distinct"]) == (3, None, 3.0)
+
+
+def test_estimate_matches_python_reference(spark):
+    values = list(range(200))
+    rows = [("a", v) for v in values]
+    got = kmv_distinct(_df(spark, rows), "g", "v", k=16).collect()[0]
+    est, n_kept, kth = _est(values, 16)
+    assert got["n_kept"] == n_kept
+    assert got["kth_hash"] == kth
+    assert got["est_distinct"] == est
+    # statistical sanity: within 50% of truth at k=16
+    assert 100 <= got["est_distinct"] <= 400
+
+
+def test_duplicates_do_not_change_sketch(spark):
+    base = [("a", v) for v in range(100)]
+    got1 = kmv_distinct(_df(spark, base), "g", "v", k=16).collect()[0]
+    got2 = kmv_distinct(_df(spark, base * 3), "g", "v", k=16).collect()[0]
+    assert got1.asDict() == got2.asDict()
+
+
+def test_groups_independent(spark):
+    rows = [("a", v) for v in range(50)] + [("b", v) for v in range(5)]
+    got = {r["g"]: r for r in kmv_distinct(_df(spark, rows), "g", "v", k=16).collect()}
+    assert got["b"]["est_distinct"] == 5.0 and got["b"]["kth_hash"] is None
+    est_a, _, _ = _est(list(range(50)), 16)
+    assert got["a"]["est_distinct"] == est_a
