@@ -2300,6 +2300,37 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (operators/layout.py::zorder_layout):
+    Morton interleave of (user_id, epoch day) per event — the kernel of
+    a lakehouse OPTIMIZE ZORDER rewrite, at scan speed."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.layout import zorder_layout
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("a"),
+        (ts_micros("ts") - (ts_micros("ts") % 86_400_000_000)).alias("_d0"),
+    ).select(
+        "event_id", "a",
+        (F.col("_d0") / 86_400_000_000).cast("long").alias("b"),
+    )
+    return zorder_layout(ev, "a", "b", "event_id", bucket_bits=8)
+
+
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy self-join over conversation handles
+    (operators/fuzzy.py::fuzzy_pairs_ed1): FastSS deletion-neighborhood
+    blocking + exact levenshtein verify — the entity-resolution
+    primitive."""
+    from crgp_spark.operators.fuzzy import fuzzy_pairs_ed1
+
+    handles = _events(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s")
+    ).distinct()
+    return fuzzy_pairs_ed1(handles)
+
+
 def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (operators/sketch.py::kmv_distinct, k=32):
     approximate distinct users per event type, deterministic md5
@@ -2527,6 +2558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency": q_latency,
         "matching": q_matching,
         "kmv": q_kmv,
+        "zorder": q_zorder,
+        "fuzzy": q_fuzzy,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -3083,6 +3116,49 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "latency": _sql_latency(rounds=4),
         # deterministic maximal matching, 4 local-min edge rounds
         "matching": _sql_matching(rounds=4),
+        # Z-order clustering keys (layout.py::zorder_layout): the
+        # magic-mask bit spread staged through CTEs; >> equals Spark's
+        # shiftrightunsigned because zkey < 2^62 stays positive
+        "zorder": """
+WITH ev AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) & 2147483647 AS a,
+         (EPOCH_US(ts) // 86400000000) & 2147483647 AS b
+  FROM events
+),
+s1 AS (SELECT event_id, (a | (a << 16)) & 281470681808895 AS a,
+              (b | (b << 16)) & 281470681808895 AS b FROM ev),
+s2 AS (SELECT event_id, (a | (a << 8)) & 71777214294589695 AS a,
+              (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+s3 AS (SELECT event_id, (a | (a << 4)) & 1085102592571150095 AS a,
+              (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+s4 AS (SELECT event_id, (a | (a << 2)) & 3689348814741910323 AS a,
+              (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+s5 AS (SELECT event_id, (a | (a << 1)) & 6148914691236517205 AS a,
+              (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+SELECT event_id, a | (b << 1) AS zkey,
+       CAST((a | (b << 1)) >> 54 AS INT) AS bucket
+FROM s5""",
+        # edit-distance-1 fuzzy self-join (fuzzy.py::fuzzy_pairs_ed1):
+        # deletion-neighborhood blocking + exact levenshtein verify;
+        # RANGE(65) bounds the variant index (max_len=64)
+        "fuzzy": """
+WITH sf AS (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS s FROM events
+  WHERE LENGTH('u' || CAST(user_id AS VARCHAR)) BETWEEN 1 AND 64
+),
+ex AS (
+  SELECT DISTINCT s,
+         CASE WHEN r.i = 0 THEN s
+              ELSE SUBSTRING(s, 1, r.i - 1) || SUBSTRING(s, r.i + 1)
+         END AS v
+  FROM sf, RANGE(65) r(i) WHERE r.i <= LENGTH(s)
+),
+cand AS (
+  SELECT DISTINCT a.s AS s1, b.s AS s2
+  FROM ex a JOIN ex b ON a.v = b.v WHERE a.s < b.s
+)
+SELECT s1, s2 FROM cand WHERE LEVENSHTEIN(s1, s2) = 1""",
         # KMV distinct sketch, k=32 (sketch.py::kmv_distinct): the
         # k-th hash's top 15 hex digits -> BIGINT via the INSTR idiom;
         # division order mirrors the engine exactly

@@ -476,6 +476,28 @@ def main() -> None:
         "kmv_sketch",
         lambda: kmv_distinct(events, "event_type", "user_id", k=32).count(),
     )
+
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.fuzzy import fuzzy_pairs_ed1
+    from crgp_spark.operators.layout import zorder_layout
+
+    def run_zorder():
+        ev = events.select(
+            "event_id",
+            F.col("user_id").cast("long").alias("a"),
+            (ts_micros("ts") / 86_400_000_000).cast("long").alias("b"),
+        )
+        return zorder_layout(ev, "a", "b", "event_id").count()
+
+    timed("zorder_keys", run_zorder)
+    timed(
+        "fuzzy_ed1",
+        lambda: fuzzy_pairs_ed1(
+            events.select(
+                F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s")
+            ).distinct()
+        ).count(),
+    )
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     timed(
         "knn_bruteforce",

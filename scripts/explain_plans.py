@@ -264,6 +264,26 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.fuzzy import fuzzy_pairs_ed1
+    from crgp_spark.operators.layout import zorder_layout
+
+    evz = events.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("a"),
+        (F.col("event_id") % 365).cast("long").alias("b"),
+    )
+    handles = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s")
+    ).distinct()
+    sections.update({
+        "Z-order keys: pure bit-expression project at scan speed (no "
+        "shuffle, no UDF, single WholeStageCodegen span)":
+            zorder_layout(evz, "a", "b", "event_id"),
+        "Fuzzy ed-1 join: deletion-variant explode + bucketed "
+        "self-join on the variant key + levenshtein verify (never "
+        "all-pairs)": fuzzy_pairs_ed1(handles),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
