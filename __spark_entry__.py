@@ -2300,6 +2300,22 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over the event stream
+    (operators/transitions.py::transition_counts)."""
+    from crgp_spark.operators.transitions import transition_counts
+
+    return transition_counts(_events(spark, sf_dir))
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token corpus mixing rates per source
+    (operators/transitions.py::mixture_manifest)."""
+    from crgp_spark.operators.transitions import mixture_manifest
+
+    return mixture_manifest(_docs(spark, sf_dir))
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering keys (operators/layout.py::zorder_layout):
     Morton interleave of (user_id, epoch day) per event — the kernel of
@@ -2560,6 +2576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv": q_kmv,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
+        "transitions": q_transitions,
+        "mixture": q_mixture,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -3116,6 +3134,41 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "latency": _sql_latency(rounds=4),
         # deterministic maximal matching, 4 local-min edge rounds
         "matching": _sql_matching(rounds=4),
+        # first-order Markov transition counts (transitions.py)
+        "transitions": """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       FLOOR(CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS p
+FROM pairs p JOIN tot t ON t.from_type = p.from_type""",
+        # equal-token mixing rates per source (transitions.py)
+        "mixture": """
+WITH tk AS (
+  SELECT source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS t
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t) AS BIGINT) AS n_tokens
+  FROM tk GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       FLOOR(CAST((SELECT MIN(n_tokens) FROM per) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS sample_rate
+FROM per""",
         # Z-order clustering keys (layout.py::zorder_layout): the
         # magic-mask bit spread staged through CTEs; >> equals Spark's
         # shiftrightunsigned because zkey < 2^62 stays positive

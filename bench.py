@@ -490,6 +490,10 @@ def main() -> None:
         return zorder_layout(ev, "a", "b", "event_id").count()
 
     timed("zorder_keys", run_zorder)
+
+    from crgp_spark.operators.transitions import transition_counts
+
+    timed("transitions", lambda: transition_counts(events).count())
     timed(
         "fuzzy_ed1",
         lambda: fuzzy_pairs_ed1(

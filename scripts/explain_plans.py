@@ -284,6 +284,14 @@ def main() -> None:
         "all-pairs)": fuzzy_pairs_ed1(handles),
     })
 
+    from crgp_spark.operators.transitions import transition_counts
+
+    sections.update({
+        "Markov transition counts: ONE partitioned lag window "
+        "(user_id shuffle only) + partial-agg groupBy + broadcast "
+        "totals join": transition_counts(events),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
