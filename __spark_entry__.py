@@ -590,11 +590,9 @@ def _hex15_num(col: str) -> str:
     )
 
 
-def _sql_matching(rounds: int = 4) -> str:
-    """Unrolled local-min edge rounds (operators/matching.py): an edge
-    wins round r when its md5(u:v:r) priority is the MIN at both
-    endpoints; matched endpoints deactivate.  Per-round CTEs
-    MATERIALIZED (the MIS-oracle inlining lesson)."""
+def _sql_matching_parts(rounds: int) -> list[str]:
+    """Shared unrolled local-min edge-round CTEs (operators/matching.py)
+    — used by both the matching and the coarsen oracles."""
     parts = [
         f"WITH {_SQL_EVID},",
         "a0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,\n"
@@ -618,11 +616,41 @@ a{r} AS MATERIALIZED (SELECT u, v FROM a{p}
          WHERE u NOT IN (SELECT vid FROM m{r})
            AND v NOT IN (SELECT vid FROM m{r}))"""
         )
+    return parts
+
+
+def _sql_matching(rounds: int = 4) -> str:
+    """Unrolled local-min edge rounds: an edge wins round r when its
+    md5(u:v:r) priority is the MIN at both endpoints; matched
+    endpoints deactivate.  Per-round CTEs MATERIALIZED (the MIS-oracle
+    inlining lesson)."""
     sel = "\nUNION ALL ".join(
         f"SELECT u, v, CAST({r} AS INT) AS rnd FROM w{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return "".join(_sql_matching_parts(rounds)) + "\n" + sel
+
+
+def _sql_coarsen(rounds: int = 4) -> str:
+    """Coarsen twin (matching.py::contract_matching): rename every
+    matched v to its partner u over the directed edge table, drop
+    self-loops, collapse parallel edges into integer weights."""
+    mall = "\n  UNION ALL ".join(
+        f"SELECT u, v FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(_sql_matching_parts(rounds))
+        + f""",
+ren AS (SELECT v AS vid, u AS rep FROM (
+  {mall})),
+e2 AS (
+  SELECT COALESCE(ra.rep, e.src) AS rs, COALESCE(rb.rep, e.dst) AS rd
+  FROM e LEFT JOIN ren ra ON ra.vid = e.src
+         LEFT JOIN ren rb ON rb.vid = e.dst
+)
+SELECT rs AS src, rd AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM e2 WHERE rs <> rd GROUP BY rs, rd"""
+    )
 
 
 def _sql_latency(rounds: int = 4) -> str:
@@ -2300,6 +2328,36 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel coarsening step (matching.py::contract_matching):
+    contract the 4-round maximal matching into supernodes; parallel
+    edges collapse to integer weights."""
+    from crgp_spark.operators.matching import (
+        contract_matching,
+        maximal_matching,
+    )
+
+    e = _edges_vid(spark, sf_dir)
+    m = maximal_matching(spark, e, rounds=4, cfg=_graph_cfg())
+    return contract_matching(spark, e, m)
+
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk manifest (seqpack.py::chunk_documents): 32-token
+    windows, 8-token overlap."""
+    from crgp_spark.operators.seqpack import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by exact lift
+    (textstats.py::collocations, min support 5)."""
+    from crgp_spark.operators.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, k_top=20)
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts over the event stream
     (operators/transitions.py::transition_counts)."""
@@ -2578,6 +2636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
         "mixture": q_mixture,
+        "coarsen": q_coarsen,
+        "chunks": q_chunks,
+        "collocations": q_collocations,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
         "knn_sq8": q_knn_sq8,
@@ -3134,6 +3195,62 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "latency": _sql_latency(rounds=4),
         # deterministic maximal matching, 4 local-min edge rounds
         "matching": _sql_matching(rounds=4),
+        # matching contracted into the coarse weighted multigraph
+        "coarsen": _sql_coarsen(rounds=4),
+        # RAG chunk manifest, 32-token windows / 8 overlap (stride 24);
+        # RANGE(32) safely bounds chunks/doc at this corpus length
+        "chunks": """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, toks,
+         CASE WHEN LEN(toks) = 0 THEN 0
+              ELSE (LEN(toks) - 1) // 24 + 1 END AS nch
+  FROM tk
+)
+SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
+       CAST(r.i * 24 AS INT) AS start_tok,
+       CAST(LEN(toks[r.i * 24 + 1 : r.i * 24 + 32]) AS INT) AS n_toks,
+       ARRAY_TO_STRING(toks[r.i * 24 + 1 : r.i * 24 + 32], ' ') AS chunk_text
+FROM ch, RANGE(32) r(i) WHERE r.i < nch""",
+        # top-20 collocations by exact lift (textstats.py); division
+        # order pinned to the engine's: (n/nb) / ((n1/nu) * (n2/nu))
+        "collocations": """
+WITH nt AS (
+  SELECT TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents
+),
+tk AS (
+  SELECT CASE WHEN LENGTH(s) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE STRING_SPLIT_REGEX(s, '\\s+') END AS t
+  FROM nt
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+  FROM (SELECT UNNEST(t) AS w FROM tk) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT t[r.i + 1] AS w1, t[r.i + 2] AS w2
+    FROM tk, RANGE(512) r(i) WHERE r.i < LEN(t) - 1
+  ) GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+nu AS (SELECT CAST(SUM(nw) AS BIGINT) AS v FROM uni),
+nb AS (SELECT CAST(SUM(GREATEST(LEN(t) - 1, 0)) AS BIGINT) AS v FROM tk)
+SELECT w1, w2, n, lift FROM (
+  SELECT b.w1, b.w2, b.n,
+         FLOOR((CAST(b.n AS DOUBLE) / CAST(nb.v AS DOUBLE))
+               / ((CAST(u1.nw AS DOUBLE) / CAST(nu.v AS DOUBLE))
+                  * (CAST(u2.nw AS DOUBLE) / CAST(nu.v AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS lift
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, nu, nb
+)
+ORDER BY lift DESC, w1, w2 LIMIT 20""",
         # first-order Markov transition counts (transitions.py)
         "transitions": """
 WITH ordered AS (

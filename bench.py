@@ -407,6 +407,14 @@ def main() -> None:
         lambda: maximal_matching(spark, e2, rounds=4, cfg=cfg).count(),
     )
 
+    from crgp_spark.operators.matching import contract_matching
+
+    def run_coarsen():
+        m = maximal_matching(spark, e2, rounds=4, cfg=cfg)
+        return contract_matching(spark, e2, m).count()
+
+    timed("coarsen", run_coarsen)
+
     timed(
         "virality_r3",
         lambda: structural_virality(spark, e3, radius=3, cfg=cfg).count(),
@@ -446,6 +454,18 @@ def main() -> None:
     from crgp_spark.operators.textstats import tfidf_topk
 
     timed("tfidf_topk", lambda: tfidf_topk(docs).count())
+
+    from crgp_spark.operators.seqpack import chunk_documents
+    from crgp_spark.operators.textstats import collocations
+
+    timed(
+        "chunking",
+        lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count(),
+    )
+    timed(
+        "collocations",
+        lambda: collocations(docs, min_count=5, k_top=20).count(),
+    )
 
     from crgp_spark.operators.curation import decontaminate, repetition_stats
     from crgp_spark.operators.sample import hash_sample

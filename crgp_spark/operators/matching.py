@@ -117,3 +117,36 @@ def maximal_matching(
     if out is None:  # no edges at all
         return spark.createDataFrame([], "u long, v long, rnd int")
     return out
+
+
+def contract_matching(
+    spark: SparkSession,
+    edges: DataFrame,
+    matched: DataFrame,
+) -> DataFrame:
+    """Coarsen the graph by contracting each matched pair ``(u, v)``
+    into the supernode ``u`` — the multilevel-partitioner (Metis)
+    coarsening step `maximal_matching` exists to feed.  Returns the
+    coarse multigraph as ``(src, dst, weight)``: parallel edges
+    collapse into integer weights, self-loops (intra-pair edges)
+    drop.
+
+    Scale shape: two broadcast-or-shuffle joins of the edge table
+    against the |matching|-row rename map plus one map-side-combinable
+    ``groupBy`` — a single pass over the edges."""
+    ren = matched.select(F.col("v").alias("vid"), F.col("u").alias("rep"))
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    e = (
+        e.join(ren.withColumnRenamed("vid", "src"), "src", "left")
+        .select(F.coalesce("rep", "src").alias("rs"), "dst")
+        .join(ren.withColumnRenamed("vid", "dst"), "dst", "left")
+        .select("rs", F.coalesce("rep", "dst").alias("rd"))
+    )
+    return (
+        e.filter(F.col("rs") != F.col("rd"))
+        .groupBy(F.col("rs").alias("src"), F.col("rd").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

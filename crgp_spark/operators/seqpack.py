@@ -53,3 +53,51 @@ def sequence_pack(
         F.floor(start / F.lit(budget)).cast("long").alias("bin"),
         (start % F.lit(budget)).alias("offset"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-ingestion complement
+    of `sequence_pack` (packing lays documents onto training sequences;
+    chunking splits documents into retrieval units).  Windows of
+    ``chunk_tokens`` whitespace tokens start every ``chunk_tokens -
+    overlap`` tokens; the final window may be short but is never
+    empty.  Returns ``(id_col, chunk_idx, start_tok, n_toks,
+    chunk_text)``; empty documents yield no chunks.
+
+    Scale shape: pure array expressions (split once, slice per
+    window) exploded to one row per chunk — scan speed, no shuffle,
+    no UDF; fan-out is len/stride, the output's own size.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.floor((n - 1) / F.lit(stride))
+            ),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                (i * stride).cast("int").alias("start_tok"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("_w"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,start_tok:int,_w:array<string>>>"
+    ))
+    return docs.select(id_col, F.explode(chunks).alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.start_tok").alias("start_tok"),
+        F.size("_c._w").alias("n_toks"),
+        F.array_join("_c._w", " ").alias("chunk_text"),
+    )

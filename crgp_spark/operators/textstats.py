@@ -258,3 +258,74 @@ def tfidf_topk(docs: DataFrame, k_top: int = 5, text_col: str = "text") -> DataF
             decimal_round(F.col("raw"), 6).alias("tfidf"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k_top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (statistically associated word bigrams) by
+    LIFT — the log-free core of PMI, kept as an exact ratio so the
+    oracle matches bit-for-bit: ``lift = p(xy) / (p(x)·p(y))`` with
+    ``p(xy) = n_xy/N_bi`` and ``p(x) = n_x/N_uni``, each division done
+    in the SAME order in both engines and the result 4dp-rounded.
+    Returns ``(w1, w2, n, lift)`` for bigrams with ``n >= min_count``,
+    ranked by (lift desc, w1, w2) — deterministic.
+
+    Scale shape: one explode per gram order feeding map-side-combinable
+    groupBys, corpus totals as broadcast 1-row cross-joins (the Q11
+    scalar idiom), top-k = TakeOrderedAndProject."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = docs.select(toks.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    bi_arr = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.struct(
+                F.element_at("_t", i + 1).alias("w1"),
+                F.element_at("_t", i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        base.select(F.explode(bi_arr).alias("_b"))
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("nw").alias("_nu"))
+    # the bigram population total covers ALL bigrams, not just the
+    # min_count survivors
+    n_bi_tot = base.select(F.size(F.col("_t")).alias("s")).agg(
+        F.sum(F.greatest(F.col("s") - 1, F.lit(0))).alias("_nb")
+    )
+    # vocabulary joins stay un-hinted: a 100 TB corpus vocabulary can
+    # exceed broadcast size, and the keys are uniform — AQE decides
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("nw", "n1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("nw", "n2"), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            decimal_round(
+                (F.col("n").cast("double") / F.col("_nb").cast("double"))
+                / (
+                    (F.col("n1").cast("double") / F.col("_nu").cast("double"))
+                    * (F.col("n2").cast("double") / F.col("_nu").cast("double"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(k_top)

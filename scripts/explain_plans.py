@@ -292,6 +292,19 @@ def main() -> None:
         "totals join": transition_counts(events),
     })
 
+    from crgp_spark.operators.seqpack import chunk_documents
+    from crgp_spark.operators.textstats import collocations
+
+    sections.update({
+        "RAG chunking: scan-speed window slicing (transform + slice + "
+        "explode, no shuffle, no UDF)": chunk_documents(
+            docs2, chunk_tokens=32, overlap=8
+        ),
+        "Collocation lift: two partial-agg gram counts, 1-row "
+        "broadcast totals (Q11 idiom), unhinted vocabulary joins, "
+        "TakeOrderedAndProject top-k": collocations(docs2),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
