@@ -499,9 +499,9 @@ def _sql_level_sets(radius: int) -> list[str]:
     building block of the harmonic and structural-virality oracles."""
     parts = [
         f"WITH {_SQL_EVID},",
-        "sym AS (SELECT src, dst FROM e WHERE src <> dst\n"
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
         "        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst),",
-        "l1 AS (SELECT DISTINCT src AS s, dst AS v FROM sym)",
+        "l1 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS v FROM sym)",
     ]
     for d in range(2, radius + 1):
         earlier = " ".join(
@@ -511,7 +511,7 @@ def _sql_level_sets(radius: int) -> list[str]:
             f""",
 x{d} AS (SELECT DISTINCT l{d - 1}.s, y.dst AS v
          FROM l{d - 1} JOIN sym y ON y.src = l{d - 1}.v),
-l{d} AS (SELECT s, v FROM x{d} {earlier}
+l{d} AS MATERIALIZED (SELECT s, v FROM x{d} {earlier}
          EXCEPT SELECT src AS s, src AS v FROM sym)"""
         )
     return parts
@@ -3197,7 +3197,8 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "matching": _sql_matching(rounds=4),
         # matching contracted into the coarse weighted multigraph
         "coarsen": _sql_coarsen(rounds=4),
-        # RAG chunk manifest, 32-token windows / 8 overlap (stride 24);
+        # RAG chunk manifest, 32-token windows / 8 overlap (stride 24),
+        # last start capped at n-32 (no subset-duplicate tail chunks);
         # RANGE(32) safely bounds chunks/doc at this corpus length
         "chunks": """
 WITH tk AS (
@@ -3209,14 +3210,20 @@ WITH tk AS (
 ch AS (
   SELECT doc_id, toks,
          CASE WHEN LEN(toks) = 0 THEN 0
-              ELSE (LEN(toks) - 1) // 24 + 1 END AS nch
+              WHEN LEN(toks) <= 32 THEN 1
+              ELSE (LEN(toks) - 32 - 1) // 24 + 2 END AS nch
   FROM tk
+),
+st AS (
+  SELECT doc_id, toks, r.i AS chunk_idx,
+         GREATEST(LEAST(r.i * 24, LEN(toks) - 32), 0) AS s
+  FROM ch, RANGE(32) r(i) WHERE r.i < nch
 )
-SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
-       CAST(r.i * 24 AS INT) AS start_tok,
-       CAST(LEN(toks[r.i * 24 + 1 : r.i * 24 + 32]) AS INT) AS n_toks,
-       ARRAY_TO_STRING(toks[r.i * 24 + 1 : r.i * 24 + 32], ' ') AS chunk_text
-FROM ch, RANGE(32) r(i) WHERE r.i < nch""",
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(s AS INT) AS start_tok,
+       CAST(LEN(toks[s + 1 : s + 32]) AS INT) AS n_toks,
+       ARRAY_TO_STRING(toks[s + 1 : s + 32], ' ') AS chunk_text
+FROM st""",
         # top-20 collocations by exact lift (textstats.py); division
         # order pinned to the engine's: (n/nb) / ((n1/nu) * (n2/nu))
         "collocations": """

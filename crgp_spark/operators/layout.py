@@ -62,6 +62,12 @@ def zorder_layout(
     and its top-``bucket_bits`` bucket — the file assignment a ZORDER
     rewrite would use (``repartitionByRange`` on ``zkey`` gives the
     same contiguity without materializing buckets)."""
+    if not 1 <= bucket_bits <= 62:
+        raise ValueError(
+            "bucket_bits must be in [1, 62]: a larger value makes the "
+            "shift negative and Java masks shifts mod 64, silently "
+            "collapsing every row into bucket 0"
+        )
     z = zorder_key(F.col(col_a), F.col(col_b))
     return df.select(
         id_col,

@@ -95,15 +95,16 @@ def maximal_matching(
             .unionByName(winners.select(F.col("v").alias("vid")))
             .distinct()
         )
-        n_matched = winners.count() * 2
+        # hint bound: matched <= 2 * active edges — an upper bound is
+        # all state_hint needs, no extra count action per round
         active = (
             active.join(
-                state_hint(matched.select(F.col("vid").alias("_m")), n_matched),
+                state_hint(matched.select(F.col("vid").alias("_m")), n_active * 2),
                 F.col("u") == F.col("_m"),
                 "left_anti",
             )
             .join(
-                state_hint(matched.select(F.col("vid").alias("_m")), n_matched),
+                state_hint(matched.select(F.col("vid").alias("_m")), n_active * 2),
                 F.col("v") == F.col("_m"),
                 "left_anti",
             )

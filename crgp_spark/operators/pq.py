@@ -104,6 +104,11 @@ def pq_codebooks(
     offset WITHIN the subspace, ``c_unit`` the codeword component in
     integer ``scale``-units (the seed component where the codeword
     attracted no vectors, so the codebook is always complete)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"m={m} must divide dim={dim}: a non-divisor would silently "
+            "drop the trailing dimensions from every distance"
+        )
     d_sub = dim // m
     subs = _subvectors(embeddings, id_col, vec_col, m, d_sub, scale)
 
@@ -169,6 +174,8 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, sub, code): each subvector's nearest codeword — the
     compressed representation, ``m`` codes per vector."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
     subs = _subvectors(embeddings, id_col, vec_col, m, dim // m, scale)
     return _assign(subs, _cb_arrays(codebooks), n_codes)
 
@@ -195,10 +202,14 @@ def knn_pq(
         codebooks = pq_codebooks(
             corpus, m, n_codes, dim, scale, id_col, vec_col
         )
-    cb = _cb_arrays(codebooks)
-    codes = pq_encode(corpus, codebooks, m, n_codes, dim, scale, id_col, vec_col)
-
     d_sub = dim // m
+    # materialize the tiny (m*n_codes rows) codebook ONCE: it feeds
+    # both the corpus encode and the query LUT, and without this the
+    # whole training lineage would execute twice
+    cb = _cb_arrays(codebooks).localCheckpoint(eager=True)
+    codes = _assign(
+        _subvectors(corpus, id_col, vec_col, m, d_sub, scale), cb, n_codes
+    )
     qsubs = _subvectors(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         "query_id",

@@ -66,9 +66,12 @@ def chunk_documents(
     of `sequence_pack` (packing lays documents onto training sequences;
     chunking splits documents into retrieval units).  Windows of
     ``chunk_tokens`` whitespace tokens start every ``chunk_tokens -
-    overlap`` tokens; the final window may be short but is never
-    empty.  Returns ``(id_col, chunk_idx, start_tok, n_toks,
-    chunk_text)``; empty documents yield no chunks.
+    overlap`` tokens, with the LAST start capped at ``n -
+    chunk_tokens`` (the standard chunker rule: without the cap a
+    trailing window can be a strict subset of the previous one,
+    bloating the retrieval index).  Documents shorter than a window
+    yield one short chunk; empty documents yield none.  Returns
+    ``(id_col, chunk_idx, start_tok, n_toks, chunk_text)``.
 
     Scale shape: pure array expressions (split once, slice per
     window) exploded to one row per chunk — scan speed, no shuffle,
@@ -79,16 +82,22 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
+    # max chunk index: 0 when n <= chunk_tokens, else enough strides to
+    # reach the capped final start
+    last_idx = F.when(n <= chunk_tokens, F.lit(0).cast("long")).otherwise(
+        F.floor((n - chunk_tokens - 1) / F.lit(stride)) + 1
+    )
+    start = lambda i: F.greatest(  # noqa: E731
+        F.least(i * stride, n - chunk_tokens), F.lit(0)
+    )
     chunks = F.when(
         n > 0,
         F.transform(
-            F.sequence(
-                F.lit(0).cast("long"), F.floor((n - 1) / F.lit(stride))
-            ),
+            F.sequence(F.lit(0).cast("long"), last_idx),
             lambda i: F.struct(
                 i.cast("int").alias("chunk_idx"),
-                (i * stride).cast("int").alias("start_tok"),
-                F.slice(toks, i * stride + 1, chunk_tokens).alias("_w"),
+                start(i).cast("int").alias("start_tok"),
+                F.slice(toks, start(i) + 1, chunk_tokens).alias("_w"),
             ),
         ),
     ).otherwise(F.array().cast(

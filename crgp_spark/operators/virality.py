@@ -60,6 +60,16 @@ def structural_virality(
         )
         .distinct()
     )
+    # the per-vid level counts come back WITHOUT conv_id, so the join
+    # below needs vids unique ACROSS conversations, a stronger contract
+    # than the kernel's per-conversation uniqueness — fail loudly
+    # rather than silently cross-match (driver vid encoding
+    # uid*100000+turn satisfies it)
+    if not vmap.groupBy("vid").count().filter(F.col("count") > 1).isEmpty():
+        raise ValueError(
+            "structural_virality requires vids unique across "
+            "conversations; re-encode vids (e.g. conv_key * K + turn)"
+        )
     pairs2 = None
     wiener2 = None
     for d in range(1, radius + 1):

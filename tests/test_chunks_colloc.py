@@ -51,12 +51,12 @@ def test_chunk_documents_windows(spark):
         got.setdefault(r["doc_id"], []).append(
             (r["chunk_idx"], r["start_tok"], r["n_toks"], r["chunk_text"])
         )
-    # doc 0: stride 2, 7 tokens -> starts 0,2,4,6
+    # doc 0: stride 2, 7 tokens -> starts 0, 2, then capped at 7-4=3
+    # (the standard last-window cap: no subset-duplicate tail chunks)
     assert sorted(got[0]) == [
         (0, 0, 4, "a b c d"),
         (1, 2, 4, "c d e f"),
-        (2, 4, 3, "e f g"),
-        (3, 6, 1, "g"),
+        (2, 3, 4, "d e f g"),
     ]
     assert got[1] == [(0, 0, 1, "x")]
     assert 2 not in got  # empty doc -> no chunks
