@@ -2328,6 +2328,15 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join at t = 9/10
+    (operators/dedup.py::setsim_join, AllPairs prefix filtering) — the
+    exact counterpart of the MinHash/LSH approximate family."""
+    from crgp_spark.operators.dedup import setsim_join
+
+    return setsim_join(_docs(spark, sf_dir), threshold=(9, 10))
+
+
 def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilevel coarsening step (matching.py::contract_matching):
     contract the 4-round maximal matching into supernodes; parallel
@@ -2637,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "mixture": q_mixture,
         "coarsen": q_coarsen,
+        "setsim": q_setsim,
         "chunks": q_chunks,
         "collocations": q_collocations,
         "multimodal_features": q_multimodal_features,
@@ -3197,6 +3207,45 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "matching": _sql_matching(rounds=4),
         # matching contracted into the coarse weighted multigraph
         "coarsen": _sql_coarsen(rounds=4),
+        # exact Jaccard set-similarity join, AllPairs prefix filter at
+        # t = 9/10 (dedup.py::setsim_join); every filter is an integer
+        # cross-multiplication, prefix = n - ceil(9n/10) + 1
+        "setsim": """
+WITH nt AS (
+  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT_REGEX(s, '\\s+')) AS w
+  FROM nt WHERE LENGTH(s) > 0
+),
+dfreq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+ordered AS (
+  SELECT t.doc_id, t.w, s.n,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.c, t.w) AS pos
+  FROM tok t JOIN dfreq d ON d.w = t.w JOIN sz s ON s.doc_id = t.doc_id
+),
+pref AS (SELECT doc_id, w FROM ordered
+         WHERE pos <= n - ((9 * n + 9) // 10) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc1, c.doc2, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c JOIN tok x ON x.doc_id = c.doc1
+              JOIN tok y ON y.doc_id = c.doc2 AND y.w = x.w
+  GROUP BY c.doc1, c.doc2
+)
+SELECT doc1, doc2, i AS inter, u AS uni,
+       FLOOR(CAST(i AS DOUBLE) / CAST(u AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM (
+  SELECT n.doc1, n.doc2, n.i, sa.n + sb.n - n.i AS u
+  FROM inter n JOIN sz sa ON sa.doc_id = n.doc1
+               JOIN sz sb ON sb.doc_id = n.doc2
+) WHERE i * 10 >= 9 * u""",
         # RAG chunk manifest, 32-token windows / 8 overlap (stride 24),
         # last start capped at n-32 (no subset-duplicate tail chunks);
         # RANGE(32) safely bounds chunks/doc at this corpus length

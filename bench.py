@@ -439,6 +439,13 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
+
+    from crgp_spark.operators.dedup import setsim_join
+
+    timed(
+        "setsim_join",
+        lambda: setsim_join(docs, threshold=(9, 10)).count(),
+    )
     timed("quality_score", lambda: quality_score(docs).count())
 
     from crgp_spark.operators.curation import redact_pii

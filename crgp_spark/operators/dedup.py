@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crgp_spark.functions import decimal_round
 from crgp_spark.operators.textstats import normalize_text, tokens
 
 
@@ -351,3 +352,84 @@ def simhash(
         ).alias("simhash")
     )
     return out
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join with AllPairs prefix
+    filtering (Bayardo et al. 2007) — the exact counterpart of the
+    MinHash/LSH family above: LSH trades recall for speed, this trades
+    nothing and still avoids the all-pairs comparison.
+
+    Tokens are globally ordered rarest-first (document frequency asc,
+    token asc — a deterministic total order); a document's PREFIX is
+    its first ``|s| - ceil(t*|s|) + 1`` tokens.  The AllPairs lemma:
+    two sets with Jaccard >= t always share a prefix token, so blocking
+    on prefix tokens is complete, and rare-token prefixes keep the
+    candidate fan-out small.  Threshold is the rational ``num/den`` so
+    every filter is an integer cross-multiplication — no floats
+    anywhere except the final reported 4dp Jaccard.
+
+    Returns ``(doc1, doc2, inter, uni, jaccard)`` for every unordered
+    pair with ``inter/uni >= num/den``.
+
+    Scale shape at 100 TB: one distinct-token explode, one
+    vocabulary-keyed join for document frequencies, one PARTITIONED
+    rank window per document, a self-join restricted to prefix tokens
+    (by construction the rare ones), and a candidate-bounded
+    verification join — the canonical production set-similarity plan.
+    """
+    num, den = threshold
+    if not 0 < num <= den:
+        raise ValueError("threshold must be a rational in (0, 1]")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(normalize_text(F.col(text_col))))
+        ).alias("w"),
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    pos_w = Window.partitionBy("doc_id").orderBy("c", "w")
+    ordered = (
+        tok.join(dfreq, "w")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sz, "doc_id")
+    )
+    # prefix length = n - ceil(num*n/den) + 1, all-integer
+    p = F.col("n") - F.floor((num * F.col("n") + den - 1) / F.lit(den)) + 1
+    pref = ordered.filter(F.col("pos") <= p).select("doc_id", "w")
+    cand = (
+        pref.select(F.col("doc_id").alias("doc1"), "w")
+        .join(pref.select(F.col("doc_id").alias("doc2"), "w"), "w")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("doc1"), "w"), "doc1")
+        .join(tok.select(F.col("doc_id").alias("doc2"), "w"), ["doc2", "w"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("_na")), "doc1")
+        .join(sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("_nb")), "doc2")
+        .withColumn("uni", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= num * F.col("uni"))
+        .select(
+            "doc1",
+            "doc2",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("uni").cast("long").alias("uni"),
+            decimal_round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"), 4
+            ).alias("jaccard"),
+        )
+    )

@@ -305,6 +305,15 @@ def main() -> None:
         "TakeOrderedAndProject top-k": collocations(docs2),
     })
 
+    from crgp_spark.operators.dedup import setsim_join
+
+    sections.update({
+        "Exact set-similarity join (AllPairs): df join + partitioned "
+        "rank window, prefix-token self-join (rare keys by "
+        "construction), candidate-bounded verify — never all-pairs":
+            setsim_join(docs2, threshold=(9, 10)),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "

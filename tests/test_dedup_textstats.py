@@ -158,3 +158,45 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     # which in turn beats 'banana' (df=2, lower idf)
     assert out[(2, 1)] == ("common", 2, 3)
     assert out[(2, 2)] == ("cherry", 1, 1)
+
+
+def test_setsim_join_exact_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from crgp_spark.operators.dedup import setsim_join
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a b c d f"),      # J(0,1) = 4/6 = 0.667
+        (2, "a b c d e"),      # J(0,2) = 1.0
+        (3, "x y z"),          # J with others = low
+        (4, "a b c d e x"),    # J(0,4) = 5/6 = 0.833
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): (r["inter"], r["uni"], r["jaccard"])
+        for r in setsim_join(docs, threshold=(2, 3)).collect()
+    }
+    # brute force at t = 2/3
+    sets = {i: set(t.split()) for i, t in rows if t}
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i * 3 >= 2 * u:
+            exp[(a, b)] = (i, u)
+    assert {k: v[:2] for k, v in got.items()} == exp
+    assert got[(0, 2)][2] == 1.0
+    assert got[(0, 4)][2] == 0.8333
+
+
+def test_setsim_threshold_validation(spark):
+    from crgp_spark.operators.dedup import setsim_join
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    try:
+        setsim_join(docs, threshold=(3, 2))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
