@@ -1527,6 +1527,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_exact_dedup(spark, work, max_files_per_trigger=2)
 
 
+def q_stream_ivjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval self-join under the hard
+    gate (streaming/windows.py::stream_interval_join): every click
+    attributed to the same user's views in the preceding 24 h via the
+    symmetric-hash-join state store; oracle = the batch interval join
+    (inner time-bounded stream join == batch, epoch-independent) —
+    5th gated streaming path."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_interval_join
+
+    work = "/tmp/crgp_stream_ivjoin"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "user_id").write.parquet(work)
+    return stream_interval_join(
+        spark, work, within_hours=24, max_files_per_trigger=2
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (sort-based `percentile` aggregate ==
     DuckDB quantile_cont bit-for-bit; operators/quantiles.py)."""
@@ -2594,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window": q_stream_window,
         "quantiles": q_quantiles,
         "stream_dedup": q_stream_dedup,
+        "stream_ivjoin": q_stream_ivjoin,
         "asof": q_asof,
         "range_join": q_range_join,
         "top_influencers": q_top_influencers,
@@ -3307,6 +3327,15 @@ SELECT w1, w2, n, lift FROM (
   JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2, nu, nb
 )
 ORDER BY lift DESC, w1, w2 LIMIT 20""",
+        # stream-stream interval join == batch interval join
+        # (streaming/windows.py::stream_interval_join)
+        "stream_ivjoin": """
+SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+       (EPOCH_US(b.ts) - EPOCH_US(a.ts)) // 1000000 AS lag_s
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR""",
         # first-order Markov transition counts (transitions.py)
         "transitions": """
 WITH ordered AS (

@@ -167,3 +167,86 @@ def stream_sessions(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    in_dir: str,
+    left_type: str = "view",
+    right_type: str = "click",
+    within_hours: int = 24,
+    max_files_per_trigger: int | None = 4,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval self-join — the attribution
+    shape ("join every click to the same user's views in the preceding
+    ``within_hours``") on Spark's native symmetric-hash-join state
+    store, the last major Structured Streaming operator family the
+    engine exercises (after windowed aggs, streaming dedup,
+    session_window and the foreachBatch/applyInPandasWithState
+    derivations).
+
+    Stream == batch exactly for an INNER time-bounded join over a
+    bounded (``availableNow``) drain: every matching pair is emitted
+    once regardless of epoch boundaries; the deliberately generous
+    watermark (the input's full span) means no row is ever dropped as
+    late — correctness is independent of file arrival order, which the
+    oracle twin (a plain batch interval join) certifies.  An unbounded
+    deployment would tighten the watermark to its real disorder bound
+    to cap state — the documented trade.
+
+    Returns ``(user_id, left_id, right_id, lag_s)`` with lag in whole
+    seconds (integer micros division — cross-engine exact).
+    """
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # watermarks require TIMESTAMP (not the parquet NTZ type); the
+    # session timezone is pinned UTC so the cast is deterministic
+    stream = reader.parquet(in_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wm = f"{within_hours * 100} hours"  # >> input span: nothing is late
+    left = (
+        stream.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", wm)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    right = (
+        stream.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", wm)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts "
+            f"AND r_ts <= l_ts + INTERVAL {within_hours} HOURS"
+        ),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        F.floor(
+            (ts_micros(F.col("r_ts")) - ts_micros(F.col("l_ts")))
+            / F.lit(1_000_000)
+        ).alias("lag_s"),
+    )
+    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

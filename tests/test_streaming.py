@@ -312,3 +312,38 @@ def test_stream_sessions_matches_batch(spark, tmp_path, files_per_trigger):
         (1, e4): (e4 + gap_us, 1, 400),
         (2, us0): (us0 + gap_us, 1, 52),  # 0.515 -> 52 cents (round half up)
     }
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """The stream-stream interval join must emit exactly the batch
+    interval join's pairs, independent of file/epoch boundaries."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crgp_spark.streaming.windows import stream_interval_join
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "ivjoin_in")
+    # many small files -> many micro-batches; both join sides straddle
+    # epoch boundaries
+    spark.read.parquet(src).repartition(16).write.parquet(work)
+    out = stream_interval_join(
+        spark, work, within_hours=24, max_files_per_trigger=3
+    )
+    ev = spark.read.parquet(work)
+    a = ev.filter("event_type = 'view'").selectExpr(
+        "user_id u", "event_id li", "ts lt")
+    b = ev.filter("event_type = 'click'").selectExpr(
+        "user_id ru", "event_id ri", "ts rt")
+    batch = a.join(
+        b, F.expr("u = ru AND rt >= lt AND rt <= lt + INTERVAL 24 HOURS")
+    ).selectExpr(
+        "u", "li", "ri",
+        "CAST(floor((unix_micros(CAST(rt AS timestamp)) - "
+        "unix_micros(CAST(lt AS timestamp))) / 1000000) AS long)",
+    )
+    got = sorted(map(tuple, out.select(
+        "user_id", "left_id", "right_id", "lag_s").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
