@@ -442,9 +442,12 @@ def main() -> None:
 
     from crgp_spark.operators.dedup import setsim_join
 
+    # shingled sets (the production AllPairs shape): prefix filtering
+    # prunes on rarity, and this corpus's 30-word vocabulary makes
+    # unigram sets the documented worst case (near-all-pairs)
     timed(
         "setsim_join",
-        lambda: setsim_join(docs, threshold=(9, 10)).count(),
+        lambda: setsim_join(docs, threshold=(2, 3), shingle_k=3).count(),
     )
     timed("quality_score", lambda: quality_score(docs).count())
 

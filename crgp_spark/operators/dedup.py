@@ -359,6 +359,7 @@ def setsim_join(
     threshold: tuple[int, int] = (9, 10),
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard set-similarity self-join with AllPairs prefix
     filtering (Bayardo et al. 2007) — the exact counterpart of the
@@ -382,15 +383,26 @@ def setsim_join(
     rank window per document, a self-join restricted to prefix tokens
     (by construction the rare ones), and a candidate-bounded
     verification join — the canonical production set-similarity plan.
+
+    CAVEAT — prefix filtering prunes in proportion to token RARITY: a
+    corpus whose documents draw from a tiny vocabulary (every token
+    frequent) degenerates toward the all-pairs candidate set.  Pass
+    ``shingle_k`` to build the sets from word ``k``-gram shingles
+    instead of unigrams — shingle spaces are combinatorially sparse,
+    which restores the pruning (and is how production near-dup
+    pipelines run AllPairs).
     """
     num, den = threshold
     if not 0 < num <= den:
         raise ValueError("threshold must be a rational in (0, 1]")
+    elems = (
+        word_shingles(F.col(text_col), shingle_k)
+        if shingle_k
+        else F.array_distinct(tokens(normalize_text(F.col(text_col))))
+    )
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(tokens(normalize_text(F.col(text_col))))
-        ).alias("w"),
+        F.explode(elems).alias("w"),
     )
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -200,3 +200,22 @@ def test_setsim_threshold_validation(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_setsim_shingle_path(spark):
+    from crgp_spark.operators.dedup import setsim_join
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in setsim_join(docs, threshold=(1, 2), shingle_k=3).collect()
+    }
+    # docs 0/1 share 6 of their 7 3-shingles -> J = 6/8 = 0.75 >= 0.5
+    assert got == {(0, 1)}
