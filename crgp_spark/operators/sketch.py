@@ -38,31 +38,65 @@ from crgp_spark.functions import decimal_round
 _HASH_SPACE = float(1 << 60)
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = 32,
 ) -> DataFrame:
-    """Per-group approximate distinct count of ``value_col``.  Returns
-    ``(group_col, n_kept, kth_hash, est_distinct)``: ``n_kept`` =
-    ``min(k, exact distinct)``, ``kth_hash`` the sketch boundary (hex;
-    NULL while the group is still exact), ``est_distinct`` the KMV
-    estimate (== the exact count below ``k``), rounded to 4 decimals."""
+    """The sketch itself: ``(group_col, hs)`` where ``hs`` is the
+    sorted array of the group's ≤ k smallest distinct value hashes.
+    This is the state a warehouse PERSISTS for incremental rollups —
+    see `kmv_merge` for the monoid operation."""
     hashes = df.select(
         group_col, F.md5(F.col(value_col).cast("string")).alias("h")
     ).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
-    topk = hashes.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= k
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
     )
-    agg = topk.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.max("h").alias("_kmax"),
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
+    """Merge two sketch tables (full outer on the group key): union the
+    hash sets, keep the k smallest.  ``merge(sketch(X), sketch(Y)) ==
+    sketch(X ∪ Y)`` exactly — the commutative-monoid property that
+    makes KMV rollup-able across partitions, days, or tenants."""
+    ga, gb = a.columns[0], b.columns[0]
+    joined = a.withColumnRenamed("hs", "_ha").join(
+        b.withColumnRenamed("hs", "_hb").withColumnRenamed(gb, ga),
+        ga,
+        "full_outer",
+    )
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("_ha"), F.array().cast("array<string>")),
+                    F.coalesce(F.col("_hb"), F.array().cast("array<string>")),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return joined.select(ga, merged.alias("hs"))
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 32) -> DataFrame:
+    """Estimates from a sketch table: same output contract as
+    `kmv_distinct` — ``(group, n_kept, kth_hash, est_distinct)``."""
+    agg = sketches.select(
+        sketches.columns[0],
+        F.size("hs").cast("int").alias("n_kept"),
+        F.element_at("hs", -1).alias("_kmax"),
     )
     kth_num = F.conv(F.substring("_kmax", 1, 15), 16, 10).cast("long")
     return agg.select(
-        group_col,
+        sketches.columns[0],
         "n_kept",
         F.when(F.col("n_kept") >= k, F.col("_kmax")).alias("kth_hash"),
         F.when(
@@ -77,3 +111,18 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``.  Returns
+    ``(group_col, n_kept, kth_hash, est_distinct)``: ``n_kept`` =
+    ``min(k, exact distinct)``, ``kth_hash`` the sketch boundary (hex;
+    NULL while the group is still exact), ``est_distinct`` the KMV
+    estimate (== the exact count below ``k``), rounded to 4 decimals.
+    Composition of `kmv_sketch` + `kmv_estimate`."""
+    return kmv_estimate(kmv_sketch(df, group_col, value_col, k), k)

@@ -54,3 +54,29 @@ def test_groups_independent(spark):
     assert got["b"]["est_distinct"] == 5.0 and got["b"]["kth_hash"] is None
     est_a, _, _ = _est(list(range(50)), 16)
     assert got["a"]["est_distinct"] == est_a
+
+
+def test_kmv_merge_is_monoid(spark):
+    """merge(sketch(X), sketch(Y)) == sketch(X u Y) — the property
+    that makes KMV rollup-able across partitions/days/tenants."""
+    from crgp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    x = _df(spark, [("a", v) for v in range(0, 120)] + [("b", 1)])
+    y = _df(spark, [("a", v) for v in range(80, 200)] + [("c", 2)])
+    whole = _df(
+        spark,
+        [("a", v) for v in range(0, 200)] + [("b", 1), ("c", 2)],
+    )
+    merged = kmv_merge(kmv_sketch(x, "g", "v", 16), kmv_sketch(y, "g", "v", 16), 16)
+    direct = kmv_sketch(whole, "g", "v", 16)
+    got = sorted((r["g"], tuple(r["hs"])) for r in merged.collect())
+    want = sorted((r["g"], tuple(r["hs"])) for r in direct.collect())
+    assert got == want
+    # and the estimates therefore agree too
+    em = sorted(map(tuple, kmv_estimate(merged, 16).collect()))
+    ed = sorted(map(tuple, kmv_estimate(direct, 16).collect()))
+    assert em == ed
