@@ -600,6 +600,21 @@ def main() -> None:
         ).count(),
     )
 
+    from crgp_spark.operators.bloomjoin import bloom_semi_join
+
+    timed(
+        "bloom_join",
+        lambda: bloom_semi_join(
+            tbl["lineitem"],
+            tbl["orders"].where(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_totalprice") > 150000.0)
+            ),
+            "l_orderkey",
+            "o_orderkey",
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total",

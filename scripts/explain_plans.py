@@ -314,6 +314,21 @@ def main() -> None:
             setsim_join(docs2, threshold=(9, 10)),
     })
 
+    from crgp_spark.operators.bloomjoin import bloom_semi_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    urgent = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    sections.update({
+        "Bloom semi-join: probe scan -> n_hashes BROADCAST word-table "
+        "joins + bit tests (map-side kill, zero probe-side exchange) "
+        "-> exact semi-join over the surviving sliver":
+            bloom_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey"),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
