@@ -2442,6 +2442,68 @@ def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_events(spark, sf_dir), "event_type", "user_id", k=32)
 
 
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ROLLUP (sketch.py::kmv_sketch/kmv_merge/kmv_estimate):
+    sketch two disjoint halves of the events table independently
+    (even/odd event_id — the per-day / per-tenant partial-sketch
+    pattern a warehouse persists), merge the sketch tables, then
+    estimate.  Because merge is an exact monoid
+    (merge(sketch(X), sketch(Y)) == sketch(X ∪ Y)), the oracle is the
+    same direct-estimate SQL as `kmv`."""
+    from crgp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = _events(spark, sf_dir)
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    merged = kmv_merge(
+        kmv_sketch(even, "event_type", "user_id", k=32),
+        kmv_sketch(odd, "event_type", "user_id", k=32),
+        k=32,
+    )
+    return kmv_estimate(merged, k=32)
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (operators/bloomjoin.py): lineitem rows
+    whose order is URGENT and above the median-ish price, pre-filtered
+    map-side by a broadcast 2^17-bit filter before the exact semi-join,
+    then a small per-flag rollup.  The filter is lossy; the composed
+    operator is exact — the oracle is the plain semi-join."""
+    from crgp_spark.operators.bloomjoin import bloom_semi_join
+
+    lineitem = _tbl(spark, sf_dir, "lineitem")
+    urgent = _tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    hits = bloom_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey")
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py::scd2_history):
+    version each sampled user's event_type over time, collapsing
+    consecutive duplicates; intervals in integer micros, event_id
+    breaking timestamp ties deterministically."""
+    from crgp_spark.operators.scd import scd2_history
+
+    updates = _events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    return scd2_history(
+        updates, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2661,6 +2723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency": q_latency,
         "matching": q_matching,
         "kmv": q_kmv,
+        "kmv_rollup": q_kmv_rollup,
+        "bloom_join": q_bloom_join,
+        "scd2": q_scd2,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3414,6 +3479,41 @@ cand AS (
   FROM ex a JOIN ex b ON a.v = b.v WHERE a.s < b.s
 )
 SELECT s1, s2 FROM cand WHERE LEVENSHTEIN(s1, s2) = 1""",
+        # Bloom-filter semi-join (bloomjoin.py::bloom_semi_join): the
+        # pre-filter is lossy but composed with an exact semi-join, so
+        # the oracle is simply the plain semi-join + rollup
+        "bloom_join": """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
+GROUP BY l_returnflag
+ORDER BY l_returnflag""",
+        # SCD Type-2 history (scd.py::scd2_history): LAG change
+        # detection (IS DISTINCT FROM == eqNullSafe) + LEAD interval
+        # close, micros idiom, event_id tiebreak
+        "scd2": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 10 = 0
+),
+chg AS (
+  SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       EPOCH_US(ts) AS valid_from,
+       LEAD(EPOCH_US(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(EPOCH_US(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg""",
         # KMV distinct sketch, k=32 (sketch.py::kmv_distinct): the
         # k-th hash's top 15 hex digits -> BIGINT via the INSTR idiom;
         # division order mirrors the engine exactly
@@ -3978,4 +4078,8 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # per-subgraph computation), so they share oracles verbatim
     for name in ("pagerank", "components", "labelprop", "triangles"):
         d[f"{name}_cascade"] = d[name]
+    # the KMV merge is an exact monoid (merge(sketch(X), sketch(Y)) ==
+    # sketch(X ∪ Y)), so the partial-sketch rollup path shares the
+    # direct-estimate oracle verbatim
+    d["kmv_rollup"] = d["kmv"]
     return d
