@@ -2504,6 +2504,39 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profile.py::profile_table)
+    over the events log's integral/string columns (float/timestamp
+    stringification is engine-specific, so the cross-engine entry
+    profiles the safely-comparable ones)."""
+    from crgp_spark.operators.profile import profile_table
+
+    return profile_table(
+        _events(spark, sf_dir), ["event_id", "user_id", "event_type"]
+    )
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gates (profile.py::check_constraints), one
+    scan for all checks; NULL predicate == violation (Deequ
+    semantics)."""
+    from crgp_spark.operators.profile import check_constraints
+
+    return check_constraints(
+        _tbl(spark, sf_dir, "orders"),
+        [
+            ("orderkey_not_null", "o_orderkey IS NOT NULL"),
+            ("total_positive", "o_totalprice > 0"),
+            (
+                "priority_in_domain",
+                "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+                "'4-NOT SPECIFIED','5-LOW')",
+            ),
+            ("status_in_domain", "o_orderstatus IN ('O','F','P')"),
+        ],
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2726,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_rollup": q_kmv_rollup,
         "bloom_join": q_bloom_join,
         "scd2": q_scd2,
+        "profile": q_profile,
+        "quality_checks": q_quality_checks,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3492,6 +3527,61 @@ WHERE l_orderkey IN (
   WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
 GROUP BY l_returnflag
 ORDER BY l_returnflag""",
+        # Single-pass profile (profile.py::profile_table): per-column
+        # UNION ALL of one-scan aggregates; min/max stringified AFTER
+        # native-type aggregation in both engines
+        "profile": """
+SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+       COUNT(event_id) AS n_nonnull,
+       COUNT(*) - COUNT(event_id) AS n_nulls,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_value,
+       CAST(MAX(event_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(user_id),
+       COUNT(*) - COUNT(user_id),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(event_type),
+       COUNT(*) - COUNT(event_type),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       MIN(event_type), MAX(event_type)
+FROM events""",
+        # Quality gates (profile.py::check_constraints): conditional
+        # violation counts, NULL predicate == violation
+        "quality_checks": """
+SELECT 'orderkey_not_null' AS "check", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+                THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'total_positive', COUNT(*),
+       CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'priority_in_domain', COUNT(*),
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+                     ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+                      '5-LOW'), FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+                 '5-LOW'), FALSE) THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'status_in_domain', COUNT(*),
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                     FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                FALSE) THEN 1 ELSE 0 END) = 0
+FROM orders""",
         # SCD Type-2 history (scd.py::scd2_history): LAG change
         # detection (IS DISTINCT FROM == eqNullSafe) + LEAD interval
         # close, micros idiom, event_id tiebreak
