@@ -2537,6 +2537,17 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (operators/attribution.py::attribute_conversions): every purchase
+    credited to the click/view touches in its trailing 7-day window;
+    zero-padded micros:event_id string = the deterministic
+    argmin/argmax key in both engines."""
+    from crgp_spark.operators.attribution import attribute_conversions
+
+    return attribute_conversions(_events(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2761,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "profile": q_profile,
         "quality_checks": q_quality_checks,
+        "attribution": q_attribution,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3582,6 +3594,37 @@ SELECT 'status_in_domain', COUNT(*),
        SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
                 FALSE) THEN 1 ELSE 0 END) = 0
 FROM orders""",
+        # Conversion attribution (attribution.py): banded per-user
+        # interval join + ARG_MIN/ARG_MAX on the padded micros:id key
+        "attribution": """
+WITH b AS (
+  SELECT event_id, user_id, event_type, EPOCH_US(ts) AS us FROM events
+),
+conv AS (
+  SELECT event_id, user_id, us AS conv_us FROM b
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS t_user, event_type AS t_type, us AS t_us,
+         event_id AS t_id
+  FROM b WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT c.event_id, c.user_id, c.conv_us, t.t_type, t.t_us, t.t_id,
+         LPAD(CAST(t.t_us AS VARCHAR), 20, '0') || ':' ||
+         LPAD(CAST(t.t_id AS VARCHAR), 20, '0') AS k
+  FROM conv c LEFT JOIN touch t
+    ON t.t_user = c.user_id AND t.t_us < c.conv_us
+   AND t.t_us >= c.conv_us - 604800000000
+)
+SELECT event_id, user_id, conv_us,
+       COUNT(t_id) AS n_touches,
+       ARG_MIN(t_type, k) AS first_touch_type,
+       MIN(t_us) AS first_touch_us,
+       ARG_MAX(t_type, k) AS last_touch_type,
+       MAX(t_us) AS last_touch_us,
+       conv_us - MAX(t_us) AS latency_us
+FROM j GROUP BY event_id, user_id, conv_us""",
         # SCD Type-2 history (scd.py::scd2_history): LAG change
         # detection (IS DISTINCT FROM == eqNullSafe) + LEAD interval
         # close, micros idiom, event_id tiebreak
