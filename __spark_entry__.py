@@ -2548,6 +2548,31 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_conversions(_events(spark, sf_dir))
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch
+    (operators/histogram.py::hist_grouped_quantiles): per-event-type
+    value quantiles off a fixed-boundary bucket histogram — the
+    deterministic, rollup-able alternative to a global per-group sort;
+    exercised through the MERGE path (two disjoint halves sketched
+    independently, added, then read) so the monoid itself is under the
+    gate."""
+    from crgp_spark.operators.histogram import (
+        hist_merge,
+        hist_quantiles,
+        hist_sketch,
+    )
+
+    bs = [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0]
+    ev = _events(spark, sf_dir)
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    merged = hist_merge(
+        hist_sketch(even, "event_type", "value", bs),
+        hist_sketch(odd, "event_type", "value", bs),
+    )
+    return hist_quantiles(merged, bs, [0.25, 0.5, 0.9])
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2773,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "quality_checks": q_quality_checks,
         "attribution": q_attribution,
+        "hist_quantiles": q_hist_quantiles,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3594,6 +3620,42 @@ SELECT 'status_in_domain', COUNT(*),
        SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
                 FALSE) THEN 1 ELSE 0 END) = 0
 FROM orders""",
+        # Histogram quantile sketch (histogram.py): fixed boundaries,
+        # bucket = #boundaries < v, nearest-rank CEIL(q*n), est =
+        # bucket's upper boundary (1-based list indexing)
+        "hist_quantiles": """
+WITH bs AS (
+  SELECT CAST([10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0]
+              AS DOUBLE[]) AS b
+),
+sk AS (
+  SELECT event_type,
+         LEN(LIST_FILTER((SELECT b FROM bs), x -> x < value)) AS bucket,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS n_total
+  FROM sk
+),
+ex AS (
+  SELECT c.*, q.q
+  FROM cum c,
+       (SELECT UNNEST(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS q) q
+),
+hit AS (
+  SELECT event_type, q, CAST(n_total AS BIGINT) AS n_total,
+         MIN(bucket) AS bucket
+  FROM ex WHERE cum >= CEIL(q * n_total)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, q, n_total,
+       CASE WHEN bucket < 8
+            THEN (SELECT b FROM bs)[bucket + 1] END AS est
+FROM hit""",
         # Conversion attribution (attribution.py): banded per-user
         # interval join + ARG_MIN/ARG_MAX on the padded micros:id key
         "attribution": """
