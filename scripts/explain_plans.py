@@ -329,6 +329,30 @@ def main() -> None:
             bloom_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey"),
     })
 
+    from crgp_spark.operators.attribution import attribute_conversions
+    from crgp_spark.operators.profile import check_constraints, profile_table
+    from crgp_spark.operators.scd import scd2_history
+
+    sections.update({
+        "SCD Type-2 history: ONE exchange+sort on the key serves both "
+        "window passes (lag change-detect, lead interval-close) — no "
+        "joins": scd2_history(
+            events, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+        ),
+        "Table profile: every column's nonnull/distinct/min/max in ONE "
+        "scan (multi-distinct Expand, partial-agg, no join)":
+            profile_table(events, ["event_id", "user_id", "event_type"]),
+        "Quality checks: N conditional violation counts folded into "
+        "one partial-agg scan": check_constraints(
+            orders,
+            [("orderkey_not_null", "o_orderkey IS NOT NULL"),
+             ("total_positive", "o_totalprice > 0")],
+        ),
+        "Attribution: banded per-user interval join (one exchange per "
+        "side) + map-side-combinable min_by/max_by rollup":
+            attribute_conversions(events),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
