@@ -2573,6 +2573,34 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_quantiles(merged, bs, [0.25, 0.5, 0.9])
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed SCD Type-2 maintenance (streaming/scd.py): the same
+    sampled-user dimension as `scd2`, but maintained on the keyed
+    state store across 4 time-ordered micro-batches — the open version
+    of every user lives in state between epochs.  Stream == batch is
+    the gate: this entry shares the batch scd2 oracle verbatim."""
+    import shutil
+
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.scd import (
+        final_history,
+        stream_scd2,
+        write_time_chunks,
+    )
+
+    work = "/tmp/crgp_stream_scd2"
+    shutil.rmtree(work, ignore_errors=True)
+    feed = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id", "event_type", "event_id", ts_micros("ts").alias("us")
+        )
+    )
+    write_time_chunks(feed, work, n_chunks=4)
+    return final_history(stream_scd2(spark, work))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2799,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": q_quality_checks,
         "attribution": q_attribution,
         "hist_quantiles": q_hist_quantiles,
+        "stream_scd2": q_stream_scd2,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -4277,4 +4306,7 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # sketch(X ∪ Y)), so the partial-sketch rollup path shares the
     # direct-estimate oracle verbatim
     d["kmv_rollup"] = d["kmv"]
+    # streamed SCD2 == batch SCD2 by the stream==batch contract (the
+    # open version is carried in keyed state across micro-batches)
+    d["stream_scd2"] = d["scd2"]
     return d

@@ -615,6 +615,35 @@ def main() -> None:
         ).count(),
     )
 
+    from crgp_spark.operators.attribution import attribute_conversions
+    from crgp_spark.operators.histogram import hist_grouped_quantiles
+    from crgp_spark.operators.profile import profile_table
+    from crgp_spark.operators.scd import scd2_history
+
+    timed(
+        "profile",
+        lambda: profile_table(
+            events, ["event_id", "user_id", "event_type"]
+        ).count(),
+    )
+    timed(
+        "scd2",
+        lambda: scd2_history(
+            events, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+        ).count(),
+    )
+    timed("attribution", lambda: attribute_conversions(events).count())
+    timed(
+        "hist_quantiles",
+        lambda: hist_grouped_quantiles(
+            events,
+            "event_type",
+            "value",
+            [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0],
+            [0.25, 0.5, 0.9],
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total",
