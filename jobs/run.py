@@ -83,6 +83,18 @@ def main() -> None:
         "conversation splits (exercises the split-residue hybrid)",
     )
     ap.add_argument("--seed", type=nonneg_int, default=42)
+    ap.add_argument("--input", help="input parquet (profile/scd2)")
+    ap.add_argument("--columns", help="comma-separated columns (profile)")
+    ap.add_argument("--key-col", default="user_id", help="scd2 key")
+    ap.add_argument("--ts-col", default="ts", help="scd2 timestamp")
+    ap.add_argument(
+        "--tracked", default="event_type",
+        help="comma-separated tracked columns (scd2)",
+    )
+    ap.add_argument(
+        "--order-cols", default="",
+        help="comma-separated tiebreak columns (scd2)",
+    )
     args = ap.parse_args()
 
     from crgp_spark.session import get_spark
@@ -489,6 +501,50 @@ def main() -> None:
             seconds=round(secs, 3),
             edges_per_sec=round(n_edges / secs),
         )
+
+    elif args.algo == "profile":
+        from crgp_spark.operators.profile import profile_table
+
+        if not args.input:
+            raise SystemExit("--algo profile requires --input")
+        df = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        t0 = time.time()
+        rows = profile_table(df, cols).collect()
+        secs = time.time() - t0
+        out.update(
+            seconds=round(secs, 3),
+            profile={
+                r["column"]: {
+                    "n_rows": r["n_rows"],
+                    "n_nulls": r["n_nulls"],
+                    "n_distinct": r["n_distinct"],
+                    "min": r["min_value"],
+                    "max": r["max_value"],
+                }
+                for r in rows
+            },
+        )
+
+    elif args.algo == "scd2":
+        from crgp_spark.operators.scd import scd2_history
+
+        if not args.input:
+            raise SystemExit("--algo scd2 requires --input")
+        df = spark.read.parquet(args.input)
+        order = [c for c in args.order_cols.split(",") if c]
+        t0 = time.time()
+        hist = scd2_history(
+            df, args.key_col, args.ts_col, args.tracked.split(","),
+            order_cols=order,
+        )
+        if args.output:
+            hist.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        else:
+            n = hist.count()
+        secs = time.time() - t0
+        out.update(versions=n, seconds=round(secs, 3))
 
     else:
         raise SystemExit(f"unknown --algo {args.algo}")
