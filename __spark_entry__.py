@@ -2601,6 +2601,16 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_history(stream_scd2(spark, work))
 
 
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/streaks.py::longest_streaks): each
+    user's longest run of consecutive active days via the
+    rank-difference trick — one exchange total; longer-then-earlier
+    tiebreak through a zero-padded composite min_by key."""
+    from crgp_spark.operators.streaks import longest_streaks
+
+    return longest_streaks(_events(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2828,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "hist_quantiles": q_hist_quantiles,
         "stream_scd2": q_stream_scd2,
+        "streaks": q_streaks,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3685,6 +3696,33 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Gaps-and-islands (streaks.py): day - DENSE_RANK island id,
+        # COUNT DISTINCT day per island, longer-then-earlier ARG_MIN
+        "streaks": """
+WITH d AS (
+  SELECT user_id,
+         CAST(EPOCH_US(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - DENSE_RANK() OVER
+           (PARTITION BY user_id ORDER BY day) AS island
+  FROM d
+),
+i AS (
+  SELECT user_id, island, MIN(day) AS start_day,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       MAX(n_days) AS best_n_days,
+       ARG_MIN(start_day,
+               LPAD(CAST(1000000 - n_days AS VARCHAR), 9, '0') || ':' ||
+               LPAD(CAST(start_day AS VARCHAR), 12, '0'))
+         AS best_start_day,
+       COUNT(*) AS n_islands
+FROM i GROUP BY user_id""",
         # Conversion attribution (attribution.py): banded per-user
         # interval join + ARG_MIN/ARG_MAX on the padded micros:id key
         "attribution": """
