@@ -2611,6 +2611,30 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_streaks(_events(spark, sf_dir))
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted skew join (operators/skewjoin.py::salted_join):
+    orders joined to customers over (key, salt) sub-keys — the
+    planner-independent hot-key spread; result proven identical to the
+    plain join by the oracle (market-segment order rollup, money in
+    integer cents)."""
+    from crgp_spark.operators.skewjoin import salted_join
+
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    j = salted_join(orders, cust, "o_custkey", n_salts=8)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2839,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "stream_scd2": q_stream_scd2,
         "streaks": q_streaks,
+        "salted_join": q_salted_join,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3696,6 +3721,16 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Salted skew join (skewjoin.py): the salt is correctness-
+        # neutral by construction, so the oracle is the PLAIN join
+        "salted_join": """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment""",
         # Gaps-and-islands (streaks.py): day - DENSE_RANK island id,
         # COUNT DISTINCT day per island, longer-then-earlier ARG_MIN
         "streaks": """
