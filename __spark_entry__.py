@@ -2635,6 +2635,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience overlap (sketch.py::kmv_intersect):
+    per event type, estimated users present in BOTH halves of the log
+    (even vs odd event_id) — |common hashes below theta| / theta with
+    theta the smaller k-th hash; exact (theta NULL) while both sides
+    hold < k hashes, which the sf0.001 gate exercises (15 users) while
+    sf0.01 exercises the estimator path."""
+    from crgp_spark.operators.sketch import kmv_intersect, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    return kmv_intersect(
+        kmv_sketch(even, "event_type", "user_id", 32),
+        kmv_sketch(odd, "event_type", "user_id", 32),
+        32,
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2864,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2": q_stream_scd2,
         "streaks": q_streaks,
         "salted_join": q_salted_join,
+        "kmv_overlap": q_kmv_overlap,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3721,6 +3741,53 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Theta-sketch intersection (sketch.py::kmv_intersect):
+        # theta = LEAST of the sides' k-th hashes (both engines skip
+        # NULLs in LEAST), common-below-theta counted via a hash
+        # equi-join, estimator division order mirrors the engine
+        "kmv_overlap": f"""
+WITH h AS (
+  SELECT DISTINCT event_type, event_id % 2 AS half,
+         MD5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, half, h,
+         ROW_NUMBER() OVER
+           (PARTITION BY event_type, half ORDER BY h) AS rk
+  FROM h
+),
+sk AS (SELECT event_type, half, h FROM r WHERE rk <= 32),
+kth AS (
+  SELECT event_type, half, COUNT(*) AS n, MAX(h) AS kmax
+  FROM sk GROUP BY 1, 2
+),
+th AS (
+  SELECT a.event_type,
+         LEAST(CASE WHEN a.n >= 32 THEN a.kmax END,
+               CASE WHEN b.n >= 32 THEN b.kmax END) AS theta
+  FROM kth a JOIN kth b
+    ON a.event_type = b.event_type AND a.half = 0 AND b.half = 1
+),
+cm AS (
+  SELECT x.event_type,
+         COUNT(*) FILTER (WHERE t.theta IS NULL OR x.h < t.theta)
+           AS n_common
+  FROM sk x
+  JOIN sk y ON x.event_type = y.event_type AND x.h = y.h
+           AND x.half = 0 AND y.half = 1
+  JOIN th t ON t.event_type = x.event_type
+  GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(COALESCE(cm.n_common, 0) AS INT) AS n_common,
+       CASE WHEN t.theta IS NULL
+            THEN CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+            ELSE FLOOR(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                 / (CAST(({_hex15_num('t.theta')}) AS DOUBLE)
+                    / 1152921504606846976.0) * 10000.0 + 0.5) / 10000.0
+       END AS est_intersect
+FROM th t LEFT JOIN cm ON cm.event_type = t.event_type""",
         # Salted skew join (skewjoin.py): the salt is correctness-
         # neutral by construction, so the oracle is the PLAIN join
         "salted_join": """

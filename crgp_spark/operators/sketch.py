@@ -113,6 +113,52 @@ def kmv_estimate(sketches: DataFrame, k: int = 32) -> DataFrame:
     )
 
 
+def kmv_intersect(a: DataFrame, b: DataFrame, k: int = 32) -> DataFrame:
+    """Theta-sketch intersection estimate (Dasgupta et al. /
+    DataSketches theta semantics) from two sketch tables joined on
+    the group key: ``theta`` = the smaller k-th hash of the two sides
+    (NULL = both sides still exact), the estimate = |common hashes
+    below theta| / theta — the audience-overlap primitive ("users in
+    BOTH segments") that no union-based sketch can answer.  Returns
+    ``(group, n_common, est_intersect)``; exact when both sides are
+    below k (theta NULL).  Division order mirrors `kmv_estimate`
+    exactly so the DuckDB twin is bit-identical."""
+    ga, gb = a.columns[0], b.columns[0]
+    joined = a.withColumnRenamed("hs", "_ha").join(
+        b.withColumnRenamed("hs", "_hb").withColumnRenamed(gb, ga),
+        ga,
+        "inner",
+    )
+    kth = lambda c: F.when(F.size(c) >= k, F.element_at(c, -1))  # noqa: E731
+    theta = F.least(kth(F.col("_ha")), kth(F.col("_hb")))
+    common = F.array_intersect("_ha", "_hb")
+    below = F.when(theta.isNull(), common).otherwise(
+        F.filter(common, lambda h: h < theta)
+    )
+    sel = joined.select(
+        ga,
+        F.size(below).cast("int").alias("n_common"),
+        F.conv(F.substring(theta, 1, 15), 16, 10)
+        .cast("long")
+        .alias("_thnum"),
+    )
+    return sel.select(
+        ga,
+        "n_common",
+        F.when(
+            F.col("_thnum").isNull(), F.col("n_common").cast("double")
+        )
+        .otherwise(
+            decimal_round(
+                F.col("n_common").cast("double")
+                / (F.col("_thnum").cast("double") / F.lit(_HASH_SPACE)),
+                4,
+            )
+        )
+        .alias("est_intersect"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,

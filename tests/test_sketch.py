@@ -80,3 +80,62 @@ def test_kmv_merge_is_monoid(spark):
     em = sorted(map(tuple, kmv_estimate(merged, 16).collect()))
     ed = sorted(map(tuple, kmv_estimate(direct, 16).collect()))
     assert em == ed
+
+
+def _isect_ref(xs, ys, k):
+    """Python mirror of kmv_intersect for one group."""
+    ha = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in xs})[:k]
+    hb = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in ys})[:k]
+    kth_a = ha[k - 1] if len(ha) >= k else None
+    kth_b = hb[k - 1] if len(hb) >= k else None
+    thetas = [t for t in (kth_a, kth_b) if t is not None]
+    theta = min(thetas) if thetas else None
+    common = set(ha) & set(hb)
+    if theta is None:
+        n = len(common)
+        return n, float(n)
+    n = len([h for h in common if h < theta])
+    num = int(theta[:15], 16)
+    raw = n / (float(num) / float(1 << 60))
+    return n, math.floor(raw * 10000.0 + 0.5) / 10000.0
+
+
+def test_intersect_exact_when_small(spark):
+    from crgp_spark.operators.sketch import kmv_intersect, kmv_sketch
+
+    x = _df(spark, [("a", v) for v in (1, 2, 3, 4)] + [("b", 9)])
+    y = _df(spark, [("a", v) for v in (3, 4, 5)] + [("b", 9)])
+    got = {
+        r["g"]: (r["n_common"], r["est_intersect"])
+        for r in kmv_intersect(
+            kmv_sketch(x, "g", "v", 16), kmv_sketch(y, "g", "v", 16), 16
+        ).collect()
+    }
+    assert got["a"] == (2, 2.0)  # {3, 4}
+    assert got["b"] == (1, 1.0)
+
+
+def test_intersect_estimate_matches_python_reference(spark):
+    from crgp_spark.operators.sketch import kmv_intersect, kmv_sketch
+
+    xs, ys = list(range(0, 150)), list(range(100, 260))
+    x = _df(spark, [("a", v) for v in xs])
+    y = _df(spark, [("a", v) for v in ys])
+    [r] = kmv_intersect(
+        kmv_sketch(x, "g", "v", 32), kmv_sketch(y, "g", "v", 32), 32
+    ).collect()
+    n_ref, est_ref = _isect_ref(xs, ys, 32)
+    assert (r["n_common"], r["est_intersect"]) == (n_ref, est_ref)
+
+
+def test_intersect_mixed_exact_and_sketched(spark):
+    from crgp_spark.operators.sketch import kmv_intersect, kmv_sketch
+
+    xs, ys = list(range(0, 200)), list(range(150, 170))  # y exact (<k)
+    x = _df(spark, [("a", v) for v in xs])
+    y = _df(spark, [("a", v) for v in ys])
+    [r] = kmv_intersect(
+        kmv_sketch(x, "g", "v", 32), kmv_sketch(y, "g", "v", 32), 32
+    ).collect()
+    n_ref, est_ref = _isect_ref(xs, ys, 32)
+    assert (r["n_common"], r["est_intersect"]) == (n_ref, est_ref)
