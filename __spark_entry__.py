@@ -2654,6 +2654,28 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (encode.py::target_encode_loo):
+    per-user mean event value excluding the row itself — integer-cents
+    sums, one partition window, leakage-free by construction."""
+    from crgp_spark.operators.encode import target_encode_loo
+
+    return target_encode_loo(
+        _events(spark, sf_dir), "user_id", "value"
+    ).select("event_id", "user_id", "te")
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing trick (encode.py::feature_hash): (event_type,
+    user_id) features into 64 dims with ±1 signs, md5-deterministic in
+    both engines."""
+    from crgp_spark.operators.encode import feature_hash
+
+    return feature_hash(
+        _events(spark, sf_dir), ["event_type", "user_id"], dim=64
+    ).select("event_id", "fh_idx", "fh_sign")
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2884,6 +2906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaks": q_streaks,
         "salted_join": q_salted_join,
         "kmv_overlap": q_kmv_overlap,
+        "target_encode": q_target_encode,
+        "feature_hash": q_feature_hash,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3741,6 +3765,51 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # LOO target encoding (encode.py): integer-cents window sums,
+        # single float division, FLOOR rounding idiom
+        "target_encode": """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, cents,
+         SUM(cents) OVER (PARTITION BY user_id) AS s,
+         COUNT(cents) OVER (PARTITION BY user_id) AS n
+  FROM c
+)
+SELECT event_id, user_id,
+       CASE WHEN cents IS NOT NULL AND n > 1
+            THEN FLOOR(CAST(s - cents AS DOUBLE)
+                 / CAST((n - 1) * 100 AS DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0
+       END AS te
+FROM w""",
+        # Signed feature hashing (encode.py): md5 top-60-bits mod dim,
+        # sign via the integer identity (h div d) % 2 == (h % 2d) >= d
+        "feature_hash": f"""
+WITH h AS (
+  SELECT event_id,
+         MD5('0:event_type=' ||
+             COALESCE(CAST(event_type AS VARCHAR), CHR(0) || 'NULL'))
+           AS h0,
+         MD5('1:user_id=' ||
+             COALESCE(CAST(user_id AS VARCHAR), CHR(0) || 'NULL'))
+           AS h1
+  FROM events
+),
+n AS (
+  SELECT event_id,
+         CAST(({_hex15_num('h0')}) AS BIGINT) AS n0,
+         CAST(({_hex15_num('h1')}) AS BIGINT) AS n1
+  FROM h
+)
+SELECT event_id,
+       [CAST(n0 % 64 AS INT), CAST(n1 % 64 AS INT)] AS fh_idx,
+       [CASE WHEN n0 % 128 >= 64 THEN -1 ELSE 1 END,
+        CASE WHEN n1 % 128 >= 64 THEN -1 ELSE 1 END] AS fh_sign
+FROM n""",
         # Theta-sketch intersection (sketch.py::kmv_intersect):
         # theta = LEAST of the sides' k-th hashes (both engines skip
         # NULLs in LEAST), common-below-theta counted via a hash

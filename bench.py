@@ -644,6 +644,20 @@ def main() -> None:
         ).count(),
     )
 
+    from crgp_spark.operators.skewjoin import salted_join
+    from crgp_spark.operators.streaks import longest_streaks
+
+    timed("streaks", lambda: longest_streaks(events).count())
+    timed(
+        "salted_join",
+        lambda: salted_join(
+            tbl["orders"],
+            tbl["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+            n_salts=8,
+        ).count(),
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total",

@@ -353,6 +353,39 @@ def main() -> None:
             attribute_conversions(events),
     })
 
+    from crgp_spark.operators.histogram import hist_grouped_quantiles
+    from crgp_spark.operators.skewjoin import salted_join
+    from crgp_spark.operators.sketch import kmv_intersect, kmv_sketch
+    from crgp_spark.operators.streaks import longest_streaks
+
+    cust_renamed = spark.read.parquet(
+        os.path.join(sf_dir, "customer.parquet")
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    ev_even = events.where(F.col("event_id") % 2 == 0)
+    ev_odd = events.where(F.col("event_id") % 2 == 1)
+    sections.update({
+        "Histogram quantile sketch: bucket expression at scan speed, "
+        "partial-agg sparse counts, tiny per-group window finisher":
+            hist_grouped_quantiles(
+                events, "event_type", "value",
+                [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0],
+                [0.25, 0.5, 0.9],
+            ),
+        "Salted skew join: content-hash salt on the fact side, "
+        "explode-replicated dim, join key (key, salt) spreads hot "
+        "keys over n_salts shuffle partitions":
+            salted_join(orders, cust_renamed, "o_custkey", n_salts=8),
+        "Gaps-and-islands streaks: ONE key exchange serves rank "
+        "window, day-dedup and island rollup": longest_streaks(events),
+        "Theta-sketch intersection: two sketch builds (WindowGroupLimit "
+        "top-k) + one equi-join on the group key, array intersection "
+        "below theta": kmv_intersect(
+            kmv_sketch(ev_even, "event_type", "user_id", 32),
+            kmv_sketch(ev_odd, "event_type", "user_id", 32),
+            32,
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
