@@ -2676,6 +2676,24 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "fh_idx", "fh_sign")
 
 
+def q_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/survivor.py::golden_records):
+    canonical per-user record from the event log — recency rule
+    (latest event_type by padded micros:id key) + frequency rule
+    (modal event_type, smallest-value tiebreak) + record counts and
+    span."""
+    from crgp_spark.operators.survivor import golden_records
+
+    return golden_records(
+        _events(spark, sf_dir),
+        "user_id",
+        "ts",
+        ["event_id"],
+        latest_cols=["event_type"],
+        mode_cols=["event_type"],
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2908,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "target_encode": q_target_encode,
         "feature_hash": q_feature_hash,
+        "golden": q_golden,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3765,6 +3784,34 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Survivorship merge (survivor.py): ARG_MAX recency +
+        # count-then-value ARG_MIN frequency rules on padded keys
+        "golden": """
+WITH b AS (
+  SELECT user_id, event_type, event_id, EPOCH_US(ts) AS us,
+         LPAD(CAST(EPOCH_US(ts) AS VARCHAR), 20, '0') || ':' ||
+         LPAD(CAST(event_id AS VARCHAR), 20, '0') AS k
+  FROM events
+),
+base AS (
+  SELECT user_id, COUNT(*) AS n_records,
+         MIN(us) AS first_us, MAX(us) AS last_us,
+         ARG_MAX(event_type, k) AS latest_event_type
+  FROM b GROUP BY user_id
+),
+cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+),
+md AS (
+  SELECT user_id,
+         ARG_MIN(event_type,
+                 LPAD(CAST(1000000000000 - n AS VARCHAR), 13, '0')
+                 || ':' || event_type) AS mode_event_type
+  FROM cnt GROUP BY 1
+)
+SELECT base.*, md.mode_event_type
+FROM base LEFT JOIN md USING (user_id)""",
         # LOO target encoding (encode.py): integer-cents window sums,
         # single float division, FLOOR rounding idiom
         "target_encode": """
