@@ -2694,6 +2694,28 @@ def q_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/diff.py::table_diff): orders vs a
+    synthetically-evolved snapshot (every 13th key deleted, every
+    11th's status rewritten, every 17th re-keyed high as an insert) —
+    scan-side md5 fingerprints, one full-outer join, unchanged keys
+    dropped.  The oracle derives the statuses analytically from the
+    same modular rules."""
+    from crgp_spark.operators.diff import table_diff
+
+    orders = _tbl(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    surviving = orders.where(key % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(key % 11 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    added = orders.where(key % 17 == 0).withColumn(
+        "o_orderkey", key + F.lit(1_000_000_000)
+    )
+    new = surviving.unionByName(added)
+    return table_diff(orders, new, ["o_orderkey"])
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2927,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "feature_hash": q_feature_hash,
         "golden": q_golden,
+        "table_diff": q_table_diff,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3784,6 +3807,16 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # CDC table diff (diff.py): statuses derived analytically from
+        # the same modular evolution rules the query applies
+        "table_diff": """
+SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS status
+FROM orders WHERE o_orderkey % 17 = 0
+UNION ALL
+SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 = 0""",
         # Survivorship merge (survivor.py): ARG_MAX recency +
         # count-then-value ARG_MIN frequency rules on padded keys
         "golden": """

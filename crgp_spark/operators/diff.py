@@ -1,0 +1,73 @@
+"""Keyed table diff — the CDC / snapshot-reconciliation primitive.
+
+Given two snapshots of a keyed table, emit one row per differing key:
+``added`` (only in the new snapshot), ``removed`` (only in the old),
+``changed`` (present in both with any compared column differing).
+This is how a warehouse audits a backfill, validates a migration, or
+derives a changelog between `sources/snapshot.py` commits without
+replaying the writes.
+
+Plan shape: ONE full-outer sort-merge join on the key; change
+detection compares md5 fingerprints of the zero-separated column
+tuple (computed scan-side, so the shuffle carries one hash instead of
+the whole row — at 100 TB that's the difference between shuffling
+32 bytes and shuffling the record).  Unchanged keys are dropped
+before anything downstream sees them.
+
+NULL discipline: fingerprints encode NULL as an explicit marker, so
+NULL != "" and a value turning NULL counts as a change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: field separator / NULL marker unlikely to appear in data
+_SEP = "\x00"
+_NULL = "\x00N"
+
+
+def _fingerprint(cols: Sequence[str]) -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            _SEP,
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols],
+        )
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots on ``key_cols``: returns ``(*key_cols,
+    status)`` with status in {'added', 'removed', 'changed'};
+    unchanged keys are omitted.  ``compare_cols`` defaults to all
+    shared non-key columns.  Keys must be unique per snapshot (the
+    usual dimension contract — enforced upstream)."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("need at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    if not compare_cols:
+        raise ValueError("no columns to compare")
+    o = old.select(*keys, _fingerprint(compare_cols).alias("_fp_old"))
+    n = new.select(*keys, _fingerprint(compare_cols).alias("_fp_new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )
