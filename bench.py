@@ -648,6 +648,25 @@ def main() -> None:
     from crgp_spark.operators.streaks import longest_streaks
 
     timed("streaks", lambda: longest_streaks(events).count())
+
+    from crgp_spark.operators.diff import table_diff
+    from crgp_spark.operators.survivor import golden_records
+
+    timed(
+        "golden",
+        lambda: golden_records(
+            events, "user_id", "ts", ["event_id"],
+            latest_cols=["event_type"], mode_cols=["event_type"],
+        ).count(),
+    )
+    timed(
+        "table_diff",
+        lambda: table_diff(
+            events,
+            events.where(F.col("event_id") % 13 != 0),
+            ["event_id"],
+        ).count(),
+    )
     timed(
         "salted_join",
         lambda: salted_join(

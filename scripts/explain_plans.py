@@ -386,6 +386,29 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.diff import table_diff
+    from crgp_spark.operators.encode import feature_hash, target_encode_loo
+    from crgp_spark.operators.survivor import golden_records
+
+    ev_new = events.where(F.col("event_id") % 13 != 0)
+    sections.update({
+        "LOO target encoding: one partition-only window on the "
+        "category, integer-cents sums, single float division":
+            target_encode_loo(events, "user_id", "value"),
+        "Feature hashing: pure md5/pmod expression arrays at scan "
+        "speed — no shuffle, no UDF":
+            feature_hash(events, ["event_type", "user_id"], dim=64),
+        "Survivorship merge: one cluster groupBy (max_by recency) + "
+        "per-mode-field count groupBy folded back by a cluster join":
+            golden_records(
+                events, "user_id", "ts", ["event_id"],
+                latest_cols=["event_type"], mode_cols=["event_type"],
+            ),
+        "Table diff: scan-side md5 fingerprints (shuffle carries a "
+        "hash, not the record), ONE full-outer join, unchanged keys "
+        "dropped": table_diff(events, ev_new, ["event_id"]),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
