@@ -2716,6 +2716,16 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(orders, new, ["o_orderkey"])
 
 
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomalies (operators/anomaly.py): events more
+    than 2 sigma from their user's trailing-7d mean — the comparison
+    cross-multiplied into pure BIGINT ((x·n−s)² > z²(n·ss−s²)) so both
+    engines agree bit-for-bit."""
+    from crgp_spark.operators.anomaly import rolling_anomalies
+
+    return rolling_anomalies(_events(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2950,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "golden": q_golden,
         "table_diff": q_table_diff,
+        "anomaly": q_anomaly,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3807,6 +3818,28 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Rolling z-score anomalies (anomaly.py): RANGE-frame window
+        # sums in integer cents, cross-multiplied sigma test
+        "anomaly": """
+WITH b AS (
+  SELECT event_id, user_id, EPOCH_US(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id, us, cents,
+         CAST(COUNT(*) OVER fr AS BIGINT) AS n_window,
+         CAST(SUM(cents) OVER fr AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss
+  FROM b
+  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, us, cents, n_window
+FROM w
+WHERE n_window >= 8
+  AND (cents * n_window - s) * (cents * n_window - s)
+      > 4 * (n_window * ss - s * s)""",
         # CDC table diff (diff.py): statuses derived analytically from
         # the same modular evolution rules the query applies
         "table_diff": """
