@@ -2726,6 +2726,18 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_anomalies(_events(spark, sf_dir))
 
 
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (operators/compaction.py::compaction_plan):
+    documents as pseudo-files (size = n_chars) binned per-lang into
+    4000-byte rewrite groups — largest-first chain packing, integer
+    div, one metadata window."""
+    from crgp_spark.operators.compaction import compaction_plan
+
+    return compaction_plan(
+        _docs(spark, sf_dir), "doc_id", "n_chars", 4000, "lang"
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2961,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden": q_golden,
         "table_diff": q_table_diff,
         "anomaly": q_anomaly,
+        "compaction": q_compaction,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3818,6 +3831,25 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Compaction planner (compaction.py): largest-first chain
+        # packing, prior-cumsum integer division
+        "compaction": """
+WITH f AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS size
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT lang, doc_id, size,
+         CAST(SUM(size) OVER
+              (PARTITION BY lang ORDER BY size DESC, doc_id)
+              - size AS BIGINT) AS prior
+  FROM f
+),
+b AS (SELECT lang, doc_id, size, prior // 4000 AS bin FROM r)
+SELECT lang, doc_id, size, bin,
+       CAST(SUM(size) OVER (PARTITION BY lang, bin) AS BIGINT)
+         AS bin_bytes
+FROM b""",
         # Rolling z-score anomalies (anomaly.py): RANGE-frame window
         # sums in integer cents, cross-multiplied sigma test
         "anomaly": """
