@@ -667,6 +667,10 @@ def main() -> None:
             ["event_id"],
         ).count(),
     )
+
+    from crgp_spark.operators.anomaly import rolling_anomalies
+
+    timed("anomaly", lambda: rolling_anomalies(events).count())
     timed(
         "salted_join",
         lambda: salted_join(

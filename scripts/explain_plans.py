@@ -409,6 +409,19 @@ def main() -> None:
         "dropped": table_diff(events, ev_new, ["event_id"]),
     })
 
+    from crgp_spark.operators.anomaly import rolling_anomalies
+    from crgp_spark.operators.compaction import compaction_plan
+
+    sections.update({
+        "Rolling anomalies: one key exchange, RANGE-frame integer "
+        "sums sharing a single sort, BIGINT sigma test":
+            rolling_anomalies(events),
+        "Compaction plan: per-partition metadata window, chain "
+        "packing with integer div": compaction_plan(
+            docs, "doc_id", "n_chars", 4000, "lang"
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
