@@ -7,12 +7,13 @@ image/audio libraries ship in this environment.
 ``decode_image(..., fake=True)`` substitutes a deterministic fake
 decoder (hash-derived pixels) so the full pipeline — binary payload →
 decode → feature extraction → fixed-length feature vector — runs end to
-end with real Arrow batches. ``fake=False`` REALLY decodes the two
+end with real Arrow batches. ``fake=False`` REALLY decodes the three
 formats implementable with the standard library alone (VERDICT r2 ask
-#5): PPM images (P6 binary / P3 ascii, parsed with numpy) and PCM WAV
-audio (8/16-bit, stdlib ``wave``); any other payload raises
-NotImplementedError naming exactly which formats are real — that is
-where PIL/libav would plug in.
+#5): PPM images (P6 binary / P3 ascii, parsed with numpy), PNG images
+(8-bit gray/rgb/rgba non-interlaced — zlib inflate + all five scanline
+filters), and PCM WAV audio (8/16-bit, stdlib ``wave``); any other
+payload raises NotImplementedError naming exactly which formats are
+real — that is where PIL/libav would plug in.
 """
 
 from __future__ import annotations
@@ -99,7 +100,10 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 #: formats the REAL (fake=False) decoder handles, for error messages
-REAL_FORMATS = "ppm (P3/P6, 8-bit), wav (PCM 8/16-bit)"
+REAL_FORMATS = (
+    "ppm (P3/P6, 8-bit), wav (PCM 8/16-bit), "
+    "png (8-bit gray/rgb/rgba, non-interlaced)"
+)
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
@@ -139,6 +143,75 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return px.astype(np.float64) / float(maxval)
 
 
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib IDAT inflate + scanline
+    un-filtering, all 5 filter types): 8-bit gray / gray+alpha / RGB /
+    RGBA, non-interlaced — flat float64 in [0, 1].  Filters 1/3/4 are
+    sequential predictors, so un-filtering is a per-scanline python
+    loop; fine for thumbnail-scale payloads (PIL would plug in for
+    production rasters)."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, b""
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + payload + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(chunk[0:4], "big")
+            h = int.from_bytes(chunk[4:8], "big")
+            bitd, ctype, interlace = chunk[8], chunk[9], chunk[12]
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if w is None or channels is None or bitd != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: bitdepth={bitd} colortype={ctype} "
+            f"interlace={interlace} (8-bit non-interlaced only)"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out.reshape(-1).astype(np.float64) / 255.0
+
+
 def decode_wav(data: bytes) -> np.ndarray:
     """Stdlib ``wave`` PCM decode (8-bit unsigned / 16-bit signed, any
     channel count, channels interleaved) — flat float64 in [-1, 1]."""
@@ -160,6 +233,8 @@ def decode_media(data: bytes) -> tuple[str, np.ndarray]:
     raises NotImplementedError for formats without a stdlib decoder."""
     if data[:2] in (b"P6", b"P3"):
         return "ppm", decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", decode_png(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav", decode_wav(data)
     raise NotImplementedError(

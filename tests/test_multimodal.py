@@ -128,3 +128,93 @@ def test_frame_sampling(spark, media):
     for mid, n in n_frames.items():
         expected = len(range(0, max(n, 1), 2))
         assert got[mid] == expected
+
+
+def _png(pixels, channels, filters):
+    """Minimal PNG encoder for tests: applies the given per-row filter
+    types (cycled), zlib-compresses, fake CRCs (decoder skips them)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, stride = pixels.shape
+    w = stride // channels
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = pixels[y].astype(np.int32)
+        out = line.copy()
+        if f == 1:
+            for i in range(bpp, stride):
+                out[i] = (line[i] - line[i - bpp]) % 256
+        elif f == 2:
+            out = (line - prev) % 256
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                out[i] = (line[i] - ((a + prev[i]) >> 1)) % 256
+        elif f == 4:
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ, payload):
+        return struct.pack(">I", len(payload)) + typ + payload + b"\0\0\0\0"
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters():
+    import numpy as np
+
+    from crgp_spark.operators.multimodal import decode_media, decode_png
+
+    rng = np.random.RandomState(3)
+    for channels in (1, 3, 4):
+        px = rng.randint(0, 256, size=(7, 5 * channels)).astype(np.uint8)
+        data = _png(px, channels, filters=[0, 1, 2, 3, 4])
+        got = decode_png(data)
+        want = px.reshape(-1).astype(np.float64) / 255.0
+        assert np.array_equal(got, want)
+    fmt, _ = decode_media(_png(px, 4, [2]))
+    assert fmt == "png"
+
+
+def test_decode_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from crgp_spark.operators.multimodal import decode_png
+
+    # 16-bit depth IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\0\0\0\0"
+        + struct.pack(">I", 0) + b"IEND" + b"\0\0\0\0"
+    )
+    with _pytest.raises(ValueError):
+        decode_png(data)
+    with _pytest.raises(ValueError):
+        decode_png(b"nonsense")
+    _ = zlib  # imported for parity with the encoder helper
