@@ -69,3 +69,28 @@ def part_id(src: Column | str, salt: Column | str, n_parts: int) -> Column:
     s = F.col(src) if isinstance(src, str) else src
     sa = F.col(salt) if isinstance(salt, str) else salt
     return F.pmod(F.xxhash64(s, sa), F.lit(n_parts)).cast("int")
+
+
+def ord_key(*cols: Column | str, width: int = 20) -> Column:
+    """Zero-padded ``:``-joined composite ordering key — the engine's
+    one idiom for deterministic argmin/argmax over multiple NON-NEGATIVE
+    integer columns (lexicographic == numeric only when every component
+    is >= 0 and fits ``width`` digits).  SQL twin:
+    ``LPAD(CAST(c AS VARCHAR), 20, '0') || ':' || ...`` — DuckDB's
+    ARG_MIN/ARG_MAX take no struct keys, which is why this exists."""
+    parts = [
+        F.lpad((F.col(c) if isinstance(c, str) else c).cast("string"),
+               width, "0")
+        for c in cols
+    ]
+    return F.concat_ws(":", *parts)
+
+
+def md5_num60(col: Column | str) -> Column:
+    """BIGINT from the top 15 hex digits (60 bits) of ``md5(col)`` —
+    the engine's deterministic cross-engine hash-to-integer idiom
+    (sketches, Bloom filters, feature hashing).  SQL twin: the
+    ``_hex15_num`` INSTR expansion in ``__spark_entry__.py`` (DuckDB
+    1.0 has no hex→int cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

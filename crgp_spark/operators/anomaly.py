@@ -10,9 +10,15 @@ cross-multiplication —
 
 with x, s (sum), ss (sum of squares) in integer cents — so the flag
 is bit-identical across engines and immune to float summation order,
-the same discipline as the TPC-H money family.  (Overflow headroom:
-cents up to ~10^6 and windows up to ~10^6 rows keep every term under
-2^63.)
+the same discipline as the TPC-H money family.
+
+Overflow envelope (the binding terms are ``s*s`` and ``(x*n - s)^2``):
+the per-window SUM of cents must stay below ~3.0e9 — e.g. values up
+to $1,000 (1e5 cents) with up to ~30k events per key per window.
+Beyond that both engines fail loudly (Spark ANSI ArithmeticException,
+DuckDB overflow error) rather than mis-flag; for heavier-tailed
+domains rescale the unit (dollars instead of cents) or shorten the
+window before calling.
 
 Plan shape: ONE exchange on the key; both RANGE-frame aggregates
 share the single sort.  At 100 TB this is the cheap kind of window —

@@ -35,11 +35,9 @@ from pyspark.sql import functions as F
 
 
 def _ord_key(us: F.Column, event_id: F.Column) -> F.Column:
-    return F.concat_ws(
-        ":",
-        F.lpad(us.cast("string"), 20, "0"),
-        F.lpad(event_id.cast("string"), 20, "0"),
-    )
+    from crgp_spark.functions import ord_key
+
+    return ord_key(us, event_id)
 
 
 def attribute_conversions(

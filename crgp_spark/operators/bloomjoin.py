@@ -55,13 +55,9 @@ def _check_sizing(m_bits: int, n_hashes: int) -> None:
 
 def _bit_pos(key: F.Column, i: int, m_bits: int) -> F.Column:
     """Deterministic bit position #i for a key: md5 top-60-bits mod m."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from crgp_spark.functions import md5_num60
+
+    h = md5_num60(F.concat_ws(":", F.lit(str(i)), key.cast("string")))
     return F.pmod(h, F.lit(m_bits))
 
 

@@ -36,9 +36,11 @@ def compaction_plan(
     partition_col: str | None = None,
 ) -> DataFrame:
     """Assign each file to a rewrite bin: ``(partition_col?, id_col,
-    size, bin, bin_bytes)`` where ``bin`` is dense per partition and
-    ``bin_bytes`` the bin's planned total.  Deterministic: files order
-    largest-first with ``id_col`` as tiebreak."""
+    size, bin, bin_bytes)``; ``bin_bytes`` is the bin's planned total.
+    Bin ids are ordered but NOT dense — a file larger than the target
+    advances the cumulative counter past intermediate ids (iterate the
+    DISTINCT bins of the plan, not ``0..max``).  Deterministic: files
+    order largest-first with ``id_col`` as tiebreak."""
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     parts = [partition_col] if partition_col else []

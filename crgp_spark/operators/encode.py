@@ -71,24 +71,16 @@ def feature_hash(
         raise ValueError("need at least one feature column")
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
+    from crgp_spark.functions import md5_num60
+
     nums = [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "=",
-                        F.lit(f"{i}:{c}"),
-                        F.coalesce(
-                            F.col(c).cast("string"), F.lit("\x00NULL")
-                        ),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_num60(
+            F.concat_ws(
+                "=",
+                F.lit(f"{i}:{c}"),
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")),
+            )
+        )
         for i, c in enumerate(cols)
     ]
     idx = F.array(*[F.pmod(h, F.lit(dim)).cast("int") for h in nums])

@@ -48,10 +48,25 @@ def salted_join(
         raise ValueError(
             f"salted_join preserves semantics for inner/left only, got {how}"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
-    lsalted = left.withColumn("_salt", salt.cast("int"))
+    from pyspark.sql.types import MapType
+
+    # hash only hashable columns (xxhash64 rejects MapType), and pick
+    # a salt column name free on BOTH sides
+    hashable = [
+        f.name
+        for f in left.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    if not hashable:
+        raise ValueError("left side has no hashable (non-map) columns")
+    sc = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while sc in taken:
+        sc += "_"
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
+    lsalted = left.withColumn(sc, salt.cast("int"))
     rrep = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        sc, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = lsalted.join(rrep, [on, "_salt"], how)
-    return out.drop("_salt")
+    out = lsalted.join(rrep, [on, sc], how)
+    return out.drop(sc)

@@ -64,14 +64,13 @@ def longest_streaks(
     """Per key: ``(key_col, best_n_days, best_start_day, n_islands)``
     — the longest island (earliest start wins ties, via min_by on a
     composite that prefers LONGER then EARLIER) and the island count."""
+    from crgp_spark.functions import ord_key
+
     st = activity_streaks(events, key_col, ts_col)
     # prefer longer streaks, then earlier start: maximize n_days,
-    # minimize start_day -> min_by on (-n_days, start_day)
-    ordkey = F.concat_ws(
-        ":",
-        F.lpad((F.lit(1_000_000) - F.col("n_days")).cast("string"), 9, "0"),
-        F.lpad(F.col("start_day").cast("string"), 12, "0"),
-    )
+    # minimize start_day -> min_by on (-n_days, start_day); the
+    # oracle's narrower pads induce the same order
+    ordkey = ord_key(F.lit(1_000_000) - F.col("n_days"), "start_day")
     return st.groupBy(key_col).agg(
         F.max("n_days").alias("best_n_days"),
         F.min_by("start_day", ordkey).alias("best_start_day"),

@@ -11,8 +11,10 @@ cluster with per-field survivorship rules:
   rule), deterministic via the zero-padded ``micros:order`` composite
   key (the `attribution` idiom);
 - **mode**: the most frequent value (frequency rule), ties broken by
-  the smallest value — computed from per-(cluster, value) counts and
-  folded back with one join per mode field.
+  the smallest STRING form of the value (exact for string fields; for
+  numeric fields lexicographic — "10" < "9" — so zero-pad upstream if
+  numeric tie order matters) — computed from per-(cluster, value)
+  counts and folded back with one join per mode field.
 
 Scale shape: the base rollup is ONE map-side-combinable groupBy on
 the cluster key; each mode field adds one (cluster, value) count
@@ -29,11 +31,9 @@ from pyspark.sql import functions as F
 
 
 def _ordkey(us: F.Column, order_cols: Sequence[str]) -> F.Column:
-    parts = [F.lpad(us.cast("string"), 20, "0")]
-    parts += [
-        F.lpad(F.col(c).cast("string"), 20, "0") for c in order_cols
-    ]
-    return F.concat_ws(":", *parts)
+    from crgp_spark.functions import ord_key
+
+    return ord_key(us, *order_cols)
 
 
 def golden_records(

@@ -39,12 +39,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: open version per key: tracked attribute value + its valid_from
+#: open version per key: tracked attribute value, its valid_from, and
+#: a per-key version sequence (monotone; makes version identity robust
+#: to several changes at one timestamp — valid_from alone is NOT unique)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("attr", T.StringType(), True),
         T.StructField("from_us", T.LongType(), True),
-        T.StructField("has_open", T.BooleanType(), True),
+        T.StructField("ver", T.LongType(), True),
     ]
 )
 
@@ -54,6 +56,7 @@ OUT_SCHEMA = T.StructType(
         T.StructField("event_type", T.StringType(), True),
         T.StructField("valid_from", T.LongType(), False),
         T.StructField("valid_to", T.LongType(), True),
+        T.StructField("ver", T.LongType(), False),
     ]
 )
 
@@ -71,11 +74,11 @@ def _scd_group(
     open-version state; emit opened/closed version rows."""
     user_id = key[0]
     if state.exists:
-        attr, from_us, _ = state.get
-        from_us = int(from_us)
+        attr, from_us, ver = state.get
+        from_us, ver = int(from_us), int(ver)
         has_open = True
     else:
-        attr, from_us, has_open = None, None, False
+        attr, from_us, ver, has_open = None, None, -1, False
 
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["us", "event_id"], kind="stable")
@@ -83,29 +86,34 @@ def _scd_group(
     out_attr: list = []
     out_from: list = []
     out_to: list = []
+    out_ver: list = []
     for us, new_attr in zip(rows["us"].astype(int), rows["event_type"]):
         new_attr = None if pd.isna(new_attr) else new_attr
         if not has_open:
-            attr, from_us, has_open = new_attr, int(us), True
+            attr, from_us, ver, has_open = new_attr, int(us), ver + 1, True
             out_attr.append(attr)
             out_from.append(from_us)
             out_to.append(None)
+            out_ver.append(ver)
         elif _neq(new_attr, attr):
             out_attr.append(attr)
             out_from.append(from_us)
             out_to.append(int(us))
-            attr, from_us = new_attr, int(us)
+            out_ver.append(ver)
+            attr, from_us, ver = new_attr, int(us), ver + 1
             out_attr.append(attr)
             out_from.append(from_us)
             out_to.append(None)
+            out_ver.append(ver)
 
-    state.update((attr, from_us, True))
+    state.update((attr, from_us, ver))
     yield pd.DataFrame(
         {
             "user_id": pd.array([user_id] * len(out_attr), dtype="Int64"),
             "event_type": out_attr,
             "valid_from": pd.array(out_from, dtype="Int64"),
             "valid_to": pd.array(out_to, dtype="Int64"),
+            "ver": pd.array(out_ver, dtype="Int64"),
         }
     )
 
@@ -123,7 +131,7 @@ def write_time_chunks(
     os.makedirs(work_dir)
     ranked = df.withColumn(
         "_rn", F.row_number().over(Window.orderBy("us", "event_id"))
-    )
+    ).persist()
     n = ranked.count()
     step = max(1, (n + n_chunks - 1) // n_chunks)
     for k in range(n_chunks):
@@ -139,6 +147,7 @@ def write_time_chunks(
         )
         shutil.rmtree(tmp)
         time.sleep(0.05)  # distinct mtimes: replay order == chunk order
+    ranked.unpersist()
 
 
 def stream_scd2(
@@ -175,14 +184,17 @@ def stream_scd2(
 
 
 def final_history(emissions: DataFrame) -> DataFrame:
-    """Reconcile the emission log: per ``(user_id, valid_from)`` the
-    closed emission (non-NULL ``valid_to``) supersedes the open one —
-    MAX ignores NULLs, and a version closes at most once.  Output
-    matches ``operators/scd.py::scd2_history`` column-for-column."""
+    """Reconcile the emission log: per ``(user_id, ver)`` — version
+    identity, NOT ``valid_from``, which is not unique when several
+    changes share one timestamp — the closed emission (non-NULL
+    ``valid_to``) supersedes the open one: MAX ignores NULLs, and a
+    version closes at most once.  Output matches
+    ``operators/scd.py::scd2_history`` column-for-column."""
     return (
-        emissions.groupBy("user_id", "valid_from")
+        emissions.groupBy("user_id", "ver")
         .agg(
             F.min("event_type").alias("event_type"),
+            F.min("valid_from").alias("valid_from"),
             F.max("valid_to").alias("valid_to"),
         )
         .select(

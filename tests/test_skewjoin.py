@@ -66,3 +66,17 @@ def test_validation(spark):
         salted_join(left, right, "k", n_salts=0)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="right")
+
+
+def test_map_columns_and_salt_name_collision(spark):
+    from pyspark.sql import functions as F
+
+    left = _skewed(spark).withColumn(
+        "props", F.create_map(F.lit("a"), F.col("payload"))
+    ).withColumn("_salt", F.lit(99))
+    right = _dim(spark)
+    got = salted_join(left, right, "k", n_salts=4)
+    want = left.join(right, "k", "inner")
+    assert "_salt" in got.columns  # user column preserved
+    assert got.count() == want.count()
+    assert got.where(F.col("_salt") != 99).count() == 0

@@ -86,3 +86,40 @@ def test_state_crosses_batches(spark, streamed):
         | (F.col("valid_from") <= boundaries[2]) & (F.col("valid_to") > boundaries[2])
     ).count()
     assert straddling > 0
+
+
+def test_same_timestamp_changes_keep_distinct_versions(spark, tmp_path):
+    """Two attribute changes at ONE timestamp must stay two versions
+    (version identity = state sequence, not valid_from)."""
+    from crgp_spark.functions import ts_micros
+
+    rows = [
+        (1, _T0, 1, "a"),
+        (2, _T0 + dt.timedelta(minutes=5), 1, "b"),   # same ts as next
+        (3, _T0 + dt.timedelta(minutes=5), 1, "c"),
+        (4, _T0 + dt.timedelta(minutes=9), 1, "c"),   # no-op
+    ]
+    upd = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, event_type: string",
+    )
+    work = str(tmp_path / "ties")
+    feed = upd.select(
+        "user_id", "event_type", "event_id", ts_micros("ts").alias("us")
+    )
+    write_time_chunks(feed, work, n_chunks=2)
+    got = sorted(
+        map(tuple, final_history(stream_scd2(spark, work)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(
+                upd, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+            ).select(
+                "user_id", "event_type", "valid_from", "valid_to", "is_current"
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == 3  # a, b (same-ts close), c
