@@ -2738,6 +2738,18 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous sharding (operators/shard.py::rendezvous_assign):
+    every document's highest-random-weight shard of 8 — the
+    minimal-movement partitioner; argmax over md5 weights is
+    reproduced with the padded-key ARG_MAX idiom in SQL."""
+    from crgp_spark.operators.shard import rendezvous_assign
+
+    return rendezvous_assign(_docs(spark, sf_dir), "doc_id", 8).select(
+        "doc_id", "shard"
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2974,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": q_table_diff,
         "anomaly": q_anomaly,
         "compaction": q_compaction,
+        "shards": q_shards,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3831,6 +3844,24 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Rendezvous sharding (shard.py): HRW argmax via padded-key
+        # ARG_MAX (ties -> larger shard, matching struct ordering)
+        "shards": f"""
+WITH h AS (
+  SELECT doc_id, s.s AS shard,
+         MD5(CAST(doc_id AS VARCHAR) || '#' || CAST(s.s AS VARCHAR))
+           AS hx
+  FROM documents, (SELECT UNNEST(RANGE(8)) AS s) s
+),
+w AS (
+  SELECT doc_id, shard, CAST(({_hex15_num('hx')}) AS BIGINT) AS wt
+  FROM h
+)
+SELECT doc_id,
+       CAST(ARG_MAX(shard,
+                    LPAD(CAST(wt AS VARCHAR), 20, '0') || ':' ||
+                    CAST(shard AS VARCHAR)) AS INT) AS shard
+FROM w GROUP BY doc_id""",
         # Compaction planner (compaction.py): largest-first chain
         # packing, prior-cumsum integer division
         "compaction": """
