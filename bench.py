@@ -671,6 +671,11 @@ def main() -> None:
     from crgp_spark.operators.anomaly import rolling_anomalies
 
     timed("anomaly", lambda: rolling_anomalies(events).count())
+
+    from crgp_spark.operators.shard import rendezvous_assign
+
+    docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    timed("shards", lambda: rendezvous_assign(docs_tbl, "doc_id", 8).count())
     timed(
         "salted_join",
         lambda: salted_join(

@@ -422,6 +422,14 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.shard import rendezvous_assign
+
+    sections.update({
+        "Rendezvous sharding: HRW argmax as a pure array_max "
+        "expression — scan speed, no explode, no shuffle":
+            rendezvous_assign(docs, "doc_id", 8),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
