@@ -2750,6 +2750,27 @@ def q_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization (encode.py::rank_normalize):
+    each event's value mapped to [0,1] within its event type — RANK
+    tie semantics, explicit NULLS LAST (Spark defaults nulls-first,
+    DuckDB nulls-last)."""
+    from crgp_spark.operators.encode import rank_normalize
+
+    return rank_normalize(
+        _events(spark, sf_dir), "event_type", "value"
+    ).select("event_id", "event_type", "pr")
+
+
+def q_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative adoption curve (cohort.py::adoption_curve): users
+    first seen per epoch day + running total; the running window is
+    day-grain (metadata-sized)."""
+    from crgp_spark.operators.cohort import adoption_curve
+
+    return adoption_curve(_events(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -2987,6 +3008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly": q_anomaly,
         "compaction": q_compaction,
         "shards": q_shards,
+        "rank_norm": q_rank_norm,
+        "adoption": q_adoption,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3844,6 +3867,35 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Percentile-rank normalization (encode.py::rank_normalize):
+        # RANK ties, NULLS LAST pinned, FLOOR rounding idiom
+        "rank_norm": """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY value ASC NULLS LAST) AS rk,
+         COUNT(value) OVER (PARTITION BY event_type) AS nn
+  FROM events
+)
+SELECT event_id, event_type,
+       CASE WHEN value IS NOT NULL AND nn > 1
+            THEN FLOOR(CAST(rk - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0
+       END AS pr
+FROM w""",
+        # Cumulative adoption (cohort.py::adoption_curve): first-seen
+        # day per user, day-grain running sum
+        "adoption": """
+WITH d AS (
+  SELECT user_id, EPOCH_US(ts) // 86400000000 AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY 1),
+dd AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER
+            (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM dd""",
         # Rendezvous sharding (shard.py): HRW argmax via padded-key
         # ARG_MAX (ties -> larger shard, matching struct ordering)
         "shards": f"""

@@ -76,3 +76,31 @@ def funnel_counts(
     return per_user.agg(
         *[F.sum(f"n_{s}").alias(f"n_{s}") for s in stages]
     )
+
+
+def adoption_curve(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cumulative adoption: ``(day, new_users, cum_users)`` — users
+    FIRST seen each epoch day and the running total.  Two partial-agg
+    groupBys (per-user MIN day, then per-day count) plus a running-sum
+    window over the DAY-GRAIN rows — one row per day, so the global
+    window is metadata-sized no matter the event volume (same
+    rationale as `compaction.compaction_plan`)."""
+    from pyspark.sql import Window
+
+    day = events.select(
+        F.col(key_col).alias("k"), ts_micros(ts_col).alias("_us")
+    ).selectExpr("k", f"_us div {_DAY_US} AS day")
+    first = day.groupBy("k").agg(F.min("day").alias("day"))
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -55,6 +55,37 @@ def target_encode_loo(
     )
 
 
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "pr",
+) -> DataFrame:
+    """Append ``out_col``: the value's percentile rank within its
+    group — ``(rank - 1) / (n - 1)`` in [0, 1], RANK semantics (ties
+    share the lower rank), NULL values and singleton groups get NULL.
+    The rank-transform feature normalizer (the first half of
+    rank-gauss, minus the engine-divergent inverse-CDF): integer rank
+    and count, one float division, 4dp `decimal_round` — bit-stable
+    cross-engine.  One exchange on the group."""
+    # nulls LAST explicitly: Spark defaults nulls-first ascending,
+    # DuckDB nulls-last — nulls must not shift the non-null ranks
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_last()
+    )
+    wg = Window.partitionBy(group_col)
+    nn = F.count(value_col).over(wg)
+    pr = decimal_round(
+        (F.rank().over(w) - F.lit(1)).cast("double")
+        / (nn - F.lit(1)).cast("double"),
+        4,
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNotNull() & (nn > 1), pr),
+    )
+
+
 def feature_hash(
     df: DataFrame,
     cols: Sequence[str],

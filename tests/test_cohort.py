@@ -52,3 +52,24 @@ def test_funnel_order_and_ties(spark):
     row = funnel_counts(_ev(spark, rows)).collect()[0]
     assert (row["n_signup"], row["n_view"], row["n_click"],
             row["n_purchase"]) == (2, 2, 2, 1)
+
+
+def test_adoption_curve(spark):
+    import datetime as dt
+
+    from crgp_spark.operators.cohort import adoption_curve
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),                            # day 0: users 1, 2
+        (2, t0 + dt.timedelta(hours=5)),
+        (1, t0 + dt.timedelta(days=1)),     # day 1: no NEW users
+        (3, t0 + dt.timedelta(days=2)),     # day 2: user 3
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp_ntz")
+    got = sorted(
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in adoption_curve(ev).collect()
+    )
+    base = 19723
+    assert got == [(base, 2, 2), (base + 2, 1, 3)]

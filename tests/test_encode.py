@@ -70,3 +70,25 @@ def test_feature_hash_validation(spark):
         feature_hash(df, [])
     with pytest.raises(ValueError):
         feature_hash(df, ["rid"], dim=1)
+
+
+def test_rank_normalize(spark):
+    from crgp_spark.operators.encode import rank_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 20.0),
+            ("a", 3, 20.0),   # tie: shares rank 2 -> pr (2-1)/(4-1)
+            ("a", 4, 30.0),
+            ("a", 5, None),   # null: NULL pr, doesn't shift ranks
+            ("b", 6, 5.0),    # singleton -> NULL
+        ],
+        "g: string, rid: long, v: double",
+    )
+    got = {r["rid"]: r["pr"] for r in rank_normalize(df, "g", "v").collect()}
+    assert got[1] == 0.0
+    assert got[2] == got[3] == round(1 / 3, 4)
+    assert got[4] == 1.0
+    assert got[5] is None
+    assert got[6] is None
