@@ -2771,6 +2771,28 @@ def q_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adoption_curve(_events(spark, sf_dir))
 
 
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated dimension join (operators/temporal.py::
+    scd2_join): each sampled user's purchases joined to the
+    event_type version ACTIVE at purchase time (half-open intervals,
+    left join keeps pre-history facts visible) — the consumer side of
+    the scd2 entry."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.scd import scd2_history
+    from crgp_spark.operators.temporal import scd2_join
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 10 == 0)
+    dim = scd2_history(
+        ev, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_micros("ts").alias("us")
+    )
+    return scd2_join(facts, dim, "user_id", "us").select(
+        "event_id", "user_id", "us", "dim_event_type"
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3010,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shards": q_shards,
         "rank_norm": q_rank_norm,
         "adoption": q_adoption,
+        "scd2_join": q_scd2_join,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3867,6 +3890,34 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Effective-dated join (temporal.py::scd2_join): the scd2
+        # history CTEs + a half-open interval LEFT join
+        "scd2_join": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id % 10 = 0
+),
+chg AS (
+  SELECT * FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+h AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS vf,
+         LEAD(EPOCH_US(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg
+),
+facts AS (
+  SELECT event_id, user_id, EPOCH_US(ts) AS us FROM events
+  WHERE user_id % 10 = 0 AND event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.us, h.event_type AS dim_event_type
+FROM facts f LEFT JOIN h
+  ON h.user_id = f.user_id AND f.us >= h.vf
+ AND (h.vt IS NULL OR f.us < h.vt)""",
         # Percentile-rank normalization (encode.py::rank_normalize):
         # RANK ties, NULLS LAST pinned, FLOOR rounding idiom
         "rank_norm": """

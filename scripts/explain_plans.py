@@ -430,6 +430,18 @@ def main() -> None:
             rendezvous_assign(docs, "doc_id", 8),
     })
 
+    from crgp_spark.operators.cohort import adoption_curve
+    from crgp_spark.operators.encode import rank_normalize
+
+    sections.update({
+        "Rank normalization: one group exchange, rank + count "
+        "windows sharing the sort, single float division":
+            rank_normalize(events, "event_type", "value"),
+        "Adoption curve: two partial-agg groupBys + a day-grain "
+        "(metadata-sized) running-sum window":
+            adoption_curve(events),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
