@@ -2793,6 +2793,32 @@ def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery (operators/discovery.py): sketch 4 key
+    columns across 3 warehouse tables, rank all pairs by estimated
+    containment — the FK→PK pairs surface with containment ≈ 1; both
+    the exact (below-k) and estimator paths execute at the gate
+    scales."""
+    from crgp_spark.operators.discovery import (
+        column_sketches,
+        join_candidates,
+    )
+
+    sk = column_sketches(
+        {
+            "customer.c_custkey": (_tbl(spark, sf_dir, "customer"), "c_custkey"),
+            "orders.o_custkey": (_tbl(spark, sf_dir, "orders"), "o_custkey"),
+            "orders.o_orderkey": (_tbl(spark, sf_dir, "orders"), "o_orderkey"),
+            "lineitem.l_orderkey": (
+                _tbl(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+            ),
+        },
+        k=128,
+    )
+    return join_candidates(sk, k=128)
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3033,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_norm": q_rank_norm,
         "adoption": q_adoption,
         "scd2_join": q_scd2_join,
+        "join_discovery": q_join_discovery,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3890,6 +3917,67 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Join-key discovery (discovery.py): per-column KMV sketches,
+        # pairwise theta intersection, containment = est_common/est_a
+        # with every division/rounding mirroring the engine
+        "join_discovery": f"""
+WITH vals AS (
+  SELECT 'customer.c_custkey' AS cid,
+         MD5(CAST(c_custkey AS VARCHAR)) AS h FROM customer
+  UNION ALL
+  SELECT 'orders.o_custkey', MD5(CAST(o_custkey AS VARCHAR)) FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderkey', MD5(CAST(o_orderkey AS VARCHAR))
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', MD5(CAST(l_orderkey AS VARCHAR))
+  FROM lineitem
+),
+dh AS (SELECT DISTINCT cid, h FROM vals),
+r AS (
+  SELECT cid, h,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h) AS rk
+  FROM dh
+),
+sk AS (SELECT cid, h FROM r WHERE rk <= 128),
+kth AS (SELECT cid, COUNT(*) AS n, MAX(h) AS kmax FROM sk GROUP BY 1),
+e AS (
+  SELECT cid, CASE WHEN n >= 128 THEN kmax END AS kh,
+         CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+              ELSE FLOOR(127.0 / (CAST(({_hex15_num('kmax')}) AS DOUBLE)
+                   / 1152921504606846976.0) * 10000.0 + 0.5) / 10000.0
+         END AS est
+  FROM kth
+),
+p AS (
+  SELECT a.cid AS col_a, b.cid AS col_b, a.est AS est_a,
+         b.est AS est_b, LEAST(a.kh, b.kh) AS theta
+  FROM e a JOIN e b ON a.cid < b.cid
+),
+cm AS (
+  SELECT p.col_a, p.col_b,
+         COUNT(*) FILTER (WHERE p.theta IS NULL OR x.h < p.theta) AS nc
+  FROM p
+  JOIN sk x ON x.cid = p.col_a
+  JOIN sk y ON y.cid = p.col_b AND y.h = x.h
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT p.col_a, p.col_b, p.est_a, p.est_b,
+         CASE WHEN p.theta IS NULL
+              THEN CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+              ELSE FLOOR(CAST(COALESCE(cm.nc, 0) AS DOUBLE)
+                   / (CAST(({_hex15_num('p.theta')}) AS DOUBLE)
+                      / 1152921504606846976.0) * 10000.0 + 0.5) / 10000.0
+         END AS est_common
+  FROM p LEFT JOIN cm
+    ON cm.col_a = p.col_a AND cm.col_b = p.col_b
+)
+SELECT col_a, col_b, est_a, est_b, est_common,
+       CASE WHEN est_a > 0
+            THEN FLOOR(est_common / est_a * 10000.0 + 0.5) / 10000.0
+            ELSE 0.0 END AS containment
+FROM f""",
         # Effective-dated join (temporal.py::scd2_join): the scd2
         # history CTEs + a half-open interval LEFT join
         "scd2_join": """
