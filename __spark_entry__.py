@@ -2819,6 +2819,16 @@ def q_join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_candidates(sk, k=128)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/index.py::inverted_index):
+    per-token doc/occurrence counts + the capped head of each posting
+    list (lowest doc:pos, padded-key order) over the documents
+    table."""
+    from crgp_spark.operators.index import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), max_postings=16)
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3060,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoption": q_adoption,
         "scd2_join": q_scd2_join,
         "join_discovery": q_join_discovery,
+        "inverted_index": q_inverted_index,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3917,6 +3928,48 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Inverted index (index.py): enumerate the RAW split array
+        # (positions include empty slots, filtered after), padded-key
+        # postings head, STRING_AGG ORDER BY
+        "inverted_index": """
+WITH raw AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\W+') AS toks
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(LEN(toks)),
+                i -> toks[i + 1] || '@' || CAST(i AS VARCHAR))) AS e
+  FROM raw
+),
+tp AS (
+  SELECT doc_id,
+         STRING_SPLIT(e, '@')[1] AS token,
+         CAST(STRING_SPLIT(e, '@')[2] AS BIGINT) AS pos
+  FROM tk
+  WHERE STRING_SPLIT(e, '@')[1] <> ''
+),
+cnt AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_occ
+  FROM tp GROUP BY 1
+),
+keyed AS (
+  SELECT token,
+         LPAD(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+         LPAD(CAST(pos AS VARCHAR), 20, '0') AS e,
+         ROW_NUMBER() OVER
+           (PARTITION BY token
+            ORDER BY LPAD(CAST(doc_id AS VARCHAR), 20, '0') || ':' ||
+                     LPAD(CAST(pos AS VARCHAR), 20, '0')) AS rk
+  FROM tp
+),
+hd AS (
+  SELECT token, STRING_AGG(e, ',' ORDER BY e) AS postings
+  FROM keyed WHERE rk <= 16 GROUP BY 1
+)
+SELECT c.token, c.n_docs, c.n_occ, hd.postings
+FROM cnt c JOIN hd USING (token)""",
         # Join-key discovery (discovery.py): per-column KMV sketches,
         # pairwise theta intersection, containment = est_common/est_a
         # with every division/rounding mirroring the engine
