@@ -676,6 +676,46 @@ def main() -> None:
 
     docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("shards", lambda: rendezvous_assign(docs_tbl, "doc_id", 8).count())
+
+    from crgp_spark.operators.discovery import (
+        column_sketches,
+        join_candidates,
+    )
+    from crgp_spark.operators.index import inverted_index
+    from crgp_spark.operators.scd import scd2_history as _scd_hist
+    from crgp_spark.operators.temporal import scd2_join
+
+    def _scd2_join_cell():
+        from crgp_spark.functions import ts_micros
+
+        dim = _scd_hist(
+            events, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+        )
+        facts = events.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", ts_micros("ts").alias("us")
+        )
+        return scd2_join(facts, dim, "user_id", "us").count()
+
+    timed("scd2_join", _scd2_join_cell)
+    timed(
+        "join_discovery",
+        lambda: join_candidates(
+            column_sketches(
+                {
+                    "customer.c_custkey": (tbl["customer"], "c_custkey"),
+                    "orders.o_custkey": (tbl["orders"], "o_custkey"),
+                    "orders.o_orderkey": (tbl["orders"], "o_orderkey"),
+                    "lineitem.l_orderkey": (tbl["lineitem"], "l_orderkey"),
+                },
+                k=128,
+            ),
+            k=128,
+        ).count(),
+    )
+    timed(
+        "inverted_index",
+        lambda: inverted_index(docs_tbl, max_postings=16).count(),
+    )
     timed(
         "salted_join",
         lambda: salted_join(

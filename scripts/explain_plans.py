@@ -442,6 +442,39 @@ def main() -> None:
             adoption_curve(events),
     })
 
+    from crgp_spark.functions import ts_micros as _tsus
+    from crgp_spark.operators.discovery import (
+        column_sketches,
+        join_candidates,
+    )
+    from crgp_spark.operators.index import inverted_index
+    from crgp_spark.operators.scd import scd2_history as _scd_hist
+    from crgp_spark.operators.temporal import scd2_join
+
+    dim_hist = _scd_hist(
+        events, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+    )
+    facts_ev = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _tsus("ts").alias("us")
+    )
+    sections.update({
+        "Effective-dated SCD2 join: band predicate inside one "
+        "key-equi join, left join keeps pre-history facts":
+            scd2_join(facts_ev, dim_hist, "user_id", "us"),
+        "Join-key discovery: per-column WindowGroupLimit sketch "
+        "builds, then all pair math on a one-row-per-column table "
+        "(metadata-sized inequality join)": join_candidates(
+            column_sketches(
+                {"a.u": (events, "user_id"), "b.e": (events, "event_id")},
+                k=64,
+            ),
+            k=64,
+        ),
+        "Inverted index: scan-side tokenize+posexplode, partial-agg "
+        "counts, WindowGroupLimit postings cap, token-keyed join":
+            inverted_index(docs, max_postings=16),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
