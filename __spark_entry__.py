@@ -2829,6 +2829,18 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_docs(spark, sf_dir), max_postings=16)
 
 
+def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search (index.py::keyword_search): top-20
+    documents containing ALL of join/scan/merge, ranked by total term
+    frequency (integer scores; the (score desc, doc_id) total order
+    makes the LIMIT deterministic in both engines)."""
+    from crgp_spark.operators.index import keyword_search
+
+    return keyword_search(
+        _docs(spark, sf_dir), ["join", "scan", "merge"], top_k=20
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3071,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_join": q_scd2_join,
         "join_discovery": q_join_discovery,
         "inverted_index": q_inverted_index,
+        "search": q_search,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3928,6 +3941,25 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # Conjunctive search (index.py::keyword_search): one grouped
+        # conditional-count pass, HAVING-all filter, total-order LIMIT
+        "search": """
+WITH tk AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\W+')) AS token
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         SUM(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf0,
+         SUM(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS tf1,
+         SUM(CASE WHEN token = 'merge' THEN 1 ELSE 0 END) AS tf2
+  FROM tk WHERE token <> '' GROUP BY doc_id
+)
+SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS score
+FROM t WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 20""",
         # Inverted index (index.py): enumerate the RAW split array
         # (positions include empty slots, filtered after), padded-key
         # postings head, STRING_AGG ORDER BY

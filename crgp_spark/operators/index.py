@@ -61,3 +61,49 @@ def inverted_index(
         )
     )
     return counts.join(head, "token")
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Conjunctive (AND) keyword search with term-frequency ranking:
+    documents containing EVERY term, scored by total occurrences —
+    ``(doc_id, score)``, top ``top_k`` by (score desc, doc_id).
+
+    The query-side twin of `inverted_index`: per-doc term counts are
+    one conditional-count aggregate per term inside ONE
+    groupBy(doc) — no per-term joins, no index lookup round-trips —
+    then a ``HAVING every tf > 0`` filter and a TakeOrderedAndProject
+    top-k.  Integer scores keep both engines bit-identical (no IDF
+    logs — engines' ``log`` ULPs differ; BM25 would go behind a
+    rows-only gate)."""
+    if not terms:
+        raise ValueError("need at least one search term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("duplicate search terms")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("token"),
+    ).where(F.col("token") != "")
+    aggs = [
+        F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.groupBy("doc").agg(*aggs)
+    cond = F.lit(True)
+    for i in range(len(terms)):
+        cond = cond & (F.col(f"_tf{i}") > 0)
+    score = sum(
+        (F.col(f"_tf{i}") for i in range(1, len(terms))),
+        F.col("_tf0"),
+    )
+    return (
+        per_doc.where(cond)
+        .select(F.col("doc").alias(id_col), score.cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -47,3 +47,34 @@ def test_postings_cap(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         inverted_index(_docs(spark), max_postings=0)
+
+
+def test_keyword_search(spark):
+    from crgp_spark.operators.index import keyword_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat hat cat"),       # cat:2 hat:1 -> score 3
+            (2, "cat hat cat hat"),   # 2+2 -> 4
+            (3, "cat only here"),     # missing hat -> excluded
+            (4, "hat hat hat"),       # missing cat -> excluded
+        ],
+        "doc_id: long, text: string",
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in keyword_search(docs, ["cat", "hat"]).collect()
+    ]
+    assert got == [(2, 4), (1, 3)]
+
+
+def test_keyword_search_validation(spark):
+    import pytest as _pytest
+
+    from crgp_spark.operators.index import keyword_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError):
+        keyword_search(docs, [])
+    with _pytest.raises(ValueError):
+        keyword_search(docs, ["a", "a"])
