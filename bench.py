@@ -716,6 +716,15 @@ def main() -> None:
         "inverted_index",
         lambda: inverted_index(docs_tbl, max_postings=16).count(),
     )
+
+    from crgp_spark.operators.index import keyword_search
+
+    timed(
+        "search",
+        lambda: keyword_search(
+            docs_tbl, ["join", "scan", "merge"], top_k=20
+        ).count(),
+    )
     timed(
         "salted_join",
         lambda: salted_join(

@@ -475,6 +475,15 @@ def main() -> None:
             inverted_index(docs, max_postings=16),
     })
 
+    from crgp_spark.operators.index import keyword_search
+
+    sections.update({
+        "Conjunctive search: one groupBy(doc) of conditional counts "
+        "(no per-term joins), HAVING-all filter, "
+        "TakeOrderedAndProject":
+            keyword_search(docs, ["join", "scan", "merge"], top_k=20),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
