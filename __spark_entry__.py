@@ -2841,6 +2841,16 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (operators/experiment.py::
+    cuped_summary): arms = user_id % 2, covariate = pre-Jan-4 value
+    cents, metric = post-period value cents; integer sums everywhere,
+    float math only on single-row aggregates in pinned order."""
+    from crgp_spark.operators.experiment import cuped_summary
+
+    return cuped_summary(_events(spark, sf_dir), split_day=19726)
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3084,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_discovery": q_join_discovery,
         "inverted_index": q_inverted_index,
         "search": q_search,
+        "cuped": q_cuped,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3941,6 +3952,55 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # CUPED readout (experiment.py): integer cents sums, theta and
+        # means from single-row aggregates in the engine's exact
+        # expression order, BIGINT casts keep the overflow envelope
+        # identical across engines
+        "cuped": """
+WITH b AS (
+  SELECT user_id AS u, EPOCH_US(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+pu AS (
+  SELECT u,
+         CAST(SUM(CASE WHEN day < 19726 THEN c ELSE 0 END) AS BIGINT)
+           AS x,
+         CAST(SUM(CASE WHEN day >= 19726 THEN c ELSE 0 END) AS BIGINT)
+           AS y
+  FROM b GROUP BY u
+),
+g AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pu
+),
+t AS (
+  SELECT CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+              ELSE 0.0 END AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM g
+),
+a AS (
+  SELECT CAST(u % 2 AS INT) AS arm, COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a
+  FROM pu GROUP BY 1
+)
+SELECT arm, n_users,
+       FLOOR(CAST(sy_a AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS mean_post,
+       FLOOR((CAST(sy_a AS DOUBLE) - t.theta *
+              (CAST(sx_a AS DOUBLE)
+               - CAST(n_users AS DOUBLE) * t.mean_x))
+             / (100.0 * CAST(n_users AS DOUBLE)) * 10000.0 + 0.5)
+             / 10000.0 AS mean_adj,
+       FLOOR(t.theta * 10000.0 + 0.5) / 10000.0 AS theta
+FROM a, t
+ORDER BY arm""",
         # Conjunctive search (index.py::keyword_search): one grouped
         # conditional-count pass, HAVING-all filter, total-order LIMIT
         "search": """
