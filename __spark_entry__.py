@@ -2851,6 +2851,15 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_summary(_events(spark, sf_dir), split_day=19726)
 
 
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (experiment.py::srm_check): unit
+    counts per arm + chi-square statistic vs equal split (2 arms: the
+    two-term float sum is commutative, so row order can't matter)."""
+    from crgp_spark.operators.experiment import srm_check
+
+    return srm_check(_events(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3095,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "search": q_search,
         "cuped": q_cuped,
+        "srm": q_srm,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3952,6 +3962,27 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # SRM check (experiment.py::srm_check): distinct units per
+        # arm, chi2 over the 2-row aggregate (commutative 2-term sum)
+        "srm": """
+WITH u AS (SELECT DISTINCT user_id AS u FROM events),
+a AS (
+  SELECT CAST(u % 2 AS INT) AS arm, COUNT(*) AS n_units
+  FROM u GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_units) AS BIGINT) AS n_total FROM a),
+j AS (
+  SELECT a.arm, a.n_units, t.n_total,
+         CAST(t.n_total AS DOUBLE) / 2.0 AS exp_d,
+         CAST(a.n_units AS DOUBLE)
+           - CAST(t.n_total AS DOUBLE) / 2.0 AS dev
+  FROM a, t
+)
+SELECT arm, n_units, n_total,
+       FLOOR(exp_d * 10000.0 + 0.5) / 10000.0 AS expected,
+       FLOOR(SUM(dev * dev / exp_d) OVER () * 10000.0 + 0.5) / 10000.0
+         AS chi2
+FROM j ORDER BY arm""",
         # CUPED readout (experiment.py): integer cents sums, theta and
         # means from single-row aggregates in the engine's exact
         # expression order, BIGINT casts keep the overflow envelope

@@ -27,12 +27,52 @@ broadcast cross-join (the Q11 idiom) to fold theta in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crgp_spark.functions import decimal_round
 
 _DAY_US = 86_400_000_000
+
+
+def srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Sample-ratio-mismatch health check: per arm, the distinct-unit
+    count plus the chi-square statistic against equal allocation —
+    ``(arm, n_units, n_total, expected, chi2)`` (``chi2`` identical
+    on every row; compare against the chi-square critical value for
+    ``n_arms - 1`` dof downstream — the statistic itself is the
+    engine-exact part, p-values need ``log``/``gamma`` that engines
+    disagree on).  Integer counts, float math on the ``n_arms``-row
+    aggregate only."""
+    if n_arms < 2:
+        raise ValueError("n_arms must be >= 2")
+    units = events.select(F.col(user_col).alias("u")).distinct()
+    arms = units.groupBy(
+        F.pmod(F.col("u"), F.lit(n_arms)).cast("int").alias("arm")
+    ).agg(F.count(F.lit(1)).alias("n_units"))
+    tot = arms.agg(F.sum("n_units").alias("n_total"))
+    j = arms.join(F.broadcast(tot))
+    expected = F.col("n_total").cast("double") / F.lit(float(n_arms))
+    dev = F.col("n_units").cast("double") - expected
+    chi2_term = dev * dev / expected
+    # chi2 = sum of terms over ALL arms: n_arms rows — a metadata-sized
+    # unpartitioned window is fine here
+    chi2 = F.sum(chi2_term).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return j.select(
+        "arm",
+        "n_units",
+        "n_total",
+        decimal_round(expected, 4).alias("expected"),
+        decimal_round(chi2, 4).alias("chi2"),
+    ).orderBy("arm")
 
 
 def cuped_summary(

@@ -86,3 +86,35 @@ def test_variance_reduction_preserves_overall_mean_direction(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         cuped_summary(_events(spark, [(1, 0, 1.0)]), _SPLIT, n_arms=1)
+
+
+def test_srm_check(spark):
+    from crgp_spark.operators.experiment import srm_check
+
+    # 12 even users, 4 odd users: blatant SRM
+    rows = [(2 * u, 0, 1.0) for u in range(12)] + [
+        (2 * u + 1, 0, 1.0) for u in range(4)
+    ]
+    got = {
+        r["arm"]: r for r in srm_check(_events(spark, rows)).collect()
+    }
+    assert got[0]["n_units"] == 12 and got[1]["n_units"] == 4
+    assert got[0]["n_total"] == 16
+    assert got[0]["expected"] == 8.0
+    # chi2 = (12-8)^2/8 + (4-8)^2/8 = 4.0, identical on both rows
+    assert got[0]["chi2"] == got[1]["chi2"] == 4.0
+
+
+def test_srm_balanced_near_zero(spark):
+    from crgp_spark.operators.experiment import srm_check
+
+    rows = [(u, 0, 1.0) for u in range(40)]
+    got = srm_check(_events(spark, rows)).collect()
+    assert all(r["chi2"] == 0.0 for r in got)
+
+
+def test_srm_validation(spark):
+    from crgp_spark.operators.experiment import srm_check
+
+    with pytest.raises(ValueError):
+        srm_check(_events(spark, [(1, 0, 1.0)]), n_arms=1)
