@@ -725,6 +725,11 @@ def main() -> None:
             docs_tbl, ["join", "scan", "merge"], top_k=20
         ).count(),
     )
+
+    from crgp_spark.operators.experiment import cuped_summary, srm_check
+
+    timed("cuped", lambda: cuped_summary(events, split_day=19726).count())
+    timed("srm", lambda: srm_check(events).count())
     timed(
         "salted_join",
         lambda: salted_join(

@@ -484,6 +484,16 @@ def main() -> None:
             keyword_search(docs, ["join", "scan", "merge"], top_k=20),
     })
 
+    from crgp_spark.operators.experiment import cuped_summary, srm_check
+
+    sections.update({
+        "CUPED readout: one groupBy(user) of integer conditional "
+        "sums, 2-row arm rollup x 1-row broadcast theta (Q11 idiom)":
+            cuped_summary(events, split_day=19726),
+        "SRM check: distinct units, arm counts, metadata-sized "
+        "chi-square window": srm_check(events),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
