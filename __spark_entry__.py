@@ -2860,6 +2860,38 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_check(_events(spark, sf_dir))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (sources/snapshot.py::SnapshotTable.merge_upsert):
+    copy-on-write upsert into a snapshot table — every 7th customer's
+    segment rewritten, every 11th re-keyed high as an insert — then a
+    per-segment rollup of the HEAD read; the oracle computes the
+    merged state analytically from the same modular rules."""
+    import shutil
+
+    from crgp_spark.sources.snapshot import SnapshotTable, read_table
+
+    work = "/tmp/crgp_merge_dim"
+    shutil.rmtree(work, ignore_errors=True)
+    cust = _tbl(spark, sf_dir, "customer")
+    t = SnapshotTable(work)
+    t.overwrite(cust)
+    key = F.col("c_custkey")
+    updates = cust.where(key % 7 == 0).withColumn(
+        "c_mktsegment", F.lit("MERGED")
+    )
+    inserts = cust.where(key % 11 == 0).withColumn(
+        "c_custkey", key + F.lit(1_000_000_000)
+    )
+    t.merge_upsert(spark, updates.unionByName(inserts), ["c_custkey"])
+    merged = read_table(spark, t.path)
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("bal_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3105,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search": q_search,
         "cuped": q_cuped,
         "srm": q_srm,
+        "merge_upsert": q_merge_upsert,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
         "transitions": q_transitions,
@@ -3962,6 +3995,22 @@ SELECT event_type, q, n_total,
        CASE WHEN bucket < 8
             THEN (SELECT b FROM bs)[bucket + 1] END AS est
 FROM hit""",
+        # MERGE INTO (snapshot.py::merge_upsert): merged state derived
+        # analytically from the same modular evolution rules
+        "merge_upsert": """
+WITH merged AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN 'MERGED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_mktsegment, c_acctbal FROM customer
+  WHERE c_custkey % 11 = 0
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM merged GROUP BY 1 ORDER BY 1""",
         # SRM check (experiment.py::srm_check): distinct units per
         # arm, chi2 over the 2-row aggregate (commutative 2-term sum)
         "srm": """

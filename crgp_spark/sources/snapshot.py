@@ -122,6 +122,32 @@ class SnapshotTable:
         for older snapshots — Iceberg overwrite semantics)."""
         return self._commit(df, "overwrite")
 
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+    ) -> int:
+        """The MERGE INTO verb (``WHEN MATCHED THEN UPDATE, WHEN NOT
+        MATCHED THEN INSERT``): new snapshot = ``updates`` plus every
+        current row whose key is absent from ``updates`` (left-anti
+        join on the keys).  Committed as an overwrite snapshot, so
+        every earlier version stays time-travel readable — copy-on-
+        write MERGE, the Iceberg v1 semantics.  Keys must be unique
+        within ``updates`` (dimension contract)."""
+        if not key_cols:
+            raise ValueError("need at least one key column")
+        current = self.read(spark)
+        missing = [c for c in key_cols if c not in current.columns]
+        if missing or sorted(current.columns) != sorted(updates.columns):
+            raise ValueError(
+                f"schema mismatch: table={current.columns} "
+                f"updates={updates.columns} missing_keys={missing}"
+            )
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        return self._commit(
+            kept.unionByName(updates), "merge_upsert_overwrite"
+        )
+
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """The table as of snapshot ``as_of`` (default: HEAD) — the

@@ -73,3 +73,35 @@ def test_empty_table_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="empty"):
         read_table(spark, str(tmp_path / "nope"))
+
+
+def test_merge_upsert(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: long, v: string"
+    )
+    t.overwrite(base)
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k: long, v: string"
+    )
+    sid = t.merge_upsert(spark, updates, ["k"])
+    got = {
+        r["k"]: r["v"] for r in read_table(spark, t.path).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}  # update + insert
+    # time travel: the pre-merge version is intact
+    pre = {r["k"]: r["v"] for r in read_table(spark, t.path, as_of=sid - 1).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+    # a second merge composes
+    t.merge_upsert(
+        spark, spark.createDataFrame([(1, "A")], "k: long, v: string"), ["k"]
+    )
+    assert read_table(spark, t.path).where(F.col("k") == 1).collect()[0]["v"] == "A"
+    # schema mismatch and empty keys refused
+    with pytest.raises(ValueError):
+        t.merge_upsert(spark, updates.select("k"), ["k"])
+    with pytest.raises(ValueError):
+        t.merge_upsert(spark, updates, [])
