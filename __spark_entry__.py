@@ -3055,7 +3055,89 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is a rotation policy, not alphabetical: the driver's
+    # correctness gate executes the FIRST 50 entries of this dict, so each
+    # round the entries without an official CORRECTNESS_r*.json row yet are
+    # moved to the front (round 4: the 76 entries never gated in r01-r03,
+    # plus this round's new operators). Previously-gated entries follow.
+    # scripts/check_entry.py still runs the full surface locally.
     return {
+        "betweenness": q_betweenness,
+        "virality": q_virality,
+        "latency": q_latency,
+        "matching": q_matching,
+        "kmv": q_kmv,
+        "kmv_rollup": q_kmv_rollup,
+        "bloom_join": q_bloom_join,
+        "scd2": q_scd2,
+        "profile": q_profile,
+        "quality_checks": q_quality_checks,
+        "attribution": q_attribution,
+        "hist_quantiles": q_hist_quantiles,
+        "stream_scd2": q_stream_scd2,
+        "streaks": q_streaks,
+        "salted_join": q_salted_join,
+        "kmv_overlap": q_kmv_overlap,
+        "target_encode": q_target_encode,
+        "feature_hash": q_feature_hash,
+        "golden": q_golden,
+        "table_diff": q_table_diff,
+        "anomaly": q_anomaly,
+        "compaction": q_compaction,
+        "shards": q_shards,
+        "rank_norm": q_rank_norm,
+        "adoption": q_adoption,
+        "scd2_join": q_scd2_join,
+        "join_discovery": q_join_discovery,
+        "inverted_index": q_inverted_index,
+        "search": q_search,
+        "cuped": q_cuped,
+        "srm": q_srm,
+        "merge_upsert": q_merge_upsert,
+        "zorder": q_zorder,
+        "fuzzy": q_fuzzy,
+        "transitions": q_transitions,
+        "mixture": q_mixture,
+        "coarsen": q_coarsen,
+        "setsim": q_setsim,
+        "chunks": q_chunks,
+        "collocations": q_collocations,
+        "knn_sq8": q_knn_sq8,
+        "knn_pq": q_knn_pq,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_dedup": q_simhash_dedup,
+        "tpch_exists": q_tpch_exists,
+        "tpch_notexists": q_tpch_notexists,
+        "tpch_suppcnt": q_tpch_suppcnt,
+        "tpch_scalar": q_tpch_scalar,
+        "tpch_corrmin": q_tpch_corrmin,
+        "tpch_forecast": q_tpch_forecast,
+        "tpch_volume": q_tpch_volume,
+        "tpch_share": q_tpch_share,
+        "tpch_returned": q_tpch_returned,
+        "tpch_bigorders": q_tpch_bigorders,
+        "tpch_disjunct": q_tpch_disjunct,
+        "tpch_topsupp": q_tpch_topsupp,
+        "tpch_prospects": q_tpch_prospects,
+        "tpch_shipmode": q_tpch_shipmode,
+        "tpch_profit": q_tpch_profit,
+        "tpch_dominant": q_tpch_dominant,
+        "pii_redact": q_pii_redact,
+        "walks": q_walks,
+        "stream_sessions": q_stream_sessions,
+        "harmonic": q_harmonic,
+        "harmonic_cascade": q_harmonic_cascade,
+        "eccentricity": q_eccentricity,
+        "featprop": q_featprop,
+        "mis": q_mis,
+        "seqpack": q_seqpack,
+        "kmeans": q_kmeans,
+        "neighbor_sample": q_neighbor_sample,
+        "cohort": q_cohort,
+        "funnel": q_funnel,
+        "pivot": q_pivot,
+        "cube": q_cube,
+        "rolling": q_rolling,
         "turns": q_turns,
         "activations": q_activations,
         "derive_edges": q_derive_edges,
@@ -3106,59 +3188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
-        "betweenness": q_betweenness,
-        "virality": q_virality,
-        "latency": q_latency,
-        "matching": q_matching,
-        "kmv": q_kmv,
-        "kmv_rollup": q_kmv_rollup,
-        "bloom_join": q_bloom_join,
-        "scd2": q_scd2,
-        "profile": q_profile,
-        "quality_checks": q_quality_checks,
-        "attribution": q_attribution,
-        "hist_quantiles": q_hist_quantiles,
-        "stream_scd2": q_stream_scd2,
-        "streaks": q_streaks,
-        "salted_join": q_salted_join,
-        "kmv_overlap": q_kmv_overlap,
-        "target_encode": q_target_encode,
-        "feature_hash": q_feature_hash,
-        "golden": q_golden,
-        "table_diff": q_table_diff,
-        "anomaly": q_anomaly,
-        "compaction": q_compaction,
-        "shards": q_shards,
-        "rank_norm": q_rank_norm,
-        "adoption": q_adoption,
-        "scd2_join": q_scd2_join,
-        "join_discovery": q_join_discovery,
-        "inverted_index": q_inverted_index,
-        "search": q_search,
-        "cuped": q_cuped,
-        "srm": q_srm,
-        "merge_upsert": q_merge_upsert,
-        "zorder": q_zorder,
-        "fuzzy": q_fuzzy,
-        "transitions": q_transitions,
-        "mixture": q_mixture,
-        "coarsen": q_coarsen,
-        "setsim": q_setsim,
-        "chunks": q_chunks,
-        "collocations": q_collocations,
         "multimodal_features": q_multimodal_features,
         "knn": q_knn,
-        "knn_sq8": q_knn_sq8,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
-        "knn_pq": q_knn_pq,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_json": q_events_json,
         "sessions": q_sessions,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_dedup": q_simhash_dedup,
         "tpch_pricing": q_tpch_pricing,
         "tpch_topk_orders": q_tpch_topk_orders,
         "tpch_region_revenue": q_tpch_region_revenue,
@@ -3168,38 +3206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_window": q_tpch_window,
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
-        "tpch_exists": q_tpch_exists,
-        "tpch_notexists": q_tpch_notexists,
-        "tpch_suppcnt": q_tpch_suppcnt,
-        "tpch_scalar": q_tpch_scalar,
-        "tpch_corrmin": q_tpch_corrmin,
-        "tpch_forecast": q_tpch_forecast,
-        "tpch_volume": q_tpch_volume,
-        "tpch_share": q_tpch_share,
-        "tpch_returned": q_tpch_returned,
-        "tpch_bigorders": q_tpch_bigorders,
-        "tpch_disjunct": q_tpch_disjunct,
-        "tpch_topsupp": q_tpch_topsupp,
-        "tpch_prospects": q_tpch_prospects,
-        "tpch_shipmode": q_tpch_shipmode,
-        "tpch_profit": q_tpch_profit,
-        "tpch_dominant": q_tpch_dominant,
-        "pii_redact": q_pii_redact,
-        "walks": q_walks,
-        "stream_sessions": q_stream_sessions,
-        "harmonic": q_harmonic,
-        "harmonic_cascade": q_harmonic_cascade,
-        "eccentricity": q_eccentricity,
-        "featprop": q_featprop,
-        "mis": q_mis,
-        "seqpack": q_seqpack,
-        "kmeans": q_kmeans,
-        "neighbor_sample": q_neighbor_sample,
-        "cohort": q_cohort,
-        "funnel": q_funnel,
-        "pivot": q_pivot,
-        "cube": q_cube,
-        "rolling": q_rolling,
     }
 
 

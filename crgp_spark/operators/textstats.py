@@ -158,24 +158,41 @@ def winnowing_fingerprints(
     Robustness property: any shared substring of length >= k+w-1 words
     yields at least one shared fingerprint. All array expressions (JVM
     codegen); the hash is the md5 hex string and selection is
-    lexicographic min, so the SQL oracle is bit-identical."""
+    lexicographic min, so the SQL oracle is bit-identical.
+
+    Shape note: the gram hashes are posexploded to rows and the window
+    minimum is a sliding ROWS frame partitioned by doc_id. Nesting the
+    gram array inside a second ``F.transform`` (the naive expression
+    form) re-evaluates the whole O(len) md5 array once PER outer window
+    element — quadratic md5 work that cost 100+ s at sf0.01; the
+    exploded form hashes each gram exactly once and is linear."""
     toks = tokens(normalize_text(F.col(text_col)))
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
     )
-    g = F.size(grams)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(g - w, F.lit(0))),
-            lambda j: F.array_min(F.slice(grams, j + 1, w)),
-        )
+    g = docs.where(n > 0).select(
+        "doc_id", F.posexplode(grams).alias("i", "gh")
     )
-    return docs.select(
-        "doc_id",
-        F.when(n == 0, F.array().cast("array<string>")).otherwise(fps).alias("_f"),
-    ).select("doc_id", F.explode("_f").alias("fp"))
+    # both frames share (partitionBy doc_id, orderBy i) => one WindowExec
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    tot = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            "doc_id",
+            "i",
+            F.min("gh").over(win).alias("fp"),
+            F.count(F.lit(1)).over(tot).alias("_n"),
+        )
+        # valid window starts: 0 .. max(n_grams - w, 0), matching the
+        # truncated final window of the array formulation
+        .where(F.col("i") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
 
 
 def ngram_topk(
