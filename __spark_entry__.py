@@ -122,6 +122,21 @@ def _edges_vid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events → directed actor-succession graph (transitions.py::
+# succession_graph): LEAD over the per-channel (ts, event_id) order,
+# consecutive distinct-actor pairs kept at weight >= 3
+_SQL_SUCCESSION = """
+g AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS weight FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events) s
+  WHERE dst IS NOT NULL AND src <> dst
+  GROUP BY src, dst HAVING COUNT(*) >= 3
+)"""
+
+
 def _graph_cfg() -> EngineConfig:
     return EngineConfig(
         shuffle_partitions=8,
@@ -1578,6 +1593,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_vid(spark, sf_dir)
     return connected_components(spark, e, _graph_cfg()).select("vid", "component")
+
+
+def q_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed actor-succession graph over the event log: who acted
+    immediately after whom on the same event_type channel, pairs kept at
+    weight >= 3 (operators/transitions.py::succession_graph) — the
+    cyclic directed input that q_scc labels."""
+    from crgp_spark.operators.transitions import succession_graph
+
+    return succession_graph(_events(spark, sf_dir), min_weight=3)
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the actor-succession graph
+    (operators/scc.py: trim + forward coloring + backward sweep; oracle
+    closes reachability with a recursive CTE and intersects mutual
+    pairs). At sf0.01 the graph has a 65-SCC, a 3-SCC and 77 singleton
+    components — non-trivial in both directions."""
+    from crgp_spark.operators.scc import strongly_connected_components
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=3)
+    return strongly_connected_components(
+        spark, g, _graph_cfg(), algo_name="scc_entry"
+    ).select("vid", "scc")
 
 
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3062,6 +3102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # plus this round's new operators). Previously-gated entries follow.
     # scripts/check_entry.py still runs the full surface locally.
     return {
+        # --- new in round 4 (never gated) ---
+        "succession": q_succession,
+        "scc": q_scc,
+        # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
         "latency": q_latency,
@@ -3391,6 +3435,29 @@ ranked AS (
 SELECT doc_id, CAST(rk AS INT) AS rk, term, CAST(tf AS INT) AS tf,
        CAST(df AS INT) AS df, FLOOR(raw * 1000000.0 + 0.5) / 1000000.0 AS tfidf
 FROM ranked WHERE rk <= 5""",
+        # directed actor-succession graph: LEAD over the per-channel
+        # deterministic order, pairs kept at weight >= 3
+        "succession": f"WITH {_SQL_SUCCESSION}\n"
+        "SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM g",
+        # SCC label = min over the mutual-reachability closure: reach is
+        # a recursive CTE (set-semantics UNION terminates on cycles);
+        # u ~ v iff reach(u,v) AND reach(v,u). MATERIALIZED: the CLAUDE.md
+        # CTE rule — g/verts are referenced repeatedly by the recursion.
+        "scc": f"""WITH RECURSIVE {_SQL_SUCCESSION},
+verts AS MATERIALIZED (SELECT src AS v FROM g UNION SELECT dst FROM g),
+reach AS (
+  SELECT src AS a, dst AS b FROM g
+  UNION
+  SELECT r.a, g.dst AS b FROM reach r JOIN g ON g.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.v AS vid,
+       CAST(LEAST(v.v, COALESCE(MIN(m.b), v.v)) AS BIGINT) AS scc
+FROM verts v LEFT JOIN mutual m ON m.a = v.v
+GROUP BY v.v""",
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

@@ -319,6 +319,20 @@ def main() -> None:
     )
     timed("triangles", lambda: triangles(spark, e2)[0])
 
+    # SCC on the cyclic actor-succession graph (min_weight=2 at sf0.1:
+    # ~1.4k vertices, one 420-SCC + a 6-SCC + singleton tail — trim,
+    # coloring and backward sweep all exercised)
+    from crgp_spark.operators.scc import strongly_connected_components
+    from crgp_spark.operators.transitions import succession_graph
+
+    timed(
+        "scc",
+        lambda: strongly_connected_components(
+            spark, succession_graph(events, min_weight=2), cfg,
+            algo_name="scc_bench",
+        ).count(),
+    )
+
     # cascade-local variants (same results, in-block kernels; share the
     # cascade pack built above)
     from crgp_spark.operators.cascade_algos import (

@@ -84,3 +84,35 @@ def mixture_manifest(
             F.col("_mn").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("sample_rate"),
     )
+
+
+def succession_graph(
+    events: DataFrame,
+    min_weight: int = 3,
+    channel_col: str = "event_type",
+    actor_col: str = "user_id",
+) -> DataFrame:
+    """Directed actor-succession graph: edge ``src -> dst`` when actor
+    ``dst`` acted immediately after ``src`` within the same channel
+    (``channel_col`` stream ordered by the engine-wide deterministic
+    ``(ts, event_id)`` order), kept when the pair recurred at least
+    ``min_weight`` times. The natural cyclic directed graph of an event
+    log — the input shape for ``operators/scc.py`` (influence edges are
+    acyclic by construction, reference ``reconstruct.rs:37-134``; "who
+    follows whom on a channel" is not).
+
+    Plan: one window shuffled on the channel (bounded cardinality —
+    channels, not users, so no single-partition collapse on real logs)
+    + one map-side-combinable pair count. Returns ``(src, dst, weight)``.
+    """
+    w = Window.partitionBy(channel_col).orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col(actor_col).alias("src"),
+            F.lead(actor_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

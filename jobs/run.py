@@ -17,6 +17,7 @@ Subcommands per --algo:
   pagerank    CSR-kernel PageRank (delta checkpoints, lineage, resume)
   pagerank_df pure-DataFrame PageRank (JVM-only baseline)
   components  small-star/large-star connected components
+  scc         strongly connected components (trim + FW-BW coloring)
   labelprop   synchronous label propagation
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
@@ -218,6 +219,17 @@ def main() -> None:
         n_edges = edges.count()
         t0 = time.time()
         n = connected_components(spark, edges, cfg, resume=args.resume).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices_labeled=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "scc":
+        from crgp_spark.operators.scc import strongly_connected_components
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = strongly_connected_components(spark, edges, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_labeled=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))

@@ -136,3 +136,62 @@ def random_edges(
         dst = rng.integers(0, n_vertices, n_edges).astype(np.int64)
     df = pd.DataFrame({"src": src * 7919 + 13, "dst": dst * 7919 + 13})
     return df[df["src"] != df["dst"]].drop_duplicates().reset_index(drop=True)
+
+
+def scc_oracle(edges: pd.DataFrame) -> dict[int, int]:
+    """Iterative Tarjan; label = min vertex id of the SCC. Vertex
+    universe = edge endpoints (matches strongly_connected_components)."""
+    from collections import defaultdict
+
+    g: dict[int, list[int]] = defaultdict(list)
+    verts: set[int] = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        s, d = int(s), int(d)
+        verts.add(s)
+        verts.add(d)
+        if s != d:
+            g[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstk: set[int] = set()
+    stk: list[int] = []
+    label: dict[int, int] = {}
+    cnt = 0
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, i = work.pop()
+            if i == 0:
+                index[v] = low[v] = cnt
+                cnt += 1
+                stk.append(v)
+                onstk.add(v)
+            descended = False
+            for j in range(i, len(g[v])):
+                w = g[v][j]
+                if w not in index:
+                    work.append((v, j + 1))
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return label
