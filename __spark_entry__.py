@@ -1620,6 +1620,19 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vid", "scc")
 
 
+def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model inference over the event log: hashed
+    features -> seed-derived fixed-point linear model inside
+    mapInPandas (operators/inference.py). The stand-in for 'score every
+    record with a quality classifier' with an exactly-reconstructable
+    model."""
+    from crgp_spark.operators.inference import batch_inference
+
+    return batch_inference(
+        _events(spark, sf_dir), ["event_type", "user_id"], id_col="event_id"
+    )
+
+
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_vid(spark, sf_dir)
     res = label_propagation(spark, e, _graph_cfg(), fixed_iterations=2)
@@ -3105,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never gated) ---
         "succession": q_succession,
         "scc": q_scc,
+        "inference": q_inference,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -4475,6 +4489,42 @@ SELECT event_id,
        [CASE WHEN n0 % 128 >= 64 THEN -1 ELSE 1 END,
         CASE WHEN n1 % 128 >= 64 THEN -1 ELSE 1 END] AS fh_sign
 FROM n""",
+        # Batched inference (operators/inference.py): hashed features ->
+        # seed-derived integer weights -> integer logit -> fast sigmoid
+        # (one IEEE division of integers; no libm exp cross-engine risk)
+        "inference": f"""
+WITH wh AS MATERIALIZED (
+  SELECT i, MD5('w:7:' || CAST(i AS VARCHAR)) AS hw FROM RANGE(64) r(i)
+),
+w AS MATERIALIZED (
+  SELECT i, CAST(({_hex15_num('hw')}) % 255 AS BIGINT) - 127 AS wt FROM wh
+),
+h AS (
+  SELECT event_id,
+         MD5('0:event_type=' ||
+             COALESCE(CAST(event_type AS VARCHAR), CHR(0) || 'NULL'))
+           AS h0,
+         MD5('1:user_id=' ||
+             COALESCE(CAST(user_id AS VARCHAR), CHR(0) || 'NULL'))
+           AS h1
+  FROM events
+),
+n AS (
+  SELECT event_id,
+         CAST(({_hex15_num('h0')}) AS BIGINT) AS n0,
+         CAST(({_hex15_num('h1')}) AS BIGINT) AS n1
+  FROM h
+),
+z AS (
+  SELECT event_id,
+         (CASE WHEN n0 % 128 >= 64 THEN -1 ELSE 1 END) * w0.wt
+         + (CASE WHEN n1 % 128 >= 64 THEN -1 ELSE 1 END) * w1.wt AS z
+  FROM n JOIN w w0 ON w0.i = n0 % 64 JOIN w w1 ON w1.i = n1 % 64
+)
+SELECT event_id, CAST(z AS BIGINT) AS logit,
+       0.5 + CAST(z AS DOUBLE) / (2 * (1 + ABS(CAST(z AS DOUBLE)))) AS score,
+       z >= 0 AS label
+FROM z""",
         # Theta-sketch intersection (sketch.py::kmv_intersect):
         # theta = LEAST of the sides' k-th hashes (both engines skip
         # NULLs in LEAST), common-below-theta counted via a hash

@@ -512,6 +512,15 @@ def main() -> None:
     )
     timed("quality_score", lambda: quality_score(docs).count())
 
+    from crgp_spark.operators.inference import batch_inference
+
+    timed(
+        "inference",
+        lambda: batch_inference(
+            events, ["event_type", "user_id"], id_col="event_id"
+        ).count(),
+    )
+
     from crgp_spark.operators.curation import redact_pii
     from crgp_spark.operators.seqpack import sequence_pack
 
