@@ -1569,6 +1569,17 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_quantiles(_events(spark, sf_dir))
 
 
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile under contract test: the sketch's documented
+    rank-error bound (eps = 1/accuracy) is VERIFIED per (key, pct)
+    against exact ranks and returned as booleans the oracle pins to
+    TRUE — the 100 TB drop-in tested, not asserted
+    (operators/quantiles.py::value_quantiles_approx)."""
+    from crgp_spark.operators.quantiles import value_quantiles_approx
+
+    return value_quantiles_approx(_events(spark, sf_dir))
+
+
 def q_top_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edge_turns(spark, sf_dir)
     deg = e.groupBy("conv_id", "src_turn", "src_participant").agg(
@@ -3119,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "succession": q_succession,
         "scc": q_scc,
         "inference": q_inference,
+        "quantiles_approx": q_quantiles_approx,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -3292,6 +3304,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # exact percentiles: Spark `percentile` and DuckDB quantile_cont
         # share the linear-interpolation definition — no rounding needed
+        # the contract is the Spark side's job: the oracle pins every
+        # (key, pct) to within_bound = TRUE and the exact group sizes
+        "quantiles_approx": (
+            "SELECT event_type, pct, COUNT(value) AS n,\n"
+            "       TRUE AS within_bound\n"
+            "FROM events, (SELECT UNNEST(CAST([0.25, 0.5, 0.75, 0.9, 0.99]"
+            " AS DOUBLE[])) AS pct) p\n"
+            "GROUP BY event_type, pct"
+        ),
         "quantiles": (
             "SELECT event_type, COUNT(*) AS n,\n"
             "  QUANTILE_CONT(value, 0.25) AS p25,\n"

@@ -41,3 +41,59 @@ def value_quantiles(
     return events.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"), *cols
     )
+
+
+def value_quantiles_approx(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    pcts: list[float] = PCTS,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """The 100 TB drop-in, under contract test (VERDICT r3 #4): per
+    ``key`` and percentile ``p``, run ``F.approx_percentile`` (mergeable
+    bounded-memory sketch, documented rank error eps = 1/accuracy) and
+    VERIFY the bound against the group's exact ranks — returns
+    ``(key, pct, n, within_bound)`` where ``within_bound`` is true iff
+    the returned value's exact rank interval ``[#(< v)+1, #(<= v)]``
+    intersects ``[p*n - eps*n - 1, p*n + eps*n + 1]`` (one rank of
+    definitional slack for the open/closed boundary conventions).
+
+    Plan: one groupBy sketch pass, then the (|keys| x |pcts|)-row
+    result is broadcast back over the events scan for the exact rank
+    counts — two scan-shaped passes, no sort, no value multiset held
+    per group (that is the point vs the exact operator above)."""
+    arr = F.array(*[F.lit(p) for p in pcts])
+    ap = events.groupBy(key).agg(
+        F.approx_percentile(value, arr, F.lit(accuracy)).alias("_av"),
+        F.count(value).alias("n"),
+    )
+    pairs = ap.select(
+        key,
+        "n",
+        F.posexplode(F.coalesce("_av", F.array(*[F.lit(None).cast("double")] * len(pcts)))).alias("_pi", "_v"),
+    ).select(key, "n", arr[F.col("_pi")].alias("pct"), "_v")
+    eps = 1.0 / accuracy
+    ranks = (
+        events.select(key, F.col(value).alias("_x"))
+        .join(F.broadcast(pairs), key)
+        .groupBy(key, "pct", "n")
+        .agg(
+            F.sum((F.col("_x") < F.col("_v")).cast("long")).alias("_lt"),
+            F.sum((F.col("_x") <= F.col("_v")).cast("long")).alias("_le"),
+        )
+    )
+    lo = F.col("pct") * F.col("n") - F.lit(eps) * F.col("n") - 1
+    hi = F.col("pct") * F.col("n") + F.lit(eps) * F.col("n") + 1
+    return ranks.select(
+        key,
+        "pct",
+        "n",
+        (
+            (F.col("n") == 0)
+            | (
+                (F.coalesce("_lt", F.lit(0)) + 1 <= hi)
+                & (F.coalesce("_le", F.lit(0)) >= lo)
+            )
+        ).alias("within_bound"),
+    )

@@ -38,3 +38,35 @@ def value_quantiles_row(spark, df):
     from crgp_spark.operators.quantiles import value_quantiles
 
     return value_quantiles(df).collect()[0]
+
+
+def test_approx_contract_holds(spark):
+    """approx_percentile must sit inside its documented rank-error band
+    even at coarse accuracy (eps = 1/20 = 5%), including duplicate-heavy
+    and NULL-bearing groups."""
+    import numpy as np
+
+    from crgp_spark.operators.quantiles import value_quantiles_approx
+
+    rng = np.random.default_rng(5)
+    rows = [("a", float(v)) for v in rng.normal(0, 100, 4000)]
+    rows += [("dups", float(v)) for v in rng.integers(0, 3, 2000)]
+    rows += [("withnull", None)] * 50
+    rows += [("withnull", float(v)) for v in rng.random(500)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = value_quantiles_approx(df, accuracy=20).collect()
+    assert len(out) == 3 * 5
+    assert all(r.within_bound for r in out)
+    ns = {r.event_type: r.n for r in out}
+    assert ns == {"a": 4000, "dups": 2000, "withnull": 500}
+
+
+def test_approx_contract_all_null_group_vacuous(spark):
+    from crgp_spark.operators.quantiles import value_quantiles_approx
+
+    df = spark.createDataFrame(
+        [("empty", None), ("empty", None)], "event_type string, value double"
+    )
+    out = value_quantiles_approx(df).collect()
+    assert len(out) == 5
+    assert all(r.n == 0 and r.within_bound for r in out)
