@@ -2956,6 +2956,81 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with the delete clause (snapshot.py::merge_upsert
+    delete_where): every 13th customer tombstoned (matched -> deleted),
+    every 7th-not-13th re-segmented, every 11th re-keyed high as an
+    insert, plus unmatched tombstones that must NOT be inserted; the
+    oracle rebuilds the merged state analytically from the same modular
+    rules."""
+    import shutil
+
+    from crgp_spark.sources.snapshot import SnapshotTable, read_table
+
+    work = "/tmp/crgp_merge_del"
+    shutil.rmtree(work, ignore_errors=True)
+    cust = _tbl(spark, sf_dir, "customer")
+    t = SnapshotTable(work)
+    t.overwrite(cust)
+    key = F.col("c_custkey")
+    updates = cust.where((key % 7 == 0) & (key % 13 != 0)).withColumn(
+        "c_mktsegment", F.lit("MERGED")
+    )
+    tombs = cust.where(key % 13 == 0).withColumn(
+        "c_mktsegment", F.lit("TOMBSTONE")
+    )
+    ghost_tombs = cust.where(key % 17 == 0).withColumn(
+        "c_custkey", key + F.lit(2_000_000_000)
+    ).withColumn("c_mktsegment", F.lit("TOMBSTONE"))
+    inserts = cust.where(key % 11 == 0).withColumn(
+        "c_custkey", key + F.lit(1_000_000_000)
+    )
+    t.merge_upsert(
+        spark,
+        updates.unionByName(tombs).unionByName(ghost_tombs).unionByName(inserts),
+        ["c_custkey"],
+        delete_where="c_mktsegment = 'TOMBSTONE'",
+    )
+    merged = read_table(spark, t.path)
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("bal_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse maintenance path end-to-end (VERDICT r3 #6/#7):
+    orders appended in 8 small slices (small-file litter), compacted
+    via SnapshotTable.rewrite_files (compaction_plan bins -> one data
+    dir), old snapshots GC'd via expire_snapshots(keep_last=2) — then
+    the HEAD read must still equal the original table (oracle: straight
+    rollup of orders). pytest covers file-count reduction and
+    time-travel/crash safety; this gates data fidelity."""
+    import shutil
+
+    from crgp_spark.sources.snapshot import SnapshotTable, read_table
+
+    work = "/tmp/crgp_maint"
+    shutil.rmtree(work, ignore_errors=True)
+    orders = _tbl(spark, sf_dir, "orders")
+    t = SnapshotTable(work)
+    key = F.col("o_orderkey")
+    for i in range(8):
+        slice_i = orders.where(key % 8 == i).repartition(4)
+        t.append(slice_i)
+    t.rewrite_files(spark, target_bytes=64 * 1024 * 1024)
+    t.expire_snapshots(keep_last=2)
+    head = read_table(spark, t.path)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        head.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("price_cents"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic maximal matching over the influence graph
     (operators/matching.py::maximal_matching, 4 local-min edge
@@ -3131,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "inference": q_inference,
         "quantiles_approx": q_quantiles_approx,
+        "merge_delete": q_merge_delete,
+        "table_maintenance": q_table_maintenance,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -4119,6 +4196,31 @@ SELECT c_mktsegment, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS bal_cents
 FROM merged GROUP BY 1 ORDER BY 1""",
+        # MERGE with delete clause: %13 keys deleted, %7-not-%13
+        # re-segmented, %11 re-keyed inserts keep their segment,
+        # unmatched tombstones never inserted
+        "merge_delete": """
+WITH merged AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 AND c_custkey % 13 <> 0 THEN 'MERGED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+  WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_mktsegment, c_acctbal FROM customer
+  WHERE c_custkey % 11 = 0
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS bal_cents
+FROM merged GROUP BY 1 ORDER BY 1""",
+        # after 8 append slices + rewrite_files + expire_snapshots the
+        # HEAD read must equal the original table exactly
+        "table_maintenance": """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM orders GROUP BY 1 ORDER BY 1""",
         # SRM check (experiment.py::srm_check): distinct units per
         # arm, chi2 over the 2-row aggregate (commutative 2-term sum)
         "srm": """

@@ -33,9 +33,11 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -83,21 +85,14 @@ class SnapshotTable:
         ]
 
     # -- write -------------------------------------------------------------
-    def _commit(self, df: DataFrame, operation: str) -> int:
-        head = self.head()
-        snap_id = 0 if head is None else head + 1
-        data_dir = os.path.join(self.path, "data", f"snap_{snap_id:08d}")
-        df.write.mode("overwrite").parquet(data_dir)
-
-        if operation == "append" and head is not None:
-            visible = list(self._read_manifest(head)["data_dirs"])
-        else:
-            visible = []
-        visible.append(data_dir)
-
+    def _commit_manifest(
+        self, snap_id: int, visible: list[str], operation: str
+    ) -> int:
+        """Manifest then HEAD, each tmp+rename — HEAD is the only
+        commit point (see module docstring)."""
         manifest = {
             "snapshot_id": snap_id,
-            "parent": head,
+            "parent": self.head(),
             "operation": operation,
             "data_dirs": visible,
             "created_ms": int(time.time() * 1000),
@@ -113,6 +108,19 @@ class SnapshotTable:
         os.replace(tmp, self._head_path())  # <- the commit
         return snap_id
 
+    def _commit(self, df: DataFrame, operation: str) -> int:
+        head = self.head()
+        snap_id = 0 if head is None else head + 1
+        data_dir = os.path.join(self.path, "data", f"snap_{snap_id:08d}")
+        df.write.mode("overwrite").parquet(data_dir)
+
+        if operation == "append" and head is not None:
+            visible = list(self._read_manifest(head)["data_dirs"])
+        else:
+            visible = []
+        visible.append(data_dir)
+        return self._commit_manifest(snap_id, visible, operation)
+
     def append(self, df: DataFrame) -> int:
         """New snapshot = parent's data + ``df``. Returns snapshot id."""
         return self._commit(df, "append")
@@ -123,15 +131,29 @@ class SnapshotTable:
         return self._commit(df, "overwrite")
 
     def merge_upsert(
-        self, spark: SparkSession, updates: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: list[str],
+        delete_where: str | Column | None = None,
     ) -> int:
-        """The MERGE INTO verb (``WHEN MATCHED THEN UPDATE, WHEN NOT
-        MATCHED THEN INSERT``): new snapshot = ``updates`` plus every
+        """The MERGE INTO verb: ``WHEN MATCHED THEN UPDATE, WHEN NOT
+        MATCHED THEN INSERT``, plus — when ``delete_where`` is given —
+        ``WHEN MATCHED AND <delete_where> THEN DELETE`` with the
+        NOT-MATCHED insert guarded by ``NOT <delete_where>`` (the CDC
+        tombstone-apply shape: a delete-marked row removes its target
+        row if present and is never inserted).  New snapshot = every
         current row whose key is absent from ``updates`` (left-anti
-        join on the keys).  Committed as an overwrite snapshot, so
-        every earlier version stays time-travel readable — copy-on-
-        write MERGE, the Iceberg v1 semantics.  Keys must be unique
-        within ``updates`` (dimension contract)."""
+        join on the keys) plus the non-tombstone updates.  Committed as
+        an overwrite snapshot, so every earlier version stays
+        time-travel readable — copy-on-write MERGE, the Iceberg v1
+        semantics.
+
+        Contract (enforced, ADVICE r3): keys must be unique and
+        non-NULL within ``updates`` — duplicate keys would write
+        duplicate rows, and NULL keys never match the anti-join, so
+        both fail loudly with ValueError instead of corrupting the
+        snapshot."""
         if not key_cols:
             raise ValueError("need at least one key column")
         current = self.read(spark)
@@ -141,12 +163,44 @@ class SnapshotTable:
                 f"schema mismatch: table={current.columns} "
                 f"updates={updates.columns} missing_keys={missing}"
             )
+        # one metadata-sized aggregate validates both contract clauses
+        chk = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in key_cols]).alias("nk"),
+            F.sum(
+                F.when(
+                    F.greatest(*[F.col(k).isNull() for k in key_cols])
+                    if len(key_cols) > 1
+                    else F.col(key_cols[0]).isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("nnull"),
+        ).first()
+        if chk["nnull"]:
+            raise ValueError(
+                f"merge_upsert: {chk['nnull']} update row(s) carry NULL "
+                f"in key columns {key_cols}"
+            )
+        if chk["nk"] != chk["n"]:
+            raise ValueError(
+                f"merge_upsert: keys not unique within updates "
+                f"({chk['n']} rows, {chk['nk']} distinct keys)"
+            )
         kept = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
-        return self._commit(
-            kept.unionByName(updates), "merge_upsert_overwrite"
-        )
+        if delete_where is not None:
+            cond = (
+                F.expr(delete_where)
+                if isinstance(delete_where, str)
+                else delete_where
+            )
+            live = updates.filter(~cond)
+            op = "merge_upsert_delete_overwrite"
+        else:
+            live = updates
+            op = "merge_upsert_overwrite"
+        return self._commit(kept.unionByName(live), op)
 
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
@@ -162,6 +216,98 @@ class SnapshotTable:
             )
         dirs = self._read_manifest(snap_id)["data_dirs"]
         return spark.read.parquet(*dirs)
+
+    # -- maintenance ---------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Snapshot GC (VERDICT r3 #7): expire every snapshot older than
+        the last ``keep_last``, then remove data directories no retained
+        manifest references.  Deletion order is the Iceberg one —
+        expired MANIFESTS first (after that, nothing visible points at
+        the dying data), orphaned data dirs second — so a crash at any
+        point leaves all retained snapshots fully readable; a crash
+        between the two phases merely leaks orphan dirs the next expire
+        sweep collects.  Returns ``{"expired": n, "data_dirs_removed":
+        m, "retained": [...ids]}``."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        h = self.head()
+        if h is None:
+            return {"expired": 0, "data_dirs_removed": 0, "retained": []}
+        cutoff = h - keep_last + 1
+        expired = [
+            i
+            for i in range(cutoff)
+            if os.path.exists(self._manifest_path(i))
+        ]
+        retained = [
+            i
+            for i in range(max(cutoff, 0), h + 1)
+            if os.path.exists(self._manifest_path(i))
+        ]
+        referenced = set()
+        for i in retained:
+            referenced.update(self._read_manifest(i)["data_dirs"])
+        for i in expired:
+            os.remove(self._manifest_path(i))
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if d not in referenced:
+                shutil.rmtree(d)
+                removed += 1
+        return {
+            "expired": len(expired),
+            "data_dirs_removed": removed,
+            "retained": retained,
+        }
+
+    def rewrite_files(
+        self, spark: SparkSession, target_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """OPTIMIZE / small-file compaction (VERDICT r3 #6): apply
+        ``operators/compaction.py::compaction_plan`` to the HEAD
+        snapshot's physical parquet files and commit a new snapshot with
+        IDENTICAL rows in (at most) plan-many files.  Time travel stays
+        intact — prior snapshots keep their manifests and data dirs
+        (``expire_snapshots`` reclaims them later).
+
+        Execution: the plan is file METADATA (one row per parquet part
+        file), so collecting it driver-side is O(files); each bin is
+        then one read-coalesce-append job into the new snapshot's data
+        dir — the per-bin loop the planner module documents. Returns
+        the new snapshot id."""
+        from crgp_spark.operators.compaction import compaction_plan
+
+        head = self.head()
+        if head is None:
+            raise ValueError(f"snapshot table {self.path!r} is empty")
+        meta = []
+        for d in self._read_manifest(head)["data_dirs"]:
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        meta.append((p, os.path.getsize(p)))
+        if not meta:
+            raise ValueError("HEAD snapshot has no parquet files")
+        plan = compaction_plan(
+            spark.createDataFrame(meta, "path string, size long"),
+            id_col="path",
+            size_col="size",
+            target_bytes=target_bytes,
+        )
+        bins: dict[int, list[str]] = {}
+        for r in plan.collect():  # metadata-sized (one row per file)
+            bins.setdefault(r["bin"], []).append(r["path"])
+
+        snap_id = head + 1
+        data_dir = os.path.join(self.path, "data", f"snap_{snap_id:08d}")
+        for paths in bins.values():
+            spark.read.parquet(*paths).coalesce(1).write.mode(
+                "append"
+            ).parquet(data_dir)
+        return self._commit_manifest(snap_id, [data_dir], "rewrite")
 
 
 def read_table(
