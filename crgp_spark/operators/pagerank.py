@@ -265,6 +265,19 @@ def pagerank_df(
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
         e_cols = ["src", "dst"]
     else:
+        # ADVICE r3: a vertex whose weights sum to <= 0 is NOT dangling
+        # (it has out-edges) yet divides by out_deg = 0 — its mass would
+        # silently become NULL and vanish. Malformed weights fail loudly
+        # instead: the contract is weight > 0 per edge.
+        n_bad = edges.filter(
+            F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"pagerank_df: {n_bad} edge(s) have NULL or non-positive "
+                f"{weight_col!r}; weighted PageRank requires weight > 0 "
+                "per edge (rank mass would vanish through out_deg = 0)"
+            )
         deg = edges.groupBy("src").agg(F.sum(weight_col).alias("out_deg"))
         e_cols = ["src", "dst", weight_col]
     # (tol is rescaled after n is known below when tol_mode == "scaled")

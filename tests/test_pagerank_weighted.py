@@ -59,3 +59,18 @@ def test_weight_one_equals_unweighted(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_nonpositive_weights_fail_loudly(spark):
+    """ADVICE r3: zero/negative/NULL weights must raise, not silently
+    leak rank mass through a 0 out-degree."""
+    import pytest
+
+    from crgp_spark.operators.pagerank import pagerank_df
+
+    for w in (0, -2, None):
+        edges = spark.createDataFrame(
+            [(1, 2, 3), (2, 1, w)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="weight > 0"):
+            pagerank_df(spark, edges, fixed_iterations=2, weight_col="w")
