@@ -1459,6 +1459,34 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dimjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join under the hard gate: the events
+    stream enriched against a broadcast customer-dimension SNAPSHOT
+    (sources/snapshot.py HEAD read), aggregated per market segment —
+    proven equal to the batch join across epoch boundaries
+    (streaming/windows.py::stream_dim_join)."""
+    import shutil
+
+    from crgp_spark.sources.snapshot import SnapshotTable
+    from crgp_spark.streaming.windows import stream_dim_join
+
+    work = "/tmp/crgp_stream_dimjoin"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(
+        os.path.join(work, "facts")
+    )
+    t = SnapshotTable(os.path.join(work, "dim"))
+    t.overwrite(_tbl(spark, sf_dir, "customer"))
+    return stream_dim_join(
+        spark,
+        os.path.join(work, "facts"),
+        t.read(spark),
+        key_expr="user_id + 1",
+        dim_key="c_custkey",
+        attr_col="c_mktsegment",
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed sessionization with the native session_window
     state-store operator, gated against the batch lag/gap SQL (split
@@ -3208,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_approx": q_quantiles_approx,
         "merge_delete": q_merge_delete,
         "table_maintenance": q_table_maintenance,
+        "stream_dimjoin": q_stream_dimjoin,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -4196,6 +4225,15 @@ SELECT c_mktsegment, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
             AS BIGINT) AS bal_cents
 FROM merged GROUP BY 1 ORDER BY 1""",
+        # stream-static dim join == the batch join (inner; NULL values
+        # keep their row via COUNT but drop out of the cents SUM on
+        # both engines)
+        "stream_dimjoin": """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events JOIN customer ON c_custkey = user_id + 1
+GROUP BY 1""",
         # MERGE with delete clause: %13 keys deleted, %7-not-%13
         # re-segmented, %11 re-keyed inserts keep their segment,
         # unmatched tombstones never inserted

@@ -250,3 +250,51 @@ def stream_interval_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dim_join(
+    spark: SparkSession,
+    in_dir: str,
+    dim: DataFrame,
+    key_expr: str,
+    dim_key: str,
+    attr_col: str,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Stream-static dimension join (VERDICT r3 #8) — the most common
+    production streaming shape: the fact stream enriched against a
+    broadcast dimension snapshot, then aggregated per dimension
+    attribute. Returns ``(attr_col, n_events, total_cents)``.
+
+    The static side is joined with an explicit ``F.broadcast`` (a
+    dimension snapshot is by definition executor-resident; no shuffle
+    of the unbounded side), and COUNT/SUM-of-cents are commutative
+    monoids, so the drained result equals the batch join bit-for-bit
+    across ANY micro-batch slicing — the module's stream==batch
+    contract. Unbounded deployments get dimension updates by restarting
+    the query against the new snapshot (the static side is pinned at
+    query start — Structured Streaming semantics worth gating, not
+    hiding)."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    joined = stream.withColumn("_k", F.expr(key_expr)).join(
+        F.broadcast(dim), F.col("_k") == F.col(dim_key)
+    )
+    agg = joined.groupBy(attr_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("total_cents"),
+    )
+    name = f"dimjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -347,3 +347,36 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         "user_id", "left_id", "right_id", "lag_s").collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 5])
+def test_stream_dim_join_matches_batch(spark, tmp_path, files_per_trigger):
+    """Stream-static dimension join: drained stream == batch join
+    bit-for-bit regardless of micro-batch slicing; the plan must
+    broadcast the dimension (no shuffle of the unbounded side)."""
+    from pyspark.sql import functions as F
+
+    from crgp_spark.streaming.windows import stream_dim_join
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "dim_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    dim = spark.createDataFrame(
+        [(k, f"seg{k % 4}") for k in range(1, 400)], "k long, seg string"
+    )
+    out = stream_dim_join(
+        spark, work, dim,
+        key_expr="user_id + 1", dim_key="k", attr_col="seg",
+        max_files_per_trigger=files_per_trigger,
+    )
+    ev = spark.read.parquet(work)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    batch = (
+        ev.join(dim, ev.user_id + 1 == dim.k)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(cents).alias("total_cents"))
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
