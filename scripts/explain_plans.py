@@ -494,6 +494,25 @@ def main() -> None:
         "chi-square window": srm_check(events),
     })
 
+    # round-4 operators
+    from crgp_spark.operators.inference import batch_inference
+    from crgp_spark.operators.quantiles import value_quantiles_approx
+    from crgp_spark.operators.transitions import succession_graph
+
+    sections.update({
+        "Succession graph: one channel-partitioned LEAD window + "
+        "map-side-combinable pair count":
+            succession_graph(events, min_weight=3),
+        "Batched inference: hashed features (codegen) -> one "
+        "Arrow-batched mapInPandas forward pass; NO Exchange anywhere":
+            batch_inference(
+                events, ["event_type", "user_id"], id_col="event_id"
+            ),
+        "Approx-percentile contract: one sketch groupBy + the "
+        "(keys x pcts)-row result broadcast back over the scan for "
+        "exact ranks": value_quantiles_approx(events),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
