@@ -2389,6 +2389,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(_embs(spark, sf_dir), k=8, scale=10_000)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means-partitioned within-cluster
+    integer-cosine pruning, keep-lowest-id
+    (operators/semdedup.py::semantic_dedup, k=8, threshold 0.40)."""
+    from crgp_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), k=8, threshold=0.40)
+
+
 def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop quantized neighbor-mean feature propagation
     (operators/featprop.py::neighborhood_mean)."""
@@ -3282,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "simhash_pairs": q_simhash_pairs,
         "simhash_dedup": q_simhash_dedup,
+        "semdedup": q_semdedup,
         "tpch_exists": q_tpch_exists,
         "tpch_notexists": q_tpch_notexists,
         "tpch_suppcnt": q_tpch_suppcnt,
@@ -5108,6 +5118,54 @@ SELECT cluster, CAST(dim AS INT) AS dim,
             AS BIGINT) AS c_unit,
        COUNT(*) AS n_members
 FROM ex GROUP BY cluster, dim""",
+        # SemDeDup: same seed-centroid assignment as the kmeans oracle,
+        # then within-cluster integer-cosine pruning — cos >= t iff
+        # dot > 0 AND dot^2 * 1e8 >= tnum^2 * aa * bb (tnum = 4000),
+        # cross-multiplied in HUGEINT (Spark side: DECIMAL(38,0))
+        "semdedup": """
+WITH q AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, qv AS qc
+  FROM q ORDER BY vec_id LIMIT 8
+),
+dists AS (
+  SELECT q.vec_id, c.j,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(64),
+           i -> (q.qv[i + 1] - c.qc[i + 1]) * (q.qv[i + 1] - c.qc[i + 1])))
+           AS BIGINT) AS d
+  FROM q CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, CAST(MIN(d * 8 + j) % 8 AS INT) AS cluster
+  FROM dists GROUP BY vec_id
+),
+qa AS (
+  SELECT q.vec_id AS id, a.cluster, q.qv,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(64),
+           i -> q.qv[i + 1] * q.qv[i + 1])) AS BIGINT) AS ss
+  FROM q JOIN assign a ON q.vec_id = a.vec_id
+),
+pairs AS (
+  SELECT b.id,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(64),
+           i -> a.qv[i + 1] * b.qv[i + 1])) AS BIGINT) AS dot,
+         a.ss AS aa, b.ss AS bb
+  FROM qa a JOIN qa b ON a.cluster = b.cluster AND a.id < b.id
+),
+dropped AS (
+  SELECT DISTINCT id FROM pairs
+  WHERE dot > 0
+    AND CAST(dot AS HUGEINT) * dot * 100000000
+        >= CAST(16000000 AS HUGEINT) * aa * bb
+)
+SELECT qa.id AS vec_id, qa.cluster,
+       d.id IS NULL AS keep
+FROM qa LEFT JOIN dropped d ON qa.id = d.id""",
         # contiguous-stream sequence packing (seqpack.py::sequence_pack)
         "seqpack": """
 WITH tk AS (

@@ -623,6 +623,13 @@ def main() -> None:
 
     timed("kmeans_step", lambda: kmeans_step(embs, k=8).count())
 
+    from crgp_spark.operators.semdedup import semantic_dedup
+
+    timed(
+        "semdedup",
+        lambda: semantic_dedup(embs, k=8, threshold=0.40).count(),
+    )
+
     from crgp_spark.operators.pq import knn_pq
 
     timed(

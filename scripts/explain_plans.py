@@ -513,6 +513,17 @@ def main() -> None:
         "exact ranks": value_quantiles_approx(events),
     })
 
+    from crgp_spark.operators.semdedup import semantic_dedup
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sections.update({
+        "SemDeDup: broadcast k-centroid assign -> ONE cluster-keyed "
+        "self-join (the only exchange over pairs) -> DECIMAL(38,0) "
+        "cross-multiplied cosine prune": semantic_dedup(
+            embs, k=8, threshold=0.40
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
