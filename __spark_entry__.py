@@ -2398,6 +2398,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_embs(spark, sf_dir), k=8, threshold=0.40)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id: top-20 by
+    exact count with the sketch estimate and its deterministic
+    over-estimate guarantee (operators/cms.py::heavy_hitters, 4x64)."""
+    from crgp_spark.operators.cms import heavy_hitters
+
+    return heavy_hitters(
+        _events(spark, sf_dir), "user_id", k=20, depth=4, width=64
+    )
+
+
 def q_featprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop quantized neighbor-mean feature propagation
     (operators/featprop.py::neighborhood_mean)."""
@@ -3292,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_dedup": q_simhash_dedup,
         "semdedup": q_semdedup,
+        "heavy_hitters": q_heavy_hitters,
         "tpch_exists": q_tpch_exists,
         "tpch_notexists": q_tpch_notexists,
         "tpch_suppcnt": q_tpch_suppcnt,
@@ -5122,6 +5134,44 @@ FROM ex GROUP BY cluster, dim""",
         # then within-cluster integer-cosine pruning — cos >= t iff
         # dot > 0 AND dot^2 * 1e8 >= tnum^2 * aa * bb (tnum = 4000),
         # cross-multiplied in HUGEINT (Spark side: DECIMAL(38,0))
+        # count-min sketch heavy hitters (cms.py::heavy_hitters):
+        # identical md5-derived 4x64 grid, MIN across rows per probe
+        "heavy_hitters": f"""
+WITH keys AS (SELECT user_id FROM events),
+hx AS (
+  SELECT user_id, r.i AS rw,
+         MD5(CAST(r.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) AS h
+  FROM keys, RANGE(4) r(i)
+),
+sk AS (
+  SELECT rw, CAST(({_hex15_num('h')}) % 64 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hx GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+  FROM keys GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact FROM (
+    SELECT user_id, exact,
+           ROW_NUMBER() OVER (ORDER BY exact DESC, user_id) AS rk
+    FROM exact
+  ) WHERE rk <= 20
+),
+phx AS (
+  SELECT t.user_id, r.i AS rw,
+         MD5(CAST(r.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)) AS h
+  FROM top t, RANGE(4) r(i)
+),
+est AS (
+  SELECT p.user_id, MIN(sk.cnt) AS est
+  FROM phx p JOIN sk
+    ON sk.rw = p.rw AND sk.bucket = CAST(({_hex15_num('p.h')}) % 64 AS BIGINT)
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.exact, e.est, e.est >= t.exact AS over_ok
+FROM top t JOIN est e ON t.user_id = e.user_id""",
         "semdedup": """
 WITH q AS (
   SELECT vec_id,

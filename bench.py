@@ -630,6 +630,13 @@ def main() -> None:
         lambda: semantic_dedup(embs, k=8, threshold=0.40).count(),
     )
 
+    from crgp_spark.operators.cms import heavy_hitters
+
+    timed(
+        "heavy_hitters",
+        lambda: heavy_hitters(events, "user_id", k=20).count(),
+    )
+
     from crgp_spark.operators.pq import knn_pq
 
     timed(

@@ -524,6 +524,14 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.cms import heavy_hitters
+
+    sections.update({
+        "Count-min heavy hitters: map-side-combinable d x w grid "
+        "groupBy + broadcast-grid probe join (no probe shuffle)":
+            heavy_hitters(events, "user_id", k=20),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
