@@ -476,6 +476,62 @@ a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
     )
 
 
+def _sql_coloring(rounds: int = 4) -> str:
+    """Unrolled Jones-Plassmann rounds (operators/coloring.py): fixed
+    unique md5+vid priorities, candidates = strict local minima among
+    active neighbors, color = mex of the already-colored neighborhood
+    (MIN over a constant RANGE — max color by round r is r-1, so
+    RANGE(rounds+1) always contains the mex).  MATERIALIZED per the
+    MIS CTE rule."""
+
+    def pri(x: str) -> str:
+        return (
+            f"MD5(CAST({x} AS VARCHAR)) || ':' || "
+            f"LPAD(CAST({x} AS VARCHAR), 20, '0')"
+        )
+
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "col0 AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS INT) AS color\n"
+        "         WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+e{r} AS (SELECT s.src, s.dst FROM sym s
+         JOIN a{p} x ON x.v = s.src JOIN a{p} y ON y.v = s.dst),
+m{r} AS (SELECT src AS v, MIN({pri('dst')}) AS mn FROM e{r} GROUP BY src),
+cand{r} AS MATERIALIZED (SELECT a.v FROM a{p} a LEFT JOIN m{r} m ON m.v = a.v
+         WHERE m.mn IS NULL OR {pri('a.v')} < m.mn),
+nc{r} AS (SELECT s.src AS v, LIST(DISTINCT c.color) AS cs
+          FROM sym s JOIN cand{r} cd ON cd.v = s.src
+          JOIN col{p} c ON c.v = s.dst GROUP BY s.src),
+mex{r} AS (SELECT n.v, CAST(MIN(t.i) AS INT) AS color
+           FROM nc{r} n, RANGE({rounds + 1}) t(i)
+           WHERE NOT LIST_CONTAINS(n.cs, CAST(t.i AS INT))
+           GROUP BY n.v),
+c{r} AS MATERIALIZED (SELECT cd.v, CAST(COALESCE(m.color, 0) AS INT) AS color
+        FROM cand{r} cd LEFT JOIN mex{r} m ON m.v = cd.v),
+col{r} AS MATERIALIZED (SELECT v, color FROM col{p}
+        UNION ALL SELECT v, color FROM c{r}),
+a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM cand{r})"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT v AS vid, color, CAST({r} AS INT) AS rnd FROM c{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + sel
+        + f"\nUNION ALL SELECT v, CAST(-1 AS INT), CAST(0 AS INT) FROM a{rounds}"
+    )
+
+
 def _sql_featprop(hops: int = 2, scale: int = 1_000_000) -> str:
     """Unrolled quantized neighbor-mean hops
     (operators/featprop.py::neighborhood_mean): each hop is one
@@ -2293,6 +2349,16 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Jones-Plassmann greedy coloring, 4 rounds
+    (operators/coloring.py::greedy_coloring)."""
+    from crgp_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(
+        spark, _edges_vid(spark, sf_dir), rounds=4, cfg=_graph_cfg()
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT idiom: per-user event counts spread into one column per
     event type (Spark ``groupBy().pivot()`` compiles to a single
@@ -3304,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "semdedup": q_semdedup,
         "heavy_hitters": q_heavy_hitters,
+        "coloring": q_coloring,
         "tpch_exists": q_tpch_exists,
         "tpch_notexists": q_tpch_notexists,
         "tpch_suppcnt": q_tpch_suppcnt,
@@ -5028,6 +5095,7 @@ rk AS (
 SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
+        "coloring": _sql_coloring(),
         # product-quantization ADC top-k (pq.py::knn_pq): one-step
         # Lloyd codebooks per subspace (seed fallback for empty
         # codewords), BIGINT squared distances, composite argmins —

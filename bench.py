@@ -442,6 +442,12 @@ def main() -> None:
         "mis_4r",
         lambda: maximal_independent_set(spark, e2, rounds=4, cfg=cfg).count(),
     )
+    from crgp_spark.operators.coloring import greedy_coloring
+
+    timed(
+        "coloring_4r",
+        lambda: greedy_coloring(spark, e2, rounds=4, cfg=cfg).count(),
+    )
 
     from crgp_spark.operators.betweenness import betweenness_seeded
 

@@ -310,6 +310,28 @@ def main() -> None:
         out.update(edges=n_edges, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs), **counts)
 
+    elif args.algo == "coloring":
+        from crgp_spark.operators.coloring import greedy_coloring
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = greedy_coloring(
+            spark, edges, rounds=args.fixed_iterations or 4, cfg=cfg
+        )
+        from pyspark.sql import functions as F
+
+        agg = res.agg(
+            F.count(F.lit(1)).alias("vertices"),
+            F.max("color").alias("max_color"),
+            F.sum((F.col("color") == -1).cast("long")).alias("open"),
+        ).collect()[0]
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs),
+                   vertices=agg["vertices"], max_color=agg["max_color"],
+                   open=int(agg["open"]))
+
     elif args.algo == "harmonic":
         from crgp_spark.operators.harmonic import (
             cascade_harmonic,

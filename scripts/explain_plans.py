@@ -532,6 +532,16 @@ def main() -> None:
             heavy_hitters(events, "user_id", k=20),
     })
 
+    from crgp_spark.operators.coloring import greedy_coloring
+
+    sections.update({
+        "Jones-Plassmann coloring (one round shown): active semi-join "
+        "pair -> per-vertex MIN local-minimum test -> colored-state "
+        "join + round-bounded collect_set mex": greedy_coloring(
+            spark, edges_vid, rounds=1
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
