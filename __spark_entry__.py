@@ -1543,6 +1543,26 @@ def q_stream_dimjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy hitters under the hard gate: the 4x64
+    counter grid maintained in the streaming state store across capped
+    micro-batches, then the drained grid scores the exact top-20 — the
+    grid is a commutative monoid so the oracle is the SAME SQL as the
+    batch heavy_hitters entry
+    (streaming/windows.py::stream_heavy_hitters)."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_heavy_hitters
+
+    work = "/tmp/crgp_stream_hh"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_heavy_hitters(
+        spark, work, "user_id", k=20, depth=4, width=64,
+        max_files_per_trigger=2,
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed sessionization with the native session_window
     state-store operator, gated against the batch lag/gap SQL (split
@@ -3323,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete": q_merge_delete,
         "table_maintenance": q_table_maintenance,
         "stream_dimjoin": q_stream_dimjoin,
+        "stream_hh": q_stream_hh,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5570,4 +5591,8 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # streamed SCD2 == batch SCD2 by the stream==batch contract (the
     # open version is carried in keyed state across micro-batches)
     d["stream_scd2"] = d["scd2"]
+    # the count-min grid is a commutative monoid: the grid drained from
+    # the streaming state store equals the batch cms_sketch grid
+    # bit-for-bit, so streamed heavy hitters share the batch oracle
+    d["stream_hh"] = d["heavy_hitters"]
     return d

@@ -108,12 +108,18 @@ def heavy_hitters(
     k: int = 20,
     depth: int = 4,
     width: int = 64,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k keys by exact count, each with its count-min estimate:
     ``(key, exact, est, over_ok)``.  ``over_ok = est >= exact`` is the
     sketch's deterministic guarantee — surfaced so the gate checks it
-    instead of trusting it.  Ties rank by key."""
-    sk = cms_sketch(df, key_col, depth, width)
+    instead of trusting it.  Ties rank by key.
+
+    ``sketch`` lets a caller supply a grid built elsewhere (a streaming
+    drain, a merged shard union) — it must share (depth, width); the
+    grid being a monoid means the result is identical however it was
+    accumulated."""
+    sk = sketch if sketch is not None else cms_sketch(df, key_col, depth, width)
     exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact"))
     top = (
         exact.withColumn(

@@ -252,6 +252,67 @@ def stream_interval_join(
     return spark.table(name)
 
 
+def stream_heavy_hitters(
+    spark: SparkSession,
+    in_dir: str,
+    key_col: str = "user_id",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 64,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming count-min heavy hitters — the sketch-over-a-stream
+    shape count-min was invented for (Cormode & Muthukrishnan 2005):
+    the d×w counter grid is maintained in the streaming aggregation
+    state store (``groupBy(row, bucket).count`` — a pure commutative
+    monoid, so the drained grid is bit-identical to the batch
+    ``cms_sketch`` regardless of micro-batch slicing), then the
+    drained grid scores the exact top-k — the module's stream==batch
+    contract, certified by the SAME oracle as the batch
+    ``heavy_hitters`` entry.
+
+    At 100 TB the streaming state is d·w counters — constant — while
+    an exact streaming per-key count would hold one state row per
+    distinct key; that asymmetry is why production pipelines sketch
+    the stream and only keep exact counts for the survivors.
+
+    Returns ``(key_col, exact, est, over_ok)``.
+    """
+    from crgp_spark.operators.cms import _buckets, heavy_hitters
+
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    grid = (
+        stream.select(
+            F.posexplode(_buckets(F.col(key_col), depth, width)).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        grid.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return heavy_hitters(
+        spark.read.parquet(in_dir),
+        key_col,
+        k=k,
+        depth=depth,
+        width=width,
+        sketch=spark.table(name),
+    )
+
+
 def stream_dim_join(
     spark: SparkSession,
     in_dir: str,

@@ -380,3 +380,28 @@ def test_stream_dim_join_matches_batch(spark, tmp_path, files_per_trigger):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_stream_heavy_hitters_matches_batch(spark, tmp_path, files_per_trigger):
+    """Streaming count-min heavy hitters: the grid drained from the
+    streaming state store is a commutative monoid, so the streamed
+    top-k (exact, est, over_ok) equals the batch heavy_hitters
+    bit-for-bit at any micro-batch slicing."""
+    from crgp_spark.operators.cms import heavy_hitters
+    from crgp_spark.streaming.windows import stream_heavy_hitters
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "hh_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    out = stream_heavy_hitters(
+        spark, work, "user_id", k=10, depth=4, width=32,
+        max_files_per_trigger=files_per_trigger,
+    )
+    want_df = heavy_hitters(
+        spark.read.parquet(work), "user_id", k=10, depth=4, width=32
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) == 10
+    assert all(r[3] for r in got)  # over_ok: est >= exact everywhere
