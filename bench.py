@@ -507,6 +507,10 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
 
+    from crgp_spark.operators.dedup import duplicate_spans
+
+    timed("dup_spans", lambda: duplicate_spans(docs).count())
+
     from crgp_spark.operators.dedup import setsim_join
 
     # shingled sets (the production AllPairs shape): prefix filtering

@@ -532,6 +532,15 @@ def main() -> None:
             heavy_hitters(events, "user_id", k=20),
     })
 
+    from crgp_spark.operators.dedup import duplicate_spans
+
+    sections.update({
+        "Duplicated-substring spans (Lee et al.): single-projection "
+        "gram md5s + posexplode -> ONE combinable gram groupBy -> "
+        "semi-join back -> per-doc window interval merge":
+            duplicate_spans(docs),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({

@@ -219,3 +219,63 @@ def test_setsim_shingle_path(spark):
     }
     # docs 0/1 share 6 of their 7 3-shingles -> J = 6/8 = 0.75 >= 0.5
     assert got == {(0, 1)}
+
+
+class TestDuplicateSpans:
+    def test_shared_passage_flagged_with_exact_bounds(self, spark):
+        # docs 10/11 share an 8-token passage at different offsets;
+        # surrounding text is unique -> exactly the passage's 5-gram
+        # cover [offset, offset+8) is reported in each doc
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        d = spark.createDataFrame(
+            [
+                (10, f"unique one two three {shared} tail marker words"),
+                (11, f"{shared} completely other ending here now"),
+                (12, "nothing in common with anything else at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+            for r in dedup.duplicate_spans(d, gram_len=5).collect()
+        }
+        # doc 10: shared starts at token 4 -> span [4, 12), 4 grams
+        # doc 11: shared starts at token 0 -> span [0, 8), 4 grams
+        assert out == {10: (4, 12, 4), 11: (0, 8, 4)}
+
+    def test_within_doc_repeat_counts(self, spark):
+        # a 5-gram repeated inside ONE doc is corpus-multiplicity 2
+        d = spark.createDataFrame(
+            [(1, "a b c d e x y z w v a b c d e")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            map(tuple, dedup.duplicate_spans(d, gram_len=5).collect())
+        )
+        assert rows == [(1, 0, 5, 1), (1, 10, 15, 1)]
+
+    def test_overlapping_grams_merge_to_one_span(self, spark):
+        # two identical docs: every gram is duplicated -> ONE maximal
+        # span covering the whole doc in each
+        t = "one two three four five six seven eight nine"
+        d = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        rows = sorted(
+            map(tuple, dedup.duplicate_spans(d, gram_len=5).collect())
+        )
+        assert rows == [(1, 0, 9, 5), (2, 0, 9, 5)]
+
+    def test_short_and_clean_docs_yield_nothing(self, spark):
+        d = spark.createDataFrame(
+            [(1, "too short"), (2, "also tiny"), (3, "")],
+            "doc_id long, text string",
+        )
+        assert dedup.duplicate_spans(d, gram_len=5).count() == 0
+
+    def test_validates_params(self, spark):
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup.duplicate_spans(d, gram_len=0)
+        with pytest.raises(ValueError):
+            dedup.duplicate_spans(d, min_count=1)
