@@ -541,6 +541,22 @@ def main() -> None:
             duplicate_spans(docs),
     })
 
+    import shutil as _sh
+
+    from crgp_spark.sources.bucketed import colocated_join, write_bucketed
+
+    _bw = "/tmp/crgp_explain_bucketed"
+    _sh.rmtree(_bw, ignore_errors=True)
+    write_bucketed(tbl["orders"], "expl_bo", f"{_bw}/o", "o_custkey", 8)
+    write_bucketed(tbl["customer"], "expl_bc", f"{_bw}/c", "c_custkey", 8)
+    sections.update({
+        "Bucketed co-located join: both scans 'Bucketed: true', "
+        "SortMergeJoin with ZERO Exchange (the pay-once placement "
+        "shuffle) — fact-to-fact joins at 100 TB":
+            colocated_join(spark, "expl_bo", "expl_bc",
+                           "o_custkey", "c_custkey"),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
