@@ -2022,6 +2022,47 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application, latest-wins (operators/diff.py::
+    apply_changes): events replayed as a changelog over the customer
+    snapshot — purchases delete the key, other events upsert a
+    rebuilt payload; (ts, event_id) totally orders each key's
+    changes. ONE window reduces the log to its frontier, then
+    anti-join + union."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.diff import apply_changes
+
+    base = _tbl(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+        "c_mktsegment",
+    )
+    ev = _events(spark, sf_dir)
+    changes = ev.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+        F.col("event_type").alias("c_mktsegment"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        ts_micros(F.col("ts")).alias("v_us"),
+        F.col("event_id").alias("v_seq"),
+    )
+    return apply_changes(
+        base, changes, key_cols=["c_custkey"], order_cols=["v_us", "v_seq"]
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join (sources/bucketed.py): orders and
     customer written ONCE as catalog tables bucketed+sorted by custkey,
@@ -3388,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hh": q_stream_hh,
         "dup_spans": q_dup_spans,
         "bucketed_join": q_bucketed_join,
+        "cdc_apply": q_cdc_apply,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5696,4 +5738,37 @@ SELECT c_mktsegment,
          AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+    # CDC apply_changes (diff.py::apply_changes): frontier = latest
+    # change per key by (ts micros, event_id); winning 'D' removes the
+    # key, winning 'U' replaces the payload, untouched base survives
+    d["cdc_apply"] = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer
+),
+ch AS (
+  SELECT user_id + 1 AS c_custkey,
+         'u' || CAST(user_id AS VARCHAR) AS c_name,
+         CAST(user_id % 25 AS INT) AS c_nationkey,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS bal_cents,
+         event_type AS c_mktsegment,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         CAST(EPOCH_US(ts) AS BIGINT) AS v_us,
+         event_id AS v_seq
+  FROM events
+),
+fr AS (
+  SELECT * FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+      PARTITION BY c_custkey ORDER BY v_us DESC, v_seq DESC) AS rk
+    FROM ch
+  ) WHERE rk = 1
+)
+SELECT b.* FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM fr WHERE fr.c_custkey = b.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, bal_cents, c_mktsegment
+FROM fr WHERE op = 'U'"""
     return d

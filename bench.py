@@ -785,6 +785,34 @@ def main() -> None:
         ).count(),
     )
 
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.diff import apply_changes
+
+    def _cdc_cell():
+        base = tbl["customer"].select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            .alias("bal_cents"),
+            "c_mktsegment",
+        )
+        ch = events.select(
+            (F.col("user_id") + 1).alias("c_custkey"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("c_name"),
+            (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            .alias("bal_cents"),
+            F.col("event_type").alias("c_mktsegment"),
+            F.when(F.col("event_type") == "purchase", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            ts_micros(F.col("ts")).alias("v_us"),
+            F.col("event_id").alias("v_seq"),
+        )
+        return apply_changes(
+            base, ch, key_cols=["c_custkey"], order_cols=["v_us", "v_seq"]
+        ).count()
+
+    timed("cdc_apply", _cdc_cell)
+
     from crgp_spark.operators.anomaly import rolling_anomalies
 
     timed("anomaly", lambda: rolling_anomalies(events).count())

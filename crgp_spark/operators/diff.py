@@ -71,3 +71,61 @@ def table_diff(
         .where(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a keyed snapshot, latest-wins — the
+    `table_diff` inverse and the standard lakehouse "APPLY CHANGES"
+    shape (Debezium/DLT semantics): ``changes`` carries one row per
+    change event with the key, a total ordering (``order_cols`` —
+    e.g. ``[version]`` or ``[ts, seq]``; the LAST change per key
+    wins), an ``op_col`` of ``'U'`` (upsert) or ``'D'`` (delete), and
+    the full payload.  Returns the new snapshot: base rows whose keys
+    saw no change, plus the payload of each key's winning upsert;
+    keys whose winning change is a delete disappear.
+
+    Plan shape: ONE window (``row_number`` per key over the change
+    ordering, descending) reduces the changelog to its frontier, then
+    a left-anti join removes touched keys from the base and a union
+    adds the surviving upserts — two exchanges total, both on the
+    key, independent of how long the changelog is replayed.  At
+    100 TB the changelog frontier (not the log) is what joins the
+    base — compact even for hot keys.
+
+    The ordering must be a TOTAL order per key (ties are ambiguous
+    CDC, not a tiebreak choice to hide): duplicate ``(key,
+    order_cols)`` tuples raise.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    if not keys or not order:
+        raise ValueError("need non-empty key_cols and order_cols")
+    dup = (
+        changes.groupBy(*keys, *order)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ambiguous changelog: duplicate (key, order) tuple {dup[0]}"
+        )
+    payload = [c for c in base.columns]
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order])
+    frontier = (
+        changes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    untouched = base.join(frontier.select(*keys), keys, "left_anti")
+    upserts = frontier.filter(F.col(op_col) == "U").select(*payload)
+    return untouched.unionByName(upserts)

@@ -409,6 +409,36 @@ def main() -> None:
         "dropped": table_diff(events, ev_new, ["event_id"]),
     })
 
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.diff import apply_changes
+
+    _cdc_base = tbl["customer"].select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        .alias("bal_cents"),
+        "c_mktsegment",
+    )
+    _cdc_ch = events.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("c_name"),
+        (F.col("user_id") % 25).cast("int").alias("c_nationkey"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("bal_cents"),
+        F.col("event_type").alias("c_mktsegment"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        ts_micros(F.col("ts")).alias("v_us"),
+        F.col("event_id").alias("v_seq"),
+    )
+    sections.update({
+        "CDC apply_changes: ONE key window reduces the changelog to "
+        "its frontier, anti-join removes touched keys, union adds "
+        "winning upserts — two key exchanges regardless of log length":
+            apply_changes(_cdc_base, _cdc_ch,
+                          key_cols=["c_custkey"],
+                          order_cols=["v_us", "v_seq"]),
+    })
+
     from crgp_spark.operators.anomaly import rolling_anomalies
     from crgp_spark.operators.compaction import compaction_plan
 

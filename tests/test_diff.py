@@ -55,3 +55,66 @@ def test_validation(spark):
         table_diff(
             _old(spark).select("k"), _new(spark).select("k"), ["k"]
         )
+
+
+class TestApplyChanges:
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k long, name string, v long",
+        )
+
+    def test_upsert_delete_insert_untouched(self, spark):
+        from crgp_spark.operators.diff import apply_changes
+
+        # k=1 updated twice (latest wins), k=2 deleted, k=9 inserted,
+        # k=3 untouched
+        ch = spark.createDataFrame(
+            [
+                (1, "a1", 11, "U", 1, 0),
+                (1, "a2", 12, "U", 2, 0),
+                (2, "b", 0, "D", 1, 0),
+                (9, "new", 90, "U", 1, 0),
+            ],
+            "k long, name string, v long, op string, ver long, seq long",
+        )
+        out = apply_changes(
+            self._base(spark), ch, key_cols=["k"], order_cols=["ver", "seq"]
+        )
+        rows = sorted(map(tuple, out.collect()))
+        assert rows == [(1, "a2", 12), (3, "c", 30), (9, "new", 90)]
+
+    def test_delete_then_reinsert_latest_wins(self, spark):
+        from crgp_spark.operators.diff import apply_changes
+
+        ch = spark.createDataFrame(
+            [(1, "x", 0, "D", 1, 0), (1, "back", 99, "U", 1, 1)],
+            "k long, name string, v long, op string, ver long, seq long",
+        )
+        out = apply_changes(
+            self._base(spark), ch, key_cols=["k"], order_cols=["ver", "seq"]
+        )
+        rows = sorted(map(tuple, out.collect()))
+        assert (1, "back", 99) in rows and len(rows) == 3
+
+    def test_ambiguous_ordering_raises(self, spark):
+        from crgp_spark.operators.diff import apply_changes
+
+        ch = spark.createDataFrame(
+            [(1, "p", 1, "U", 5, 0), (1, "q", 2, "U", 5, 0)],
+            "k long, name string, v long, op string, ver long, seq long",
+        )
+        with pytest.raises(ValueError, match="ambiguous changelog"):
+            apply_changes(
+                self._base(spark), ch,
+                key_cols=["k"], order_cols=["ver", "seq"],
+            )
+
+    def test_validates_empty_specs(self, spark):
+        from crgp_spark.operators.diff import apply_changes
+
+        with pytest.raises(ValueError):
+            apply_changes(
+                self._base(spark), self._base(spark),
+                key_cols=[], order_cols=["v"],
+            )
