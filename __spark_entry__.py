@@ -2022,6 +2022,31 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic training (operators/train.py::
+    logistic_train): 3 exact integer gradient-descent rounds over
+    hashed features of events (label = purchase) — score/residual/
+    gradient/update as map-side-combinable aggregates; returns the
+    16-row weight table."""
+    from crgp_spark.operators.train import logistic_train
+
+    ev = _events(spark, sf_dir).withColumn(
+        "y", (F.col("event_type") == "purchase").cast("int")
+    )
+    return logistic_train(
+        ev,
+        ["event_type", "user_id"],
+        "y",
+        "event_id",
+        dim=16,
+        rounds=3,
+        lr_num=1,
+        lr_den=4,
+        q=10_000,
+        w_scale=1000,
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC changelog application, latest-wins (operators/diff.py::
     apply_changes): events replayed as a changelog over the customer
@@ -3430,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "bucketed_join": q_bucketed_join,
         "cdc_apply": q_cdc_apply,
+        "train_logistic": q_train_logistic,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5771,4 +5797,67 @@ WHERE NOT EXISTS (SELECT 1 FROM fr WHERE fr.c_custkey = b.c_custkey)
 UNION ALL
 SELECT c_custkey, c_name, c_nationkey, bal_cents, c_mktsegment
 FROM fr WHERE op = 'U'"""
+    # full-batch logistic training (train.py::logistic_train): the 3
+    # gradient rounds unrolled; every CTE MATERIALIZED (f is joined
+    # twice per round — inlining would re-expand it exponentially);
+    # all-integer math, positive-operand // matches Spark's div
+    _tr = """
+WITH lab AS MATERIALIZED (
+  SELECT event_id AS row_id,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS y,
+         MD5('0:event_type=' ||
+             COALESCE(CAST(event_type AS VARCHAR), CHR(0) || 'NULL'))
+           AS h0,
+         MD5('1:user_id=' ||
+             COALESCE(CAST(user_id AS VARCHAR), CHR(0) || 'NULL'))
+           AS h1
+  FROM events
+),
+f AS MATERIALIZED (
+  SELECT row_id, y, CAST(({H0}) % 16 AS BIGINT) AS j,
+         CAST(CASE WHEN ({H0}) % 32 >= 16 THEN -1 ELSE 1 END
+              AS BIGINT) AS sgn
+  FROM lab
+  UNION ALL
+  SELECT row_id, y, CAST(({H1}) % 16 AS BIGINT) AS j,
+         CAST(CASE WHEN ({H1}) % 32 >= 16 THEN -1 ELSE 1 END
+              AS BIGINT) AS sgn
+  FROM lab
+),
+nr AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+),
+w0 AS MATERIALIZED (
+  SELECT CAST(i AS BIGINT) AS j, CAST(0 AS BIGINT) AS w FROM RANGE(16) r(i)
+)"""
+    for r in range(1, 4):
+        _tr += f""",
+z{r} AS MATERIALIZED (
+  SELECT row_id, y, CAST(SUM(sgn * w) AS BIGINT) AS z
+  FROM f JOIN w{r - 1} USING (j) GROUP BY row_id, y
+),
+e{r} AS MATERIALIZED (
+  SELECT row_id,
+         CAST((10000 * (1000 + ABS(z) + z)) // (2 * (1000 + ABS(z)))
+              - y * 10000 AS BIGINT) AS err
+  FROM z{r}
+),
+g{r} AS MATERIALIZED (
+  SELECT j, CAST(SUM(err * sgn) AS BIGINT) AS g
+  FROM f JOIN e{r} USING (row_id) GROUP BY j
+),
+w{r} AS MATERIALIZED (
+  SELECT w{r - 1}.j,
+         CAST(w{r - 1}.w
+              - (CASE WHEN COALESCE(g, 0) > 0 THEN 1
+                      WHEN COALESCE(g, 0) < 0 THEN -1 ELSE 0 END)
+              * ((1 * ABS(COALESCE(g, 0)) * 1000)
+                 // (4 * n_rows * 10000)) AS BIGINT) AS w
+  FROM w{r - 1} LEFT JOIN g{r} ON w{r - 1}.j = g{r}.j CROSS JOIN nr
+)"""
+    _tr += "\nSELECT j, w FROM w3"
+    d["train_logistic"] = _tr.replace("{H0}", _hex15_num("h0")).replace(
+        "{H1}", _hex15_num("h1")
+    )
     return d

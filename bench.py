@@ -813,6 +813,19 @@ def main() -> None:
 
     timed("cdc_apply", _cdc_cell)
 
+    from crgp_spark.operators.train import logistic_train
+
+    timed(
+        "train_logistic",
+        lambda: logistic_train(
+            events.withColumn(
+                "y", (F.col("event_type") == "purchase").cast("int")
+            ),
+            ["event_type", "user_id"], "y", "event_id",
+            dim=16, rounds=3,
+        ).count(),
+    )
+
     from crgp_spark.operators.anomaly import rolling_anomalies
 
     timed("anomaly", lambda: rolling_anomalies(events).count())

@@ -430,6 +430,22 @@ def main() -> None:
         ts_micros(F.col("ts")).alias("v_us"),
         F.col("event_id").alias("v_seq"),
     )
+    from crgp_spark.operators.train import logistic_train
+
+    sections.update({
+        "Full-batch logistic training (one round's update shown): "
+        "broadcast weights into the feature table, per-row residual, "
+        "map-side-combinable gradient groupBy(j), broadcast update — "
+        "the data never moves, the d-vector does":
+            logistic_train(
+                events.withColumn(
+                    "y", (F.col("event_type") == "purchase").cast("int")
+                ),
+                ["event_type", "user_id"], "y", "event_id",
+                dim=16, rounds=1,
+            ),
+    })
+
     sections.update({
         "CDC apply_changes: ONE key window reduces the changelog to "
         "its frontier, anti-join removes touched keys, union adds "
