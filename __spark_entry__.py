@@ -2022,6 +2022,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule training (operators/bpetrain.py::
+    bpe_train): 5 most-frequent-pair merges learned from the document
+    corpus — vocab-sized pair counting, top-1 winner, broadcast
+    leftmost-non-overlapping rewrite per round."""
+    from crgp_spark.operators.bpetrain import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), merges=5)
+
+
 def q_train_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed full-batch logistic training (operators/train.py::
     logistic_train): 3 exact integer gradient-descent rounds over
@@ -3456,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "cdc_apply": q_cdc_apply,
         "train_logistic": q_train_logistic,
+        "bpe_train": q_bpe_train,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5860,4 +5871,60 @@ w{r} AS MATERIALIZED (
     d["train_logistic"] = _tr.replace("{H0}", _hex15_num("h0")).replace(
         "{H1}", _hex15_num("h1")
     )
+    # BPE merge-rule training (bpetrain.py::bpe_train): 5 rounds
+    # unrolled; states MATERIALIZED (each feeds pair counting AND the
+    # next rewrite); literal REPLACE of the paren-framed pair is
+    # leftmost-non-overlapping in both engines
+    _bpe = """
+WITH ntext AS MATERIALIZED (
+  SELECT TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(STRING_SPLIT_REGEX(nt, '\\s+')) AS tok
+    FROM ntext WHERE LENGTH(nt) > 0
+  ) u WHERE tok <> '' GROUP BY tok
+),
+s0 AS MATERIALIZED (
+  SELECT word,
+         ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(LENGTH(word)),
+           i -> '(' || SUBSTRING(word, CAST(i + 1 AS INT), 1) || ')'),
+           '') AS s,
+         freq
+  FROM words
+)"""
+    for r in range(1, 6):
+        _bpe += f""",
+p{r} AS MATERIALIZED (
+  SELECT STRING_SPLIT(pr, '@')[1] AS lhs, STRING_SPLIT(pr, '@')[2] AS rhs,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(syms) - 1),
+             i -> syms[i + 1] || '@' || syms[i + 2])) AS pr, freq
+    FROM (
+      SELECT STRING_SPLIT(SUBSTRING(s, 2, LENGTH(s) - 2), ')(') AS syms,
+             freq
+      FROM s{r - 1}
+    ) sy
+  ) pp GROUP BY 1, 2
+),
+t{r} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT word,
+         REPLACE(s, '(' || lhs || ')(' || rhs || ')',
+                 '(' || lhs || rhs || ')') AS s,
+         freq
+  FROM s{r - 1} CROSS JOIN t{r}
+)"""
+    _bpe += (
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, cnt FROM t{r}"
+            for r in range(1, 6)
+        )
+    )
+    d["bpe_train"] = _bpe
     return d

@@ -511,6 +511,10 @@ def main() -> None:
 
     timed("dup_spans", lambda: duplicate_spans(docs).count())
 
+    from crgp_spark.operators.bpetrain import bpe_train
+
+    timed("bpe_train", lambda: bpe_train(docs, merges=5).count())
+
     from crgp_spark.operators.dedup import setsim_join
 
     # shingled sets (the production AllPairs shape): prefix filtering

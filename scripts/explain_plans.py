@@ -430,6 +430,15 @@ def main() -> None:
         ts_micros(F.col("ts")).alias("v_us"),
         F.col("event_id").alias("v_seq"),
     )
+    from crgp_spark.operators.bpetrain import bpe_train
+
+    sections.update({
+        "BPE merge-rule training (one merge shown): vocab-sized pair "
+        "explode -> combinable groupBy(lhs, rhs) -> TakeOrdered top-1 "
+        "-> broadcast rewrite (no corpus shuffle after the word "
+        "frequency reduction)": bpe_train(docs, merges=1),
+    })
+
     from crgp_spark.operators.train import logistic_train
 
     sections.update({
