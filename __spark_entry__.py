@@ -2128,6 +2128,38 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (sources/zonemaps.py): events re-clustered
+    by range on event_id (the write that makes per-file min/max disjoint
+    — what layout.py's clustering buys at 100 TB), per-file zone maps
+    computed in ONE scan-speed pass, then a selective interval scan that
+    opens ONLY the qualifying files — the manifest-level file skip every
+    lakehouse format performs above parquet's row-group stats. Pruning
+    is conservative and the residual filter stays exact, so the oracle
+    is the plain interval filter; pytest proves fewer files are read."""
+    import shutil
+
+    from crgp_spark.sources.zonemaps import skipping_scan, zone_maps
+
+    work = "/tmp/crgp_zonemaps"
+    shutil.rmtree(work, ignore_errors=True)
+    (
+        _events(spark, sf_dir)
+        .repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.parquet(work)
+    )
+    maps = zone_maps(spark, work, "event_id")
+    scanned = skipping_scan(spark, work, "event_id", 2500, 4999, maps=maps)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return scanned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("value_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         _docs(spark, sf_dir), n_hashes=4, band_size=2, threshold=0.6
@@ -3467,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "train_logistic": q_train_logistic,
         "bpe_train": q_bpe_train,
+        "zone_skip": q_zone_skip,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5775,6 +5808,16 @@ SELECT c_mktsegment,
          AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment"""
+    # zone-map skipping: pruning changes which FILES are opened, never
+    # the RESULT — the oracle is the plain interval filter
+    d["zone_skip"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events WHERE event_id BETWEEN 2500 AND 4999
+GROUP BY event_type"""
     # CDC apply_changes (diff.py::apply_changes): frontier = latest
     # change per key by (ts micros, event_id); winning 'D' removes the
     # key, winning 'U' replaces the payload, untouched base survives

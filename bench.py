@@ -721,6 +721,27 @@ def main() -> None:
 
     timed("bucketed_join", _bucketed_join_cell)
 
+    # zone-map skipping: clustered write is untimed setup (layout.py's
+    # pay-once job); the cell times manifest build + pruned interval scan
+    from crgp_spark.sources.zonemaps import skipping_scan, zone_maps
+
+    _zw = "/tmp/crgp_bench_zonemaps"
+    _shutil.rmtree(_zw, ignore_errors=True)
+    (
+        events
+        .repartitionByRange(16, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.parquet(_zw)
+    )
+
+    def _zone_cell():
+        maps = zone_maps(spark, _zw, "event_id")
+        return skipping_scan(
+            spark, _zw, "event_id", 2500, 4999, maps=maps
+        ).count()
+
+    timed("zone_skip", _zone_cell)
+
     from crgp_spark.operators.bloomjoin import bloom_semi_join
 
     timed(

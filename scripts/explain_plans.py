@@ -612,6 +612,24 @@ def main() -> None:
                            "o_custkey", "c_custkey"),
     })
 
+    from crgp_spark.sources.zonemaps import skipping_scan, zone_maps
+
+    _zw = "/tmp/crgp_explain_zonemaps"
+    _sh.rmtree(_zw, ignore_errors=True)
+    (
+        tbl["orders"]
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(_zw)
+    )
+    sections.update({
+        "Zone-map skipping scan: file list pruned driver-side against "
+        "per-file min/max (manifest skip), surviving files scanned with "
+        "the residual filter as a PushedFilter":
+            skipping_scan(spark, _zw, "o_orderkey", 100, 999,
+                          maps=zone_maps(spark, _zw, "o_orderkey")),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
