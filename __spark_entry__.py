@@ -2160,6 +2160,24 @@ def q_zone_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of orders minimizing (order day, price)
+    (operators/skyline.py::skyline2d): the earliest-and-cheapest
+    non-dominated points. The engine runs the linear two-level
+    prefix-min plan; the oracle runs the O(n²) NOT-EXISTS dominance
+    self-join — same frontier, scale-opposite plans."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.skyline import skyline2d
+
+    pts = _tbl(spark, sf_dir, "orders").select(
+        ts_micros(F.col("o_orderdate")).alias("_us"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).select(F.expr("_us div 86400000000").alias("day"), "cents")
+    return skyline2d(pts, "day", "cents", partitions=8)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         _docs(spark, sf_dir), n_hashes=4, band_size=2, threshold=0.6
@@ -3500,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_logistic": q_train_logistic,
         "bpe_train": q_bpe_train,
         "zone_skip": q_zone_skip,
+        "skyline": q_skyline,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5818,6 +5837,22 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events WHERE event_id BETWEEN 2500 AND 4999
 GROUP BY event_type"""
+    # 2-D skyline: the oracle is the textbook O(n²) NOT-EXISTS
+    # dominance self-join over the per-(day,cents) reduction; the
+    # engine's linear prefix-min plan must produce the same frontier
+    d["skyline"] = """
+WITH f AS MATERIALIZED (
+  SELECT EPOCH_US(o_orderdate) // 86400000000 AS day,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT day, cents, n FROM f p
+WHERE NOT EXISTS (
+  SELECT 1 FROM f q
+  WHERE q.day <= p.day AND q.cents <= p.cents
+    AND (q.day < p.day OR q.cents < p.cents)
+)"""
     # CDC apply_changes (diff.py::apply_changes): frontier = latest
     # change per key by (ts micros, event_id); winning 'D' removes the
     # key, winning 'U' replaces the payload, untouched base survives

@@ -742,6 +742,17 @@ def main() -> None:
 
     timed("zone_skip", _zone_cell)
 
+    from crgp_spark.operators.skyline import skyline2d
+
+    def _skyline_cell():
+        pts = tbl["orders"].select(
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias("day"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        return skyline2d(pts, "day", "cents").count()
+
+    timed("skyline", _skyline_cell)
+
     from crgp_spark.operators.bloomjoin import bloom_semi_join
 
     timed(

@@ -630,6 +630,22 @@ def main() -> None:
                           maps=zone_maps(spark, _zw, "o_orderkey")),
     })
 
+    from crgp_spark.operators.skyline import skyline2d
+
+    sections.update({
+        "2-D skyline: combinable per-x min reduction -> range exchange "
+        "-> partition-local prefix-min window + broadcast of the "
+        "one-row-per-partition boundary minima (no global "
+        "single-partition window)": skyline2d(
+            tbl["orders"].select(
+                F.col("o_orderkey").alias("x"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long").alias("y"),
+            ),
+            "x", "y",
+        ),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
