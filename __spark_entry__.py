@@ -2178,6 +2178,24 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline2d(pts, "day", "cents", partitions=8)
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily regular-grid user balance series with forward fill
+    (operators/timeseries.py::resample_ffill): last event value per
+    (user, day) — deterministic last by (ts, event_id) — then the
+    gaps between each user's first and last day filled with the
+    previous observation (count-prefix fill groups, both engines)."""
+    from crgp_spark.operators.timeseries import resample_ffill
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    out = resample_ffill(
+        _events(spark, sf_dir), key="user_id", ts="ts", val=cents,
+        seq="event_id",
+    )
+    return out.select(
+        "user_id", F.col("bucket").alias("day"), F.col("val").alias("cents")
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         _docs(spark, sf_dir), n_hashes=4, band_size=2, threshold=0.6
@@ -3519,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "zone_skip": q_zone_skip,
         "skyline": q_skyline,
+        "resample": q_resample,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5853,6 +5872,33 @@ WHERE NOT EXISTS (
   WHERE q.day <= p.day AND q.cents <= p.cents
     AND (q.day < p.day OR q.cents < p.cents)
 )"""
+    # daily resample + forward fill: last-per-bucket via the shared
+    # LPAD ord_key (ARG_MAX has no struct keys), spine via constant
+    # lateral RANGE (a column bound can't parameterize RANGE here),
+    # fill via the same count-prefix group idiom the engine uses
+    d["resample"] = """
+WITH obs AS MATERIALIZED (
+  SELECT user_id, EPOCH_US(ts) // 86400000000 AS day,
+         ARG_MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                 LPAD(CAST(EPOCH_US(ts) AS VARCHAR), 20, '0') || ':' ||
+                 LPAD(CAST(event_id AS VARCHAR), 20, '0')) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, mn + i AS day
+  FROM bounds, RANGE(366) r(i) WHERE mn + i <= mx
+),
+j AS (
+  SELECT s.user_id, s.day, o.cents,
+         COUNT(o.cents) OVER (PARTITION BY s.user_id ORDER BY s.day) AS grp
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+)
+SELECT user_id, day,
+       MAX(cents) OVER (PARTITION BY user_id, grp) AS cents
+FROM j"""
     # CDC apply_changes (diff.py::apply_changes): frontier = latest
     # change per key by (ts micros, event_id); winning 'D' removes the
     # key, winning 'U' replaces the payload, untouched base survives

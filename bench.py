@@ -753,6 +753,17 @@ def main() -> None:
 
     timed("skyline", _skyline_cell)
 
+    from crgp_spark.operators.timeseries import resample_ffill
+
+    timed(
+        "resample",
+        lambda: resample_ffill(
+            events, key="user_id", ts="ts",
+            val=F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            seq="event_id",
+        ).count(),
+    )
+
     from crgp_spark.operators.bloomjoin import bloom_semi_join
 
     timed(

@@ -646,6 +646,18 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.timeseries import resample_ffill
+
+    sections.update({
+        "Resample + forward fill: combinable max_by downsample -> "
+        "per-key sequence spine (no global window) -> count-prefix "
+        "fill groups, all windows partitioned by key": resample_ffill(
+            events, key="user_id", ts="ts",
+            val=F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            seq="event_id",
+        ),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
