@@ -753,6 +753,34 @@ def main() -> None:
 
     timed("skyline", _skyline_cell)
 
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.ivm import maintain_rollup, rollup_view
+
+    def _ivm_cell():
+        base = tbl["customer"].select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long").alias("bal_cents"),
+            "c_mktsegment",
+        )
+        changes = events.select(
+            (F.col("user_id") + 1).alias("c_custkey"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long").alias("bal_cents"),
+            F.col("event_type").alias("c_mktsegment"),
+            F.when(F.col("event_type") == "purchase", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            ts_micros(F.col("ts")).alias("v_us"),
+            F.col("event_id").alias("v_seq"),
+        )
+        return maintain_rollup(
+            base, changes, ["c_custkey"], ["v_us", "v_seq"],
+            ["c_mktsegment"], "bal_cents",
+            base_agg=rollup_view(base, ["c_mktsegment"], "bal_cents"),
+        ).count()
+
+    timed("ivm", _ivm_cell)
+
     from crgp_spark.operators.timeseries import resample_ffill
 
     timed(

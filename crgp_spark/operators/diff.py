@@ -102,6 +102,24 @@ def apply_changes(
     CDC, not a tiebreak choice to hide): duplicate ``(key,
     order_cols)`` tuples raise.
     """
+    keys = list(key_cols)
+    frontier = change_frontier(changes, key_cols, order_cols)
+    payload = [c for c in base.columns]
+    untouched = base.join(frontier.select(*keys), keys, "left_anti")
+    upserts = frontier.filter(F.col(op_col) == "U").select(*payload)
+    return untouched.unionByName(upserts)
+
+
+def change_frontier(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Reduce a CDC changelog to its frontier: the single winning
+    (latest by ``order_cols``) change per key — ONE window, the shared
+    first step of `apply_changes` and `ivm.maintain_rollup`.  Raises on
+    duplicate ``(key, order)`` tuples: ties are ambiguous CDC, not a
+    tiebreak choice to hide."""
     from pyspark.sql import Window
 
     keys = list(key_cols)
@@ -119,13 +137,9 @@ def apply_changes(
         raise ValueError(
             f"ambiguous changelog: duplicate (key, order) tuple {dup[0]}"
         )
-    payload = [c for c in base.columns]
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order])
-    frontier = (
+    return (
         changes.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    untouched = base.join(frontier.select(*keys), keys, "left_anti")
-    upserts = frontier.filter(F.col(op_col) == "U").select(*payload)
-    return untouched.unionByName(upserts)

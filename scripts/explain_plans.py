@@ -658,6 +658,36 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.functions import ts_micros as _tsus
+    from crgp_spark.operators.ivm import maintain_rollup, rollup_view
+
+    _ivm_base = tbl["customer"].select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long").alias("bal_cents"),
+        "c_mktsegment",
+    )
+    _ivm_ch = events.select(
+        (F.col("user_id") + 1).alias("c_custkey"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long").alias("bal_cents"),
+        F.col("event_type").alias("c_mktsegment"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        _tsus(F.col("ts")).alias("v_us"),
+        F.col("event_id").alias("v_seq"),
+    )
+    sections.update({
+        "Incremental view maintenance: changelog frontier window -> "
+        "touched-key semi-join (the only base contact) -> delta "
+        "groupBy -> outer merge into the materialized view — "
+        "O(changes), never O(facts)": maintain_rollup(
+            _ivm_base, _ivm_ch, ["c_custkey"], ["v_us", "v_seq"],
+            ["c_mktsegment"], "bal_cents",
+            base_agg=rollup_view(_ivm_base, ["c_mktsegment"], "bal_cents"),
+        ),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
