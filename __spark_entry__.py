@@ -756,6 +756,85 @@ d{r} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _sql_msf(rounds: int = 8, jumps: int = 8) -> str:
+    """Unrolled Borůvka twin of operators/msf.py over the influence
+    edges (weight = max(dst_turn - src_turn, 1), the latency weights):
+    per round — relabel by component, per-component ARG_MIN over both
+    directions (the shared LPAD ord key), mutual-pair 2-cycle break,
+    ``jumps`` pointer-doubling steps (2^jumps bounds the chain depth;
+    components are conversation-local, <= ~100 vertices at gate SFs),
+    then the component map re-labels through the contraction. Every
+    CTE MATERIALIZED (the MIS-oracle inlining lesson)."""
+    lpad = (
+        "LPAD(CAST(w AS VARCHAR), 20, '0') || ':' || "
+        "LPAD(CAST(u AS VARCHAR), 20, '0') || ':' || "
+        "LPAD(CAST(v AS VARCHAR), 20, '0')"
+    )
+    parts = [
+        f"WITH {_SQL_EDGES},",
+        f"""ew AS (
+  SELECT uid * 100000 + src_turn AS a, uid * 100000 + dst_turn AS b,
+         GREATEST(CAST(dst_turn - src_turn AS BIGINT), 1) AS w
+  FROM edges
+),
+e0 AS MATERIALIZED (
+  SELECT u, v, w, {lpad} AS ord FROM (
+    SELECT u, v, MIN(w) AS w FROM (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v, w
+      FROM ew WHERE a <> b
+    ) GROUP BY u, v
+  )
+),
+c0 AS MATERIALIZED (
+  SELECT vid, vid AS comp FROM (
+    SELECT u AS vid FROM e0 UNION SELECT v FROM e0)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+x{r} AS MATERIALIZED (
+  SELECT ca.comp AS cu, cb.comp AS cv, e.u, e.v, e.w, e.ord
+  FROM e0 e JOIN c{p} ca ON e.u = ca.vid JOIN c{p} cb ON e.v = cb.vid
+  WHERE ca.comp <> cb.comp
+),
+ch{r} AS MATERIALIZED (
+  SELECT c, ARG_MIN(o, ord) AS parent, ARG_MIN(u, ord) AS u,
+         ARG_MIN(v, ord) AS v, ARG_MIN(w, ord) AS w
+  FROM (SELECT cu AS c, cv AS o, u, v, w, ord FROM x{r}
+        UNION ALL SELECT cv, cu, u, v, w, ord FROM x{r})
+  GROUP BY c
+),
+ms{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM ch{r}),
+p{r}j0 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.parent = a.c AND a.c < a.parent
+                   THEN a.c ELSE a.parent END AS parent
+  FROM ch{r} a JOIN ch{r} b ON a.parent = b.c
+)"""
+        )
+        for j in range(1, jumps + 1):
+            parts.append(
+                f""",
+p{r}j{j} AS MATERIALIZED (
+  SELECT a.c, b.parent FROM p{r}j{j - 1} a
+  JOIN p{r}j{j - 1} b ON a.parent = b.c
+)"""
+            )
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT c.vid, COALESCE(p.parent, c.comp) AS comp
+  FROM c{p} c LEFT JOIN p{r}j{jumps} p ON c.comp = p.c
+)"""
+        )
+    sel = "\n  UNION ALL ".join(
+        f"SELECT u, v, w FROM ms{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT u, v, w FROM (\n  {sel})")
+    return "".join(parts)
+
+
 def _sql_betweenness(n_seeds: int = 8, radius: int = 4) -> str:
     """Unrolled BFS-with-geodesic-counting twin of
     operators/betweenness.py::betweenness_seeded.  Two sigma-DP BFS
@@ -3445,6 +3524,25 @@ def q_virality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the influence graph under the
+    latency weights (operators/msf.py::minimum_spanning_forest,
+    Borůvka) — unique under the (w, u, v) total order, so the oracle's
+    unrolled rounds must agree edge for edge."""
+    from crgp_spark.operators.msf import minimum_spanning_forest
+
+    e = _edge_turns(spark, sf_dir)
+    vid = lambda c: _uid("conv_id") * 100000 + F.col(c)  # noqa: E731
+    edges = e.select(
+        vid("src_turn").alias("src"),
+        vid("dst_turn").alias("dst"),
+        F.greatest(
+            F.col("dst_turn").cast("long") - F.col("src_turn"), F.lit(1)
+        ).alias("w"),
+    )
+    return minimum_spanning_forest(spark, edges, cfg=_graph_cfg())
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-pair betweenness numerators, integer-exact
     (operators/betweenness.py::betweenness_seeded): 8 md5-chosen seeds,
@@ -3591,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "resample": q_resample,
         "ivm": q_ivm,
+        "msf": q_msf,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -4271,6 +4370,8 @@ FROM sg LEFT JOIN re ON re.doc_id = sg.doc_id""",
         "virality": _sql_virality(radius=3),
         # originator influence latency, 4 Bellman-Ford rounds (sssp.py)
         "latency": _sql_latency(rounds=4),
+        # Borůvka MSF, 8 unrolled rounds × 8 pointer-doubling jumps
+        "msf": _sql_msf(rounds=8, jumps=8),
         # deterministic maximal matching, 4 local-min edge rounds
         "matching": _sql_matching(rounds=4),
         # matching contracted into the coarse weighted multigraph

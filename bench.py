@@ -781,6 +781,16 @@ def main() -> None:
 
     timed("ivm", _ivm_cell)
 
+    from crgp_spark.operators.msf import minimum_spanning_forest
+
+    def _msf_cell():
+        we = e2.withColumn(
+            "w", (F.col("dst") % 97 + F.lit(1)).cast("long")
+        )
+        return minimum_spanning_forest(spark, we, cfg=cfg).count()
+
+    timed("msf", _msf_cell)
+
     from crgp_spark.operators.timeseries import resample_ffill
 
     timed(

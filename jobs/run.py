@@ -18,6 +18,7 @@ Subcommands per --algo:
   pagerank_df pure-DataFrame PageRank (JVM-only baseline)
   components  small-star/large-star connected components
   scc         strongly connected components (trim + FW-BW coloring)
+  msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   labelprop   synchronous label propagation
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
@@ -232,6 +233,25 @@ def main() -> None:
         n = strongly_connected_components(spark, edges, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_labeled=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "msf":
+        from pyspark.sql import functions as F
+
+        from crgp_spark.operators.msf import minimum_spanning_forest
+
+        raw = spark.read.parquet(args.edges)
+        # default weight = 1 when the table carries none (spanning
+        # forest of the unweighted graph, ties broken by (u, v))
+        if "w" in raw.columns:
+            edges = raw.select("src", "dst", "w")
+        else:
+            edges = raw.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        n_edges = edges.count()
+        t0 = time.time()
+        n = minimum_spanning_forest(spark, edges, cfg).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, forest_edges=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "labelprop":

@@ -688,13 +688,43 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.msf import _canonical
+
+    _me = _canonical(
+        e_vid.withColumn("w", (F.col("dst") % 97 + F.lit(1)).cast("long"))
+    )
+    _mc = (
+        _me.select(F.col("u").alias("vid"))
+        .unionByName(_me.select(F.col("v").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").alias("comp"))
+    )
+    _md = _me.join(
+        _mc.select(F.col("vid").alias("u"), F.col("comp").alias("cu")), "u"
+    ).join(
+        _mc.select(F.col("vid").alias("v"), F.col("comp").alias("cv")), "v"
+    ).filter(F.col("cu") != F.col("cv"))
+    sections.update({
+        "Boruvka MSF (round-1 choose stage shown): canonical dedup "
+        "groupBy -> component relabel joins -> ONE combinable min_by "
+        "per-component argmin over both directions": _md.select(
+            F.col("cu").alias("c"), "u", "v", "w", "ord"
+        ).unionByName(
+            _md.select(F.col("cv").alias("c"), "u", "v", "w", "ord")
+        ).groupBy("c").agg(
+            F.min_by("u", "ord").alias("u"),
+            F.min_by("v", "ord").alias("v"),
+            F.min_by("w", "ord").alias("w"),
+        ),
+    })
+
     from crgp_spark.operators.coloring import greedy_coloring
 
     sections.update({
         "Jones-Plassmann coloring (one round shown): active semi-join "
         "pair -> per-vertex MIN local-minimum test -> colored-state "
         "join + round-bounded collect_set mex": greedy_coloring(
-            spark, edges_vid, rounds=1
+            spark, e_vid, rounds=1
         ),
     })
 
