@@ -2101,6 +2101,18 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY (operators/bpetrain.py::bpe_encode): the 5
+    learned merge rules replayed over every document — one JVM-side
+    F.aggregate fold over the vocabulary-sized distinct-word table,
+    then a words→vocab join for per-doc BPE token counts. With
+    bpe_train this closes the train→encode tokenizer loop."""
+    from crgp_spark.operators.bpetrain import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_encode(docs, bpe_train(docs, merges=5))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-rule training (operators/bpetrain.py::
     bpe_train): 5 most-frequent-pair merges learned from the document
@@ -3690,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "ivm": q_ivm,
         "msf": q_msf,
+        "bpe_encode": q_bpe_encode,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6188,6 +6201,41 @@ w{r} AS MATERIALIZED (
     # unrolled; states MATERIALIZED (each feeds pair counting AND the
     # next rewrite); literal REPLACE of the paren-framed pair is
     # leftmost-non-overlapping in both engines
+    _bpe = _sql_bpe_chain(5) + (
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, cnt FROM t{r}"
+            for r in range(1, 6)
+        )
+    )
+    d["bpe_train"] = _bpe
+    # BPE encode (bpetrain.py::bpe_encode): the APPLY half — every
+    # word occurrence joins the final trained state s5 (the merged
+    # form of a word IS its encoding under the learned rules); token
+    # count = '(' count of the merged string
+    d["bpe_encode"] = _sql_bpe_chain(5) + """,
+docw AS MATERIALIZED (
+  SELECT doc_id, tok AS word FROM (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT_REGEX(
+             TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')),
+             '\\s+')) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+)
+SELECT d.doc_id,
+       CAST(SUM(LENGTH(s.s) - LENGTH(REPLACE(s.s, '(', ''))) AS BIGINT)
+         AS n_tokens
+FROM docw d JOIN s5 s ON d.word = s.word
+GROUP BY d.doc_id"""
+    return d
+
+
+def _sql_bpe_chain(merges: int) -> str:
+    """Shared unrolled BPE WITH-chain: words → framed s0 → per-round
+    (pair counts p{r}, winner t{r}, rewritten state s{r}) — used by the
+    bpe_train oracle (winners) and the bpe_encode oracle (final
+    state)."""
     _bpe = """
 WITH ntext AS MATERIALIZED (
   SELECT TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
@@ -6207,7 +6255,7 @@ s0 AS MATERIALIZED (
          freq
   FROM words
 )"""
-    for r in range(1, 6):
+    for r in range(1, merges + 1):
         _bpe += f""",
 p{r} AS MATERIALIZED (
   SELECT STRING_SPLIT(pr, '@')[1] AS lhs, STRING_SPLIT(pr, '@')[2] AS rhs,
@@ -6232,12 +6280,4 @@ s{r} AS MATERIALIZED (
          freq
   FROM s{r - 1} CROSS JOIN t{r}
 )"""
-    _bpe += (
-        "\n"
-        + "\nUNION ALL\n".join(
-            f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, cnt FROM t{r}"
-            for r in range(1, 6)
-        )
-    )
-    d["bpe_train"] = _bpe
-    return d
+    return _bpe

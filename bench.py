@@ -515,6 +515,13 @@ def main() -> None:
 
     timed("bpe_train", lambda: bpe_train(docs, merges=5).count())
 
+    from crgp_spark.operators.bpetrain import bpe_encode
+
+    timed(
+        "bpe_encode",
+        lambda: bpe_encode(docs, bpe_train(docs, merges=5)).count(),
+    )
+
     from crgp_spark.operators.dedup import setsim_join
 
     # shingled sets (the production AllPairs shape): prefix filtering

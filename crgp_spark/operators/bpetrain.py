@@ -113,3 +113,68 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
     return rules
+
+
+def _framed(word: F.Column) -> F.Column:
+    """Character-framed symbol string of a word: ``cat`` → ``(c)(a)(t)``
+    (the training seed shape)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(F.split(word, "(?!^)"), 1, F.length(word)),
+            lambda c: F.concat(F.lit("("), c, F.lit(")")),
+        ),
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with learned merge rules — the APPLY half of the
+    tokenizer (`bpe_train` is the learn half).  Returns
+    ``(id_col, n_tokens)``: the BPE symbol count of each document
+    after replaying the rules in ``merge_round`` order.
+
+    Encoding a word is rule-table-driven, not corpus-driven, so the
+    fold runs over the DISTINCT word table (vocabulary-sized) and the
+    per-document counts come from one words→vocab join + groupBy.
+    The rule table is metadata (``merges`` rows): it folds into a
+    single broadcast array and the replay is one JVM-side
+    ``F.aggregate`` over it — per-rule semantics identical to
+    training's leftmost-non-overlapping framed ``replace``."""
+    rule_arr = rules.agg(
+        F.sort_array(
+            F.collect_list(F.struct("merge_round", "lhs", "rhs"))
+        ).alias("_rules")
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = words.select("word").distinct()
+    enc = vocab.crossJoin(F.broadcast(rule_arr)).select(
+        "word",
+        F.aggregate(
+            "_rules",
+            _framed(F.col("word")),
+            lambda acc, r: F.replace(
+                acc,
+                F.concat(
+                    F.lit("("), r["lhs"], F.lit(")("), r["rhs"], F.lit(")")
+                ),
+                F.concat(F.lit("("), r["lhs"], r["rhs"], F.lit(")")),
+            ),
+        ).alias("s"),
+    )
+    n_syms = (
+        F.length("s") - F.length(F.replace(F.col("s"), F.lit("(")))
+    ).cast("long")
+    return (
+        words.join(enc, "word")
+        .select(id_col, n_syms.alias("_n"))
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("n_tokens"))
+    )

@@ -439,6 +439,18 @@ def main() -> None:
         "frequency reduction)": bpe_train(docs, merges=1),
     })
 
+    from crgp_spark.operators.bpetrain import bpe_encode
+
+    _enc_rules = spark.createDataFrame(
+        [(1, "t", "h"), (2, "th", "e")],
+        "merge_round int, lhs string, rhs string",
+    )
+    sections.update({
+        "BPE encode: broadcast 1-row rule array, JVM-side aggregate "
+        "fold over the DISTINCT word table, words->vocab join + "
+        "combinable per-doc count": bpe_encode(docs, _enc_rules),
+    })
+
     from crgp_spark.operators.train import logistic_train
 
     sections.update({

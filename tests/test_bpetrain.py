@@ -7,10 +7,10 @@ from collections import Counter
 
 import pytest
 
-from crgp_spark.operators.bpetrain import bpe_train
+from crgp_spark.operators.bpetrain import bpe_encode, bpe_train
 
 
-def _py_bpe(texts, merges):
+def _py_bpe(texts, merges, with_state=False):
     """Classic sequential word-level BPE with lexicographic tiebreak
     and leftmost-non-overlapping merging."""
     vocab = Counter()
@@ -39,7 +39,7 @@ def _py_bpe(texts, merges):
                     out.append(syms[i])
                     i += 1
             state[w] = out
-    return rules
+    return (rules, state) if with_state else rules
 
 
 def _run(spark, texts, merges):
@@ -90,3 +90,45 @@ def test_validates_merges(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_train(df, merges=0)
+
+
+def test_encode_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lower league follows newer, slower rules",
+        "low lower lowest newest widest the the the",
+    ]
+    _, state = _py_bpe(texts, 5, with_state=True)
+    want = []
+    for i, t in enumerate(texts):
+        nt = re.sub("[^a-z0-9]+", " ", t.lower()).strip()
+        want.append((i, sum(len(state[w]) for w in nt.split() if w)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = bpe_encode(df, bpe_train(df, merges=5))
+    got = sorted((r["doc_id"], r["n_tokens"]) for r in out.collect())
+    assert got == sorted(want)
+
+
+def test_encode_with_handwritten_rules(spark):
+    # rule (q,q): 'qq' folds to one symbol; 'zzz' is untouched (3)
+    docs = spark.createDataFrame(
+        [(0, "qq zzz qq")], "doc_id long, text string"
+    )
+    rules = spark.createDataFrame(
+        [(1, "q", "q")], "merge_round int, lhs string, rhs string"
+    )
+    out = bpe_encode(docs, rules).collect()
+    assert [(r["doc_id"], r["n_tokens"]) for r in out] == [(0, 1 + 3 + 1)]
+
+
+def test_encode_rule_order_respected(spark):
+    # (a,b)->ab then (ab,c)->abc: 'abc' must become ONE symbol; applying
+    # in the wrong order would leave two
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    rules = spark.createDataFrame(
+        [(2, "ab", "c"), (1, "a", "b")],
+        "merge_round int, lhs string, rhs string",
+    )
+    assert bpe_encode(docs, rules).collect()[0]["n_tokens"] == 1
