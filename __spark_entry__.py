@@ -2101,6 +2101,26 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/regress.py::grouped_trend):
+    slope of event cents vs day index — exact BIGINT moments, the one
+    float division identical across engines (same integer operands,
+    one correctly-rounded IEEE op)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.regress import grouped_trend
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        ts_micros(F.col("ts")).alias("_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).select(
+        "user_id", F.expr("_us div 86400000000").alias("day"), "cents"
+    )
+    return grouped_trend(ev, "user_id", F.col("day"), F.col("cents"))
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY (operators/bpetrain.py::bpe_encode): the 5
     learned merge rules replayed over every document — one JVM-side
@@ -3703,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm": q_ivm,
         "msf": q_msf,
         "bpe_encode": q_bpe_encode,
+        "trend": q_trend,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6023,6 +6044,36 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events WHERE event_id BETWEEN 2500 AND 4999
 GROUP BY event_type"""
+    # grouped OLS trend: exact BIGINT moments; the single final float
+    # division of two exact integers is IEEE-identical across engines
+    d["trend"] = """
+WITH pts AS MATERIALIZED (
+  SELECT user_id,
+         EPOCH_US(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+reb AS MATERIALIZED (
+  SELECT user_id,
+         day - MIN(day) OVER (PARTITION BY user_id) AS x,
+         cents AS y
+  FROM pts
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM reb GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope
+FROM s"""
     # 2-D skyline: the oracle is the textbook O(n²) NOT-EXISTS
     # dominance self-join over the per-(day,cents) reduction; the
     # engine's linear prefix-min plan must produce the same frontier

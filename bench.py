@@ -798,6 +798,22 @@ def main() -> None:
 
     timed("msf", _msf_cell)
 
+    from crgp_spark.operators.regress import grouped_trend
+
+    def _trend_cell():
+        ev = events.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long").alias("cents"),
+        )
+        return grouped_trend(ev, "user_id", F.col("day"),
+                             F.col("cents")).count()
+
+    timed("trend", _trend_cell)
+
     from crgp_spark.operators.timeseries import resample_ffill
 
     timed(
