@@ -792,7 +792,7 @@ def main() -> None:
 
     def _msf_cell():
         we = e2.withColumn(
-            "w", (F.col("dst") % 97 + F.lit(1)).cast("long")
+            "w", (F.pmod(F.col("dst"), F.lit(97)) + F.lit(1)).cast("long")
         )
         return minimum_spanning_forest(spark, we, cfg=cfg).count()
 

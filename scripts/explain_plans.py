@@ -703,7 +703,7 @@ def main() -> None:
     from crgp_spark.operators.msf import _canonical
 
     _me = _canonical(
-        e_vid.withColumn("w", (F.col("dst") % 97 + F.lit(1)).cast("long"))
+        e_vid.withColumn("w", (F.pmod(F.col("dst"), F.lit(97)) + F.lit(1)).cast("long"))
     )
     _mc = (
         _me.select(F.col("u").alias("vid"))
