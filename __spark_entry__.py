@@ -2101,6 +2101,44 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ladder generalization
+    (operators/privacy.py::generalize_until_k) over the customer
+    quasi-identifiers (segment, nation, balance bucket): returns the
+    FIRST ladder level whose equivalence classes all reach k=5, with
+    the level pinned into the rows. The oracle computes all levels and
+    selects with the same first-passing rule, so both engines make the
+    identical data-dependent choice."""
+    from crgp_spark.operators.privacy import generalize_until_k
+
+    c = _tbl(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    zero = F.lit(0).cast("long")
+    ladder = [
+        {
+            "seg": F.col("c_mktsegment"),
+            "nat": F.col("c_nationkey").cast("long"),
+            "bal": (cents - cents % 100000) / 100000,
+        },
+        {
+            "seg": F.col("c_mktsegment"),
+            "nat": F.col("c_nationkey").cast("long") - F.col(
+                "c_nationkey"
+            ).cast("long") % 5,
+            "bal": (cents - cents % 1000000) / 1000000,
+        },
+        {"seg": F.col("c_mktsegment"), "nat": zero, "bal": zero},
+    ]
+    ladder = [
+        {k2: (v.cast("long") if k2 != "seg" else v) for k2, v in lv.items()}
+        for lv in ladder
+    ]
+    level, classes = generalize_until_k(c, ladder, k=5)
+    return classes.select(
+        F.lit(level).cast("int").alias("level"), "seg", "nat", "bal", "n"
+    )
+
+
 def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS value trend (operators/regress.py::grouped_trend):
     slope of event cents vs day index — exact BIGINT moments, the one
@@ -3724,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "bpe_encode": q_bpe_encode,
         "trend": q_trend,
+        "kanon": q_kanon,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6044,6 +6083,42 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events WHERE event_id BETWEEN 2500 AND 4999
 GROUP BY event_type"""
+    # k-anonymity ladder: all three generalization levels computed,
+    # the first level with zero below-k classes selected by the same
+    # rule the engine applies (integer // truncates toward zero in
+    # BOTH engines, incl. negative balances — verified)
+    d["kanon"] = """
+WITH base AS MATERIALIZED (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+l0 AS MATERIALIZED (
+  SELECT seg, nat, cents // 100000 AS bal, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3
+),
+l1 AS MATERIALIZED (
+  SELECT seg, nat - nat % 5 AS nat, cents // 1000000 AS bal,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2, 3
+),
+l2 AS MATERIALIZED (
+  SELECT seg, CAST(0 AS BIGINT) AS nat, CAST(0 AS BIGINT) AS bal,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1
+),
+sel AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM l0 WHERE n < 5) = 0 THEN 0
+              WHEN (SELECT COUNT(*) FROM l1 WHERE n < 5) = 0 THEN 1
+              ELSE 2 END AS lvl
+),
+allv AS (
+  SELECT 0 AS lvl, * FROM l0
+  UNION ALL SELECT 1, * FROM l1
+  UNION ALL SELECT 2, * FROM l2
+)
+SELECT CAST(a.lvl AS INT) AS level, seg, nat, bal, n
+FROM allv a JOIN sel s ON a.lvl = s.lvl"""
     # grouped OLS trend: exact BIGINT moments; the single final float
     # division of two exact integers is IEEE-identical across engines
     d["trend"] = """

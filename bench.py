@@ -814,6 +814,24 @@ def main() -> None:
 
     timed("trend", _trend_cell)
 
+    from crgp_spark.operators.privacy import generalize_until_k
+
+    def _kanon_cell():
+        cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        zero = F.lit(0).cast("long")
+        nat = F.col("c_nationkey").cast("long")
+        ladder = [
+            {"seg": F.col("c_mktsegment"), "nat": nat,
+             "bal": ((cents - cents % 100000) / 100000).cast("long")},
+            {"seg": F.col("c_mktsegment"), "nat": nat - nat % 5,
+             "bal": ((cents - cents % 1000000) / 1000000).cast("long")},
+            {"seg": F.col("c_mktsegment"), "nat": zero, "bal": zero},
+        ]
+        _, classes = generalize_until_k(tbl["customer"], ladder, k=5)
+        return classes.count()
+
+    timed("kanon", _kanon_cell)
+
     from crgp_spark.operators.timeseries import resample_ffill
 
     timed(
