@@ -2101,6 +2101,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary (operators/robust.py): Hampel
+    MAD rule over event value cents — medians of integers are exact
+    0.5-multiples, shipped as 2x BIGINTs."""
+    from crgp_spark.operators.robust import mad_summary
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return mad_summary(_events(spark, sf_dir), "event_type", cents, nsig=3.0)
+
+
 def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity ladder generalization
     (operators/privacy.py::generalize_until_k) over the customer
@@ -3763,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "trend": q_trend,
         "kanon": q_kanon,
+        "mad": q_mad,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6083,6 +6094,34 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(MAX(event_id) AS BIGINT) AS max_id
 FROM events WHERE event_id BETWEEN 2500 AND 4999
 GROUP BY event_type"""
+    # MAD outliers: QUANTILE_CONT == Spark percentile (linear
+    # interpolation, the quantiles-entry contract); integer inputs
+    # make every median an exact 0.5-multiple => 2x BIGINTs
+    d["mad"] = """
+WITH pts AS MATERIALIZED (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+med AS MATERIALIZED (
+  SELECT event_type, QUANTILE_CONT(v, 0.5) AS med
+  FROM pts GROUP BY event_type
+),
+dev AS MATERIALIZED (
+  SELECT p.event_type, p.v, m.med, ABS(p.v - m.med) AS dev
+  FROM pts p JOIN med m USING (event_type)
+),
+mad AS MATERIALIZED (
+  SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d.med) * 2 AS BIGINT) AS med2x,
+       CAST(MIN(m.mad) * 2 AS BIGINT) AS mad2x,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type"""
     # k-anonymity ladder: all three generalization levels computed,
     # the first level with zero below-k classes selected by the same
     # rule the engine applies (integer // truncates toward zero in

@@ -832,6 +832,16 @@ def main() -> None:
 
     timed("kanon", _kanon_cell)
 
+    from crgp_spark.operators.robust import mad_summary
+
+    timed(
+        "mad",
+        lambda: mad_summary(
+            events, "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).count(),
+    )
+
     from crgp_spark.operators.timeseries import resample_ffill
 
     timed(
