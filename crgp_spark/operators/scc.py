@@ -16,21 +16,31 @@ Algorithm, per outer round on the remaining subgraph:
    phase from its known O(n)-round worst case on long chains.
 2. **Forward coloring to fixpoint** — propagate ``color(v) = min(v, min
    color of in-neighbors)``; at fixpoint ``color(v)`` = the minimum
-   vertex id that can reach ``v``.
-3. **Backward sweep within color** — a root is ``color(v) == v``; flag
-   every vertex that can reach its root along edges whose endpoints share
-   the color. Since the root reaches everything in its color class,
-   ``flagged(color c)`` is exactly ``SCC(root c)`` — one whole SCC per
-   color class per round, labeled by its minimum vertex id.
-4. Remove flagged vertices (and their edges), repeat.
+   vertex id that can reach ``v``. Each superstep ALSO pointer-jumps
+   ``color(v) = min(color(v), color(color(v)))`` — valid because
+   reachability composes (``color(v)`` reaches ``v`` and
+   ``color(color(v))`` reaches ``color(v)``), and it collapses the
+   O(diameter) superstep count of plain propagation to O(log diameter),
+   the same doubling trick as the small-star/large-star components.
+3. **Backward sweep within color** — a root is ``color(v) == v``; the
+   root is provably the MINIMUM id of its color class (any ``w < c``
+   in class ``c`` would have ``color(w) <= w < c``). Restrict edges to
+   same-color endpoints, then min-propagate along the REVERSED class
+   edges with the same pointer jumping: at fixpoint ``r(v)`` = the
+   minimum class id that ``v`` can reach forward within the class, so
+   ``r(v) == color(v)`` iff ``v`` reaches its root iff ``v`` is in
+   ``SCC(root)`` — one whole SCC per color class per round, labeled by
+   its minimum vertex id. (A boolean flag sweep cannot pointer-jump;
+   the min-label formulation is what makes the backward phase
+   logarithmic too.)
+4. Remove resolved vertices (and their edges), repeat.
 
 Every phase is edges ⋈ state + map-side-combinable groupBy — no per-row
 Python; state-side joins go through ``plans/superstep.state_hint`` so
 |V|-row per-iteration tables are never broadcast at scale (CLAUDE.md
-policy). Convergence is one aggregate action per superstep (colors only
-decrease ⇒ sum strictly decreases until fixpoint; flags only grow ⇒
-count strictly increases). Plans are truncated per superstep with
-``localCheckpoint(eager=True)``.
+policy). Convergence is one aggregate action per superstep (labels only
+decrease ⇒ sum strictly decreases until fixpoint). Plans are truncated
+per superstep with ``localCheckpoint(eager=True)``.
 """
 
 from __future__ import annotations
@@ -40,7 +50,11 @@ from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
 from crgp_spark.plans.checkpoint import CheckpointManager
-from crgp_spark.plans.superstep import _release_stale_checkpoints, state_hint
+from crgp_spark.plans.superstep import (
+    _release_stale_checkpoints,
+    reset_stats,
+    state_hint,
+)
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -72,26 +86,46 @@ def _trim(
     steps = 0
     n_verts = n
     while True:
-        srcs = edges.select(F.col("src").alias("vid")).distinct()
-        dsts = edges.select(F.col("dst").alias("vid")).distinct()
-        keep = verts.join(state_hint(srcs, n_verts), "vid", "left_semi").join(
-            state_hint(dsts, n_verts), "vid", "left_semi"
+        # One map-side-combinable pass over the edges computes both
+        # degree predicates at once (one shuffle instead of two
+        # distincts + two semi-joins).
+        deg = (
+            edges.select(
+                F.col("src").alias("vid"),
+                F.lit(1).alias("_out"),
+                F.lit(0).alias("_in"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col("dst").alias("vid"),
+                    F.lit(0).alias("_out"),
+                    F.lit(1).alias("_in"),
+                )
+            )
+            .groupBy("vid")
+            .agg(F.max("_out").alias("_out"), F.max("_in").alias("_in"))
         )
-        trimmed = verts.join(keep, "vid", "left_anti").localCheckpoint(
-            eager=True
+        keep = (
+            deg.filter((F.col("_out") == 1) & (F.col("_in") == 1))
+            .select("vid")
+            .localCheckpoint(eager=True)
         )
         steps += 1
-        n_trimmed = trimmed.count()
-        if n_trimmed == 0:
-            return edges, verts, done_parts, steps
+        n_keep = keep.count()
+        if n_keep == n_verts:
+            return edges, keep, done_parts, steps
+        trimmed = verts.join(state_hint(keep, n_keep or 1), "vid", "left_anti")
         labels = trimmed.select("vid", F.col("vid").alias("scc"))
+        # ``keep`` is checkpointed each peel, so the union over the tiny
+        # per-peel label frames can stay lazy — its leaves are already
+        # materialized and the plan stays shallow.
         done_parts = (
-            labels
-            if done_parts is None
-            else done_parts.unionByName(labels).localCheckpoint(eager=True)
+            labels if done_parts is None else done_parts.unionByName(labels)
         )
-        verts = keep.localCheckpoint(eager=True)
-        n_verts = max(n_verts - n_trimmed, 1)
+        verts = keep
+        n_verts = n_keep
+        if n_verts == 0:
+            return edges.limit(0), verts, done_parts, steps
         edges = (
             edges.join(
                 state_hint(verts.withColumnRenamed("vid", "src"), n_verts),
@@ -110,10 +144,14 @@ def _trim(
 def _forward_colors(
     edges: DataFrame, verts: DataFrame, n: int, max_it: int
 ) -> tuple[DataFrame, int]:
-    """Fixpoint of color(v) = min(v, min color over in-neighbors):
-    the minimum vertex id that reaches v. Colors only decrease, so
-    sum(color) strictly decreases until the fixpoint — one agg action
-    per superstep decides convergence."""
+    """Fixpoint of color(v) = min(v, min color over in-neighbors), with
+    pointer jumping: each superstep also folds in color(color(v)) —
+    valid because color(u) reaches u, so reachability composes — which
+    makes the superstep count O(log diameter) instead of O(diameter).
+    Colors only decrease, so sum(color) strictly decreases until the
+    fixpoint — one agg action per superstep decides convergence. The
+    combined operator's fixpoint is in particular an edge-step fixpoint,
+    which is what defines correctness."""
     color = verts.select("vid", F.col("vid").alias("color")).localCheckpoint(
         eager=True
     )
@@ -132,13 +170,23 @@ def _forward_colors(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min("_c").alias("_mc"))
         )
-        color = (
-            color.join(state_hint(msgs, n), "vid", "left")
+        stepped = color.join(state_hint(msgs, n), "vid", "left").select(
+            "vid",
+            F.least("color", F.coalesce("_mc", "color")).alias("color"),
+        )
+        # pointer jump against the PREVIOUS superstep's map: prev(c)
+        # reaches c, and the freshly stepped c reaches v.
+        jump = color.select(
+            F.col("vid").alias("color"), F.col("color").alias("_jc")
+        )
+        # reset_stats: the jump join is state ⋈ state — without it the
+        # inherited size estimate SQUARES every superstep (see
+        # plans/superstep.reset_stats).
+        color = reset_stats(
+            stepped.join(state_hint(jump, n), "color", "left")
             .select(
                 "vid",
-                F.least(
-                    "color", F.coalesce("_mc", "color")
-                ).alias("color"),
+                F.least("color", F.coalesce("_jc", "color")).alias("color"),
             )
             .localCheckpoint(eager=True)
         )
@@ -152,46 +200,69 @@ def _forward_colors(
     )
 
 
-def _backward_flags(
+def _backward_reach(
     edges: DataFrame, color: DataFrame, n: int, max_it: int
 ) -> tuple[DataFrame, int]:
-    """Within each color class, flag every vertex that reaches its root
-    (color(v) == v) along same-color edges. The flagged set of class c
-    is exactly SCC(root c). Flags only grow: count decides fixpoint."""
-    flags = color.select(
-        "vid", "color", (F.col("vid") == F.col("color")).alias("flag")
-    ).localCheckpoint(eager=True)
-    prev = flags.filter("flag").count()
+    """Within each color class (edges restricted to same-color
+    endpoints), min-propagate along the REVERSED class edges with
+    pointer jumping: at fixpoint ``r(v)`` = the minimum class id that
+    ``v`` reaches forward inside the class. The root is the class
+    minimum, so ``r(v) == color(v)`` iff ``v`` reaches the root iff
+    ``v`` is in SCC(root). Returns ``(vid, color, reach)``; labels only
+    decrease, so sum decides the fixpoint."""
+    # Restrict once to same-color edges; every subsequent superstep
+    # works on this (checkpointed) class subgraph, no per-step color
+    # joins.
+    cmap_src = color.select(F.col("vid").alias("src"), F.col("color").alias("_sc"))
+    cmap_dst = color.select(F.col("vid").alias("dst"), F.col("color").alias("_dc"))
+    cedges = (
+        edges.join(state_hint(cmap_src, n), "src")
+        .join(state_hint(cmap_dst, n), "dst")
+        .filter(F.col("_sc") == F.col("_dc"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    reach = color.select("vid", "color", F.col("vid").alias("reach")).localCheckpoint(
+        eager=True
+    )
+    prev = reach.agg(F.sum("reach")).first()[0]
     for step in range(1, max_it + 1):
-        # v -> w: v becomes flagged when w is flagged and shares v's color
+        # reversed edge w->v for each forward v->w: v learns what w reaches
         msgs = (
-            edges.join(
+            cedges.join(
                 state_hint(
-                    flags.filter("flag").select(
-                        F.col("vid").alias("dst"), F.col("color").alias("_wc")
+                    reach.select(
+                        F.col("vid").alias("dst"), F.col("reach").alias("_r")
                     ),
                     n,
                 ),
                 "dst",
             )
-            .select(F.col("src").alias("vid"), F.col("_wc").alias("color"))
-            .distinct()
-            .withColumn("_nf", F.lit(True))
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.min("_r").alias("_mr"))
         )
-        flags = (
-            flags.join(state_hint(msgs, n), ["vid", "color"], "left")
+        stepped = reach.join(state_hint(msgs, n), "vid", "left").select(
+            "vid",
+            "color",
+            F.least("reach", F.coalesce("_mr", "reach")).alias("reach"),
+        )
+        # pointer jump: reach(v)=u means v reaches u in-class; fold in
+        # what u itself reaches (previous superstep's map).
+        jump = reach.select(
+            F.col("vid").alias("reach"), F.col("reach").alias("_jr")
+        )
+        reach = reset_stats(
+            stepped.join(state_hint(jump, n), "reach", "left")
             .select(
                 "vid",
                 "color",
-                (F.col("flag") | F.coalesce("_nf", F.lit(False))).alias(
-                    "flag"
-                ),
+                F.least("reach", F.coalesce("_jr", "reach")).alias("reach"),
             )
             .localCheckpoint(eager=True)
         )
-        cur = flags.filter("flag").count()
+        cur = reach.agg(F.sum("reach")).first()[0]
         if cur == prev:
-            return flags, step
+            return reach, step
         prev = cur
     raise RuntimeError(
         f"scc: backward sweep did not reach a fixpoint in {max_it} "
@@ -234,10 +305,10 @@ def strongly_connected_components(
             break
 
         color, used_f = _forward_colors(e, verts, n, max(budget, 1))
-        flags, used_b = _backward_flags(e, color, n, max(budget, 1))
+        reach, used_b = _backward_reach(e, color, n, max(budget, 1))
         budget -= used_f + used_b
 
-        found = flags.filter("flag").select(
+        found = reach.filter(F.col("reach") == F.col("color")).select(
             "vid", F.col("color").alias("scc")
         )
         done = (
@@ -246,7 +317,7 @@ def strongly_connected_components(
             else done.unionByName(found).localCheckpoint(eager=True)
         )
         verts = (
-            flags.filter(~F.col("flag"))
+            reach.filter(F.col("reach") != F.col("color"))
             .select("vid")
             .localCheckpoint(eager=True)
         )

@@ -51,8 +51,45 @@ def state_hint(df: DataFrame, n: int) -> DataFrame:
     rows: broadcast below ``BROADCAST_STATE_MAX_VERTICES``, shuffle-hash
     above. Callers with no cheap row estimate should pass an upper
     bound — over-estimating costs one shuffle, under-estimating risks
-    the broadcast-OOM accumulation."""
-    return df if n <= BROADCAST_STATE_MAX_VERTICES else df.hint("shuffle_hash")
+    the broadcast-OOM accumulation. The broadcast is an EXPLICIT hint,
+    not a reliance on Catalyst's size estimate, so the plan choice
+    survives ``reset_stats`` (which deliberately discards estimates) and
+    cannot drift with stats-propagation quirks; Spark ignores the hint
+    with a warning in the rare positions where broadcasting that side is
+    illegal (preserved side of an outer join), which degrades to exactly
+    the un-hinted behavior."""
+    if n <= BROADCAST_STATE_MAX_VERTICES:
+        return df.hint("broadcast")
+    return df.hint("shuffle_hash")
+
+
+def reset_stats(df: DataFrame) -> DataFrame:
+    """Drop Catalyst's inherited size estimate from a checkpointed frame.
+
+    ``Dataset.localCheckpoint`` copies the origin plan's ``Statistics``
+    into the replacement ``LogicalRDD``, and the size-only stats visitor
+    MULTIPLIES the children's ``sizeInBytes`` at every join. An
+    iterative operator whose superstep self-joins its own state (pointer
+    jumping: ``state ⋈ f(state)``) therefore SQUARES the inherited
+    BigInt every superstep — the digit count doubles per iteration and
+    Catalyst ends up doing million-digit Karatsuba/Toom-Cook
+    multiplications inside stats estimation (measured on a 24-vertex
+    ring: 0.6 s → 127 s per superstep by step 17, then driver
+    ``OutOfMemoryError``). Operators whose per-step joins combine state
+    only with fixed-size inputs grow the digit count linearly and never
+    notice.
+
+    Rebuilding the frame as a fresh ``LogicalRDD`` over the
+    already-materialized rows resets ``sizeInBytes`` to the session
+    default and keeps planning O(1) per superstep. JVM-side pointer
+    surgery only — no data moves, the checkpoint blocks keep backing the
+    new frame. Use on every per-superstep checkpoint of a loop that
+    joins state with anything derived from the same state."""
+    jdf = df._jdf
+    new_jdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, df.sparkSession)
 
 
 @dataclass

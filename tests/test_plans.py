@@ -159,3 +159,43 @@ def test_leaf_shuffle_variant_output_identical(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert default == leaf == GOLDEN_EDGE_TURNS
+
+
+def test_reset_stats_stops_selfjoin_stats_squaring(spark):
+    """Catalyst's size-only stats visitor multiplies children's
+    sizeInBytes at every join, and localCheckpoint INHERITS the origin
+    plan's stats — so a superstep that self-joins its own state squares
+    the estimate each iteration (digit count doubles; by step ~17 the
+    driver spends minutes in BigInteger multiplication inside stats
+    estimation, then OOMs). ``reset_stats`` must pin the estimate flat
+    across supersteps while preserving the rows."""
+    from pyspark.sql import functions as F
+
+    from crgp_spark.plans.superstep import reset_stats
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    cur = (
+        spark.range(16)
+        .select(F.col("id").alias("vid"), F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    seen = []
+    for _ in range(14):
+        jump = cur.select(F.col("vid").alias("lbl"), F.col("lbl").alias("_j"))
+        cur = reset_stats(
+            cur.join(jump, "lbl", "left")
+            .select(
+                "vid",
+                F.least("lbl", F.coalesce("_j", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        seen.append(digits(cur))
+    # un-reset, digits after 14 squarings would be ~19 * 2**13 > 150000
+    assert max(seen) <= 24, seen
+    # the reset frame still carries the data (identity jump = fixpoint)
+    assert sorted(r.lbl for r in cur.collect()) == list(range(16))
