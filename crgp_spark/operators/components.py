@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
 from crgp_spark.plans.checkpoint import CheckpointManager
-from crgp_spark.plans.superstep import state_hint
+from crgp_spark.plans.superstep import reset_stats, state_hint
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -117,9 +117,17 @@ def connected_components(
         # |V| <= 2*edges of the shrinking round edge set — a cheap upper
         # bound for the state-join hint, refreshed from the checksum
         n_bound = 2 * prev_sum[0]
-        # localCheckpoint truncates the per-round plan (see superstep.py)
-        e2 = _small_star(_large_star(e, n_bound), n_bound).localCheckpoint(
-            eager=True
+        # localCheckpoint truncates the per-round plan (see superstep.py);
+        # reset_stats drops the inherited size estimate — each star phase
+        # joins two frames derived from the same round state, so the
+        # size-only stats visitor grows the estimate ~4x per round
+        # (digit count doubles twice), which at O(log |V|) rounds on a
+        # 10^12-vertex graph is a driver-side BigInteger blowup (see
+        # plans/superstep.reset_stats).
+        e2 = reset_stats(
+            _small_star(_large_star(e, n_bound), n_bound).localCheckpoint(
+                eager=True
+            )
         )
         cur_sum = _checksum(e2)
         converged = cur_sum == prev_sum

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
 from crgp_spark.functions import ord_key
-from crgp_spark.plans.superstep import _release_stale_checkpoints, state_hint
+from crgp_spark.plans.superstep import (
+    _release_stale_checkpoints,
+    reset_stats,
+    state_hint,
+)
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -104,6 +108,11 @@ def minimum_spanning_forest(
             .filter(F.col("cu") != F.col("cv"))
             .localCheckpoint(eager=True)
         )
+        # reset_stats on every frame that feeds a later state ⋈ state
+        # join: without it the inherited size estimate compounds
+        # multiplicatively round over round (and SQUARES per pointer
+        # jump below) — see plans/superstep.reset_stats.
+        x = reset_stats(x)
         if x.count() == 0:
             return forest
 
@@ -136,7 +145,7 @@ def minimum_spanning_forest(
         )
         p = (
             ch.select("c", "parent")
-            .join(b, F.col("parent") == F.col("_pc"))
+            .join(state_hint(b, n), F.col("parent") == F.col("_pc"))
             .select(
                 "c",
                 F.when(
@@ -149,11 +158,13 @@ def minimum_spanning_forest(
             )
             .localCheckpoint(eager=True)
         )
+        p = reset_stats(p)
         for _ in range(max_jumps):
             g = p.select(
                 F.col("c").alias("_jc"), F.col("parent").alias("_jp")
             )
-            j = (
+            # p ⋈ g is state ⋈ state — the textbook squaring case
+            j = reset_stats(
                 p.join(state_hint(g, n), F.col("parent") == F.col("_jc"))
                 .select("c", "parent", "_jp")
                 .localCheckpoint(eager=True)
@@ -179,6 +190,7 @@ def minimum_spanning_forest(
             .select("vid", F.coalesce("_nc", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        comp = reset_stats(comp)
         e = x.select("u", "v", "w", "ord")
         _release_stale_checkpoints(spark, rnd, every=2)
 
