@@ -1814,6 +1814,36 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vid", "scc")
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability
+    (operators/temporalreach.py): seeds = every user_id % 17 == 0,
+    released at their own FIRST event time; edges = first-day
+    timestamped successions (temporal_edges). Arrival can only ride
+    edges at-or-after the current arrival — the temporal constraint
+    static BFS/components cannot express; at sf0.01 it leaves 22 of
+    150 users unreached and gives every reached user a distinct exact
+    arrival. Oracle = recursive-CTE (vid, t) state closure + MIN."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.temporalreach import (
+        earliest_arrival,
+        temporal_edges,
+    )
+
+    ev = _events(spark, sf_dir)
+    edges = temporal_edges(
+        ev.filter(
+            F.col("ts")
+            < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+        )
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .groupBy(F.col("user_id").alias("vid"))
+        .agg(F.min(ts_micros("ts")).alias("arrival"))
+    )
+    return earliest_arrival(spark, edges, seeds, _graph_cfg())
+
+
 def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model inference over the event log: hashed
     features -> seed-derived fixed-point linear model inside
@@ -3754,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never gated) ---
         "succession": q_succession,
         "scc": q_scc,
+        "temporal_reach": q_temporal_reach,
         "inference": q_inference,
         "quantiles_approx": q_quantiles_approx,
         "merge_delete": q_merge_delete,
@@ -4139,6 +4170,33 @@ SELECT v.v AS vid,
        CAST(LEAST(v.v, COALESCE(MIN(m.b), v.v)) AS BIGINT) AS scc
 FROM verts v LEFT JOIN mutual m ON m.a = v.v
 GROUP BY v.v""",
+        # temporal earliest arrival: recursive closure over (vid, t)
+        # states — an edge extends a state only at-or-after its time;
+        # earlier arrival dominates, so MIN per vid at the end equals
+        # the engine's |V|-row min-arrival fixpoint. Seeds released at
+        # their own first event time; edges = first-day successions.
+        "temporal_reach": """WITH RECURSIVE ed AS MATERIALIZED (
+  SELECT src, dst, t FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS dst,
+           LEAD(EPOCH_US(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS t
+    FROM (SELECT * FROM events
+          WHERE ts < CAST('2024-01-02 00:00:00' AS TIMESTAMP)) ) s
+  WHERE dst IS NOT NULL AND src <> dst
+),
+seeds AS MATERIALIZED (
+  SELECT user_id AS vid, MIN(EPOCH_US(ts)) AS t0 FROM events
+  WHERE user_id % 17 = 0 GROUP BY user_id
+),
+r AS (
+  SELECT vid, t0 AS t FROM seeds
+  UNION
+  SELECT e.dst AS vid, e.t FROM r JOIN ed e
+    ON e.src = r.vid AND e.t >= r.t
+)
+SELECT vid, CAST(MIN(t) AS BIGINT) AS arrival_us FROM r GROUP BY vid""",
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

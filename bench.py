@@ -333,6 +333,30 @@ def main() -> None:
         ).count(),
     )
 
+    # temporal earliest-arrival reachability over the first-day
+    # succession edges, seeds released at their own first event
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.temporalreach import (
+        earliest_arrival,
+        temporal_edges,
+    )
+
+    def run_temporal():
+        tedges = temporal_edges(
+            events.filter(
+                F.col("ts")
+                < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+            )
+        )
+        seeds = (
+            events.filter(F.col("user_id") % 17 == 0)
+            .groupBy(F.col("user_id").alias("vid"))
+            .agg(F.min(ts_micros("ts")).alias("arrival"))
+        )
+        return earliest_arrival(spark, tedges, seeds, cfg).count()
+
+    timed("temporal_reach", run_temporal)
+
     # cascade-local variants (same results, in-block kernels; share the
     # cascade pack built above)
     from crgp_spark.operators.cascade_algos import (

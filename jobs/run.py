@@ -18,6 +18,8 @@ Subcommands per --algo:
   pagerank_df pure-DataFrame PageRank (JVM-only baseline)
   components  small-star/large-star connected components
   scc         strongly connected components (trim + FW-BW coloring)
+  temporal_reach  earliest time-respecting arrival from seed vertices
+              (edges parquet needs src,dst,t; seeds: src % 17 == 0)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   labelprop   synchronous label propagation
   triangles   exact triangle count
@@ -233,6 +235,24 @@ def main() -> None:
         n = strongly_connected_components(spark, edges, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_labeled=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "temporal_reach":
+        from pyspark.sql import functions as F
+
+        from crgp_spark.operators.temporalreach import earliest_arrival
+
+        edges = spark.read.parquet(args.edges).select("src", "dst", "t")
+        n_edges = edges.count()
+        seeds = (
+            edges.select(F.col("src").alias("vid"))
+            .filter(F.col("vid") % 17 == 0)
+            .distinct()
+        )
+        t0 = time.time()
+        n = earliest_arrival(spark, edges, seeds, cfg).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices_reached=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "msf":

@@ -566,10 +566,20 @@ def main() -> None:
     from crgp_spark.operators.quantiles import value_quantiles_approx
     from crgp_spark.operators.transitions import succession_graph
 
+    from crgp_spark.operators.temporalreach import temporal_edges
+
     sections.update({
         "Succession graph: one channel-partitioned LEAD window + "
         "map-side-combinable pair count":
             succession_graph(events, min_weight=3),
+        "Temporal edges: pushed-down ts filter + the same bounded-"
+        "channel LEAD window carrying the successor's epoch micros":
+            temporal_edges(
+                events.filter(
+                    F.col("ts")
+                    < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+                )
+            ),
         "Batched inference: hashed features (codegen) -> one "
         "Arrow-batched mapInPandas forward pass; NO Exchange anywhere":
             batch_inference(
