@@ -1844,6 +1844,24 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(spark, edges, seeds, _graph_cfg())
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota deterministic stratified sampling
+    (operators/sampling.py): exactly 10 docs per source, chosen as the
+    10 smallest (md5(doc_id), doc_id) — the two-level bucket-count /
+    boundary-rank shape that never sorts a whole stratum. n_buckets=16
+    so the boundary-ranking path is exercised on the 25-doc strata.
+    Oracle = the naive full-sort ROW_NUMBER() <= quota."""
+    from crgp_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        ["source"],
+        10,
+        "doc_id",
+        n_buckets=16,
+    )
+
+
 def q_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model inference over the event log: hashed
     features -> seed-derived fixed-point linear model inside
@@ -3785,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "succession": q_succession,
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
+        "stratified_sample": q_stratified_sample,
         "inference": q_inference,
         "quantiles_approx": q_quantiles_approx,
         "merge_delete": q_merge_delete,
@@ -4170,6 +4189,22 @@ SELECT v.v AS vid,
        CAST(LEAST(v.v, COALESCE(MIN(m.b), v.v)) AS BIGINT) AS scc
 FROM verts v LEFT JOIN mutual m ON m.a = v.v
 GROUP BY v.v""",
+        # stratified sampling oracle: the NAIVE per-stratum full sort
+        # by (md5-60bit, key) — the engine's two-level bucket split
+        # must agree row for row
+        "stratified_sample": f"""
+WITH hx AS (
+  SELECT doc_id, source, MD5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(({_hex15_num('h')}) AS BIGINT), doc_id) AS rk
+  FROM hx
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 10""",
         # temporal earliest arrival: recursive closure over (vid, t)
         # states — an edge extends a state only at-or-after its time;
         # earlier arrival dominates, so MIN per vid at the end equals

@@ -531,6 +531,15 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     timed("minhash_dedup", lambda: minhash_dedup(docs).count())
 
+    from crgp_spark.operators.sampling import stratified_sample
+
+    timed(
+        "stratified_sample",
+        lambda: stratified_sample(
+            docs.select("doc_id", "source"), ["source"], 100, "doc_id"
+        ).count(),
+    )
+
     from crgp_spark.operators.dedup import duplicate_spans
 
     timed("dup_spans", lambda: duplicate_spans(docs).count())

@@ -590,6 +590,17 @@ def main() -> None:
         "exact ranks": value_quantiles_approx(events),
     })
 
+    from crgp_spark.operators.sampling import stratified_sample
+
+    sections.update({
+        "Stratified exact-quota sample: one combinable bucket count "
+        "(metadata-sized), broadcast threshold join, per-row ranking "
+        "only inside the boundary bucket": stratified_sample(
+            docs.select("doc_id", "source"), ["source"], 10, "doc_id",
+            n_buckets=16,
+        ),
+    })
+
     from crgp_spark.operators.semdedup import semantic_dedup
 
     embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
