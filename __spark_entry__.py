@@ -1844,6 +1844,37 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(spark, edges, seeds, _graph_cfg())
 
 
+def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed mixing summary of the actor-succession graph
+    (graphstats.py::mixing_stats): reciprocity (fraction of edges whose
+    reverse exists) + Newman out-in degree assortativity — exact BIGINT
+    moments, float ops last."""
+    from crgp_spark.operators.graphstats import mixing_stats
+    from crgp_spark.operators.transitions import succession_graph
+
+    return mixing_stats(succession_graph(_events(spark, sf_dir), min_weight=3))
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a deterministic 8-way hash partition of the
+    succession graph (graphstats.py::modularity) — the community-quality
+    metric as an exact rational (q_num/q_den BIGINTs, one final float
+    division)."""
+    from crgp_spark.operators.graphstats import modularity
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=3)
+    verts = (
+        g.select(F.col("src").alias("vid"))
+        .unionByName(g.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    labels = verts.select(
+        "vid", F.pmod(F.col("vid"), F.lit(8)).cast("long").alias("label")
+    )
+    return modularity(g, labels)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota deterministic stratified sampling
     (operators/sampling.py): exactly 10 docs per source, chosen as the
@@ -3804,6 +3835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
         "stratified_sample": q_stratified_sample,
+        "graph_mixing": q_graph_mixing,
+        "modularity": q_modularity,
         "inference": q_inference,
         "quantiles_approx": q_quantiles_approx,
         "merge_delete": q_merge_delete,
@@ -4189,6 +4222,59 @@ SELECT v.v AS vid,
        CAST(LEAST(v.v, COALESCE(MIN(m.b), v.v)) AS BIGINT) AS scc
 FROM verts v LEFT JOIN mutual m ON m.a = v.v
 GROUP BY v.v""",
+        # directed mixing: exact BIGINT moments (HUGEINT sums cast
+        # back), float division/sqrt LAST on identical operands;
+        # NULLIF = the engine's zero-variance NULL
+        "graph_mixing": f"""WITH {_SQL_SUCCESSION},
+e AS MATERIALIZED (SELECT src, dst FROM g),
+p AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+),
+dx AS (SELECT src, COUNT(*) AS dx FROM e GROUP BY src),
+dy AS (SELECT dst, COUNT(*) AS dy FROM e GROUP BY dst),
+j AS (SELECT p.m, dx.dx, dy.dy FROM p
+      JOIN dx ON dx.src = p.src JOIN dy ON dy.dst = p.dst),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS M, CAST(SUM(m) AS BIGINT) AS mu,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT M AS n_edges, mu AS n_mutual,
+       FLOOR(CAST(mu AS DOUBLE) / CAST(M AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS reciprocity,
+       FLOOR(CAST(M * sxy - sx * sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(M * sxx - sx * sx AS DOUBLE)
+                           * CAST(M * syy - sy * sy AS DOUBLE)), 0)
+             * 1000000 + 0.5) / 1000000 AS assortativity
+FROM a""",
+        # modularity of the vid % 8 partition: exact rational
+        # Q*4M^2 = 4M*intra - sum(d_c^2), one float division last
+        "modularity": f"""WITH {_SQL_SUCCESSION},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM g WHERE src <> dst
+),
+t AS (SELECT u, v, u % 8 AS cu, v % 8 AS cv FROM und),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS M,
+         CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT) AS intra
+  FROM t
+),
+d AS (SELECT c, COUNT(*) AS d FROM (
+        SELECT cu AS c FROM t UNION ALL SELECT cv FROM t) GROUP BY c),
+s AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_dc2 FROM d)
+SELECT M AS m_edges, intra AS intra_edges,
+       CAST(4 * M * intra - sum_dc2 AS BIGINT) AS q_num,
+       CAST(4 * M * M AS BIGINT) AS q_den,
+       FLOOR(CAST(4 * M * intra - sum_dc2 AS DOUBLE)
+             / CAST(4 * M * M AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS modularity
+FROM tot, s""",
         # stratified sampling oracle: the NAIVE per-stratum full sort
         # by (md5-60bit, key) — the engine's two-level bucket split
         # must agree row for row

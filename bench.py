@@ -357,6 +357,31 @@ def main() -> None:
 
     timed("temporal_reach", run_temporal)
 
+    # directed mixing + modularity of the hash partition, both over
+    # the succession graph (exact-moment scan-shaped aggregates)
+    from crgp_spark.operators.graphstats import mixing_stats, modularity
+
+    timed(
+        "graph_mixing",
+        lambda: mixing_stats(
+            succession_graph(events, min_weight=2)
+        ).count(),
+    )
+
+    def run_modularity():
+        g = succession_graph(events, min_weight=2)
+        verts = (
+            g.select(F.col("src").alias("vid"))
+            .unionByName(g.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        labels = verts.select(
+            "vid", F.pmod(F.col("vid"), F.lit(8)).cast("long").alias("label")
+        )
+        return modularity(g, labels).count()
+
+    timed("modularity", run_modularity)
+
     # cascade-local variants (same results, in-block kernels; share the
     # cascade pack built above)
     from crgp_spark.operators.cascade_algos import (

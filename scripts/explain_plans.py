@@ -566,6 +566,7 @@ def main() -> None:
     from crgp_spark.operators.quantiles import value_quantiles_approx
     from crgp_spark.operators.transitions import succession_graph
 
+    from crgp_spark.operators.graphstats import mixing_stats
     from crgp_spark.operators.temporalreach import temporal_edges
 
     sections.update({
@@ -580,6 +581,9 @@ def main() -> None:
                     < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
                 )
             ),
+        "Directed mixing stats: reverse-edge left join + two degree "
+        "joins into ONE exact-moment aggregate, float ops last":
+            mixing_stats(succession_graph(events, min_weight=3)),
         "Batched inference: hashed features (codegen) -> one "
         "Arrow-batched mapInPandas forward pass; NO Exchange anywhere":
             batch_inference(

@@ -135,3 +135,137 @@ def test_graph_summary_star(spark):
         r["avg_deg"],
         r["assortativity"],
     ) == (4, 3, 3, 0.5, 1.5, -1.0)
+
+
+def _mixing_reference(edges):
+    """Python reference for mixing_stats: exact fractions via floats on
+    exact integer moments (same final-ops contract as the engine)."""
+    import math
+
+    e = {(u, v) for u, v in edges if u != v}
+    m = len(e)
+    mutual = sum(1 for u, v in e if (v, u) in e)
+    dout, din = {}, {}
+    for u, v in e:
+        dout[u] = dout.get(u, 0) + 1
+        din[v] = din.get(v, 0) + 1
+    xs = [(dout[u], din[v]) for u, v in e]
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    num = m * sxy - sx * sy
+    den = math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    import math as _m
+
+    def rnd(x):
+        return _m.floor(x * 10**6 + 0.5) / 10**6
+
+    assort = rnd(num / den) if den > 0 else None
+    return m, mutual, rnd(mutual / m), assort
+
+
+def test_mixing_stats_hand_graph(spark):
+    """2-cycle + chain: reciprocity = 2/5; assortativity vs reference."""
+    from crgp_spark.operators.graphstats import mixing_stats
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4)]
+    r = mixing_stats(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    m, mutual, recip, assort = _mixing_reference(edges)
+    assert (r["n_edges"], r["n_mutual"], r["reciprocity"]) == (m, mutual, recip)
+    assert r["assortativity"] == assort
+
+
+def test_mixing_stats_constant_degree_null(spark):
+    """A directed ring has constant (1,1) degrees: zero variance ->
+    NULL assortativity, reciprocity 0."""
+    from crgp_spark.operators.graphstats import mixing_stats
+
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    r = mixing_stats(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert r["reciprocity"] == 0.0 and r["assortativity"] is None
+
+
+def test_mixing_stats_random_matches_reference(spark):
+    from crgp_spark.operators.graphstats import mixing_stats
+    import hashlib
+
+    def h(*xs):
+        return int(hashlib.md5(":".join(map(str, xs)).encode()).hexdigest()[:8], 16)
+
+    edges = [(h(9, i, "u") % 30, h(9, i, "v") % 30) for i in range(200)]
+    edges = [(u, v) for u, v in edges if u != v]
+    r = mixing_stats(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    m, mutual, recip, assort = _mixing_reference(edges)
+    assert (r["n_edges"], r["n_mutual"], r["reciprocity"], r["assortativity"]) == (
+        m, mutual, recip, assort,
+    )
+
+
+def _modularity_reference(edges, labels):
+    import math
+
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    m = len(und)
+    lab = dict(labels)
+    intra = sum(1 for u, v in und if lab.get(u, u) == lab.get(v, v))
+    dc = {}
+    for u, v in und:
+        dc[lab.get(u, u)] = dc.get(lab.get(u, u), 0) + 1
+        dc[lab.get(v, v)] = dc.get(lab.get(v, v), 0) + 1
+    sum_dc2 = sum(d * d for d in dc.values())
+    qn = 4 * m * intra - sum_dc2
+    qd = 4 * m * m
+    return m, intra, qn, qd, math.floor(qn / qd * 10**6 + 0.5) / 10**6
+
+
+def test_modularity_two_triangles(spark):
+    """Two triangles + bridge, perfect partition: Q = 70/196."""
+    from crgp_spark.operators.graphstats import modularity
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    labels = [(i, 100) for i in (0, 1, 2)] + [(i, 200) for i in (3, 4, 5)]
+    r = modularity(
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame(labels, "vid long, label long"),
+    ).collect()[0]
+    assert tuple(r) == _modularity_reference(edges, labels)
+    assert r["q_num"] == 70 and r["q_den"] == 196
+
+
+def test_modularity_unlabeled_default_singletons(spark):
+    """Vertices absent from labels score as their own community."""
+    from crgp_spark.operators.graphstats import modularity
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 9)]
+    labels = [(0, 7), (1, 7), (2, 7)]  # 9 unlabeled
+    r = modularity(
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame(labels, "vid long, label long"),
+    ).collect()[0]
+    assert tuple(r) == _modularity_reference(edges, labels)
+
+
+def test_modularity_hash_partition_reference(spark):
+    from crgp_spark.operators.graphstats import modularity
+    import hashlib
+
+    def h(*xs):
+        return int(hashlib.md5(":".join(map(str, xs)).encode()).hexdigest()[:8], 16)
+
+    edges = [(h(4, i, "u") % 25, h(4, i, "v") % 25) for i in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    verts = {x for e in edges for x in e}
+    labels = [(x, x % 4) for x in verts]
+    r = modularity(
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame(labels, "vid long, label long"),
+    ).collect()[0]
+    assert tuple(r) == _modularity_reference(edges, labels)
