@@ -137,6 +137,36 @@ g AS MATERIALIZED (
 )"""
 
 
+# temporal earliest arrival (operators/temporalreach.py): recursive
+# closure over (vid, t) states — an edge extends a state only
+# at-or-after its time; earlier arrival dominates, so MIN per vid
+# equals the engine's min-arrival fixpoint. Seeds released at their
+# own first event time; edges = first-day successions. Shared by the
+# batch entry and the 9th gated streaming path (stream==batch).
+_SQL_TEMPORAL_REACH = """WITH RECURSIVE ed AS MATERIALIZED (
+  SELECT src, dst, t FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS dst,
+           LEAD(EPOCH_US(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS t
+    FROM (SELECT * FROM events
+          WHERE ts < CAST('2024-01-02 00:00:00' AS TIMESTAMP)) ) s
+  WHERE dst IS NOT NULL AND src <> dst
+),
+seeds AS MATERIALIZED (
+  SELECT user_id AS vid, MIN(EPOCH_US(ts)) AS t0 FROM events
+  WHERE user_id % 17 = 0 GROUP BY user_id
+),
+r AS (
+  SELECT vid, t0 AS t FROM seeds
+  UNION
+  SELECT e.dst AS vid, e.t FROM r JOIN ed e
+    ON e.src = r.vid AND e.t >= r.t
+)
+SELECT vid, CAST(MIN(t) AS BIGINT) AS arrival_us FROM r GROUP BY vid"""
+
+
 def _graph_cfg() -> EngineConfig:
     return EngineConfig(
         shuffle_partitions=8,
@@ -1842,6 +1872,45 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(ts_micros("ts")).alias("arrival"))
     )
     return earliest_arrival(spark, edges, seeds, _graph_cfg())
+
+
+def q_stream_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal reachability under the hard gate — the 9th
+    gated stream==batch path (streaming/temporal.py): the first-day
+    event log replayed as a time-ordered file stream (range files with
+    ascending mtimes), per-channel carry deriving the epoch-spanning
+    LEAD edges, retained edges + warm-started fixpoint per epoch. The
+    oracle is the SAME recursive-CTE SQL as the batch temporal_reach
+    entry — stream == batch is the claim under test."""
+    import shutil
+    import time
+
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.temporal import stream_earliest_arrival
+
+    ev = _events(spark, sf_dir)
+    day1 = ev.filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+    )
+    work = "/tmp/crgp_stream_temporal"
+    shutil.rmtree(work, ignore_errors=True)
+    (
+        day1.repartitionByRange(6, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(work)
+    )
+    parts = sorted(f for f in os.listdir(work) if f.startswith("part-"))
+    t0 = time.time() - len(parts) * 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(work, f), (t0 + i * 10, t0 + i * 10))
+    seeds = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .groupBy(F.col("user_id").alias("vid"))
+        .agg(F.min(ts_micros("ts")).alias("arrival"))
+    )
+    return stream_earliest_arrival(
+        spark, work, seeds, _graph_cfg(), max_files_per_trigger=2
+    )
 
 
 def q_graph_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3837,6 +3906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "graph_mixing": q_graph_mixing,
         "modularity": q_modularity,
+        "stream_temporal": q_stream_temporal,
         "inference": q_inference,
         "quantiles_approx": q_quantiles_approx,
         "merge_delete": q_merge_delete,
@@ -4296,28 +4366,10 @@ SELECT doc_id, source FROM ranked WHERE rk <= 10""",
         # earlier arrival dominates, so MIN per vid at the end equals
         # the engine's |V|-row min-arrival fixpoint. Seeds released at
         # their own first event time; edges = first-day successions.
-        "temporal_reach": """WITH RECURSIVE ed AS MATERIALIZED (
-  SELECT src, dst, t FROM (
-    SELECT user_id AS src,
-           LEAD(user_id) OVER (
-             PARTITION BY event_type ORDER BY ts, event_id) AS dst,
-           LEAD(EPOCH_US(ts)) OVER (
-             PARTITION BY event_type ORDER BY ts, event_id) AS t
-    FROM (SELECT * FROM events
-          WHERE ts < CAST('2024-01-02 00:00:00' AS TIMESTAMP)) ) s
-  WHERE dst IS NOT NULL AND src <> dst
-),
-seeds AS MATERIALIZED (
-  SELECT user_id AS vid, MIN(EPOCH_US(ts)) AS t0 FROM events
-  WHERE user_id % 17 = 0 GROUP BY user_id
-),
-r AS (
-  SELECT vid, t0 AS t FROM seeds
-  UNION
-  SELECT e.dst AS vid, e.t FROM r JOIN ed e
-    ON e.src = r.vid AND e.t >= r.t
-)
-SELECT vid, CAST(MIN(t) AS BIGINT) AS arrival_us FROM r GROUP BY vid""",
+        "temporal_reach": _SQL_TEMPORAL_REACH,
+        # stream==batch: the streamed epoch-wise fixpoint must equal
+        # the batch recursive-closure oracle verbatim
+        "stream_temporal": _SQL_TEMPORAL_REACH,
         "components": f"WITH {_SQL_EVID},\n"
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",

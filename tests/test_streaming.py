@@ -405,3 +405,68 @@ def test_stream_heavy_hitters_matches_batch(spark, tmp_path, files_per_trigger):
     want = sorted(map(tuple, want_df.collect()))
     assert got == want and len(got) == 10
     assert all(r[3] for r in got)  # over_ok: est >= exact everywhere
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3, None])
+def test_stream_temporal_reach_matches_batch(spark, tmp_path, files_per_trigger):
+    """Streaming earliest arrival: the epoch-wise warm-started fixpoint
+    over retained edges + per-channel carry equals the batch operator
+    under any slicing of the time-ordered log — including the LEAD
+    edges that span epoch boundaries."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crgp_spark.config import EngineConfig
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.temporalreach import (
+        earliest_arrival,
+        temporal_edges,
+    )
+    from crgp_spark.streaming.temporal import stream_earliest_arrival
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp_ntz")
+    )
+    work = str(tmp_path / "ordered_log")
+    (
+        ev.repartitionByRange(5, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(work)
+    )
+    # simulate ordered log arrival: ascending mtimes in range order
+    # (the file source picks older files first)
+    parts = sorted(
+        f for f in os.listdir(work) if f.startswith("part-")
+    )
+    t0 = time.time() - len(parts) * 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(work, f), (t0 + i * 10, t0 + i * 10))
+
+    seeds = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy(F.col("user_id").alias("vid"))
+        .agg(F.min(ts_micros("ts")).alias("arrival"))
+    )
+    cfg = EngineConfig(
+        shuffle_partitions=8, checkpoint_dir=str(tmp_path / "ck")
+    )
+    got = sorted(
+        map(
+            tuple,
+            stream_earliest_arrival(
+                spark, work, seeds, cfg,
+                max_files_per_trigger=files_per_trigger,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            earliest_arrival(
+                spark, temporal_edges(spark.read.parquet(work)), seeds, cfg
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
