@@ -3176,6 +3176,18 @@ def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_ed1(handles)
 
 
+def q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (operators/snm.py::snm_pairs):
+    prefix-key blocking with a two-level distributed global ranking —
+    the classic entity-resolution sliding window (Hernandez-Stolfo)
+    next to LSH and deletion-neighborhood blocking."""
+    from crgp_spark.operators.snm import snm_pairs
+
+    return snm_pairs(
+        _docs(spark, sf_dir), key_len=16, block_len=4, window=6, max_dist=5
+    )
+
+
 def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (operators/sketch.py::kmv_distinct, k=32):
     approximate distinct users per event type, deterministic md5
@@ -3962,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "zorder": q_zorder,
         "fuzzy": q_fuzzy,
+        "snm": q_snm,
         "transitions": q_transitions,
         "mixture": q_mixture,
         "coarsen": q_coarsen,
@@ -4878,6 +4891,24 @@ cand AS (
   FROM ex a JOIN ex b ON a.v = b.v WHERE a.s < b.s
 )
 SELECT s1, s2 FROM cand WHERE LEVENSHTEIN(s1, s2) = 1""",
+        # sorted-neighborhood dedup (snm.py::snm_pairs): the oracle is
+        # the NAIVE global formulation (one ROW_NUMBER over the whole
+        # sort order) that the engine's two-level block ranking must
+        # reproduce exactly
+        "snm": """
+WITH k AS (
+  SELECT doc_id, SUBSTRING(LOWER(text), 1, 16) AS key
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, key,
+         ROW_NUMBER() OVER (ORDER BY key, doc_id) AS pos
+  FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEVENSHTEIN(a.key, b.key) AS INT) AS dist
+FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 5
+WHERE LEVENSHTEIN(a.key, b.key) <= 5""",
         # Bloom-filter semi-join (bloomjoin.py::bloom_semi_join): the
         # pre-filter is lossy but composed with an exact semi-join, so
         # the oracle is simply the plain semi-join + rollup
