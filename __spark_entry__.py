@@ -506,6 +506,92 @@ a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
     )
 
 
+def _sql_fm_seed(n: str, max_bit: int) -> str:
+    """FM seed mask from a non-negative hash column: single bit at
+    ``min(trailing_zeros(n), max_bit)`` — pure integer mod ladder,
+    the exact twin of ``operators/anf.py::_seed_mask``."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {n} % {1 << (k + 1)} = {1 << k} THEN {1 << k}"
+            for k in range(max_bit)
+        )
+        + f" ELSE {1 << max_bit} END"
+    )
+
+
+def _sql_fm_lub(m: str, max_bit: int) -> str:
+    """Lowest-unset-bit position of a mask column (the FM observable) —
+    twin of ``operators/anf.py::_lowest_unset``."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {m} % {1 << (k + 1)} = {(1 << k) - 1} THEN {k}"
+            for k in range(max_bit + 1)
+        )
+        + f" ELSE {max_bit + 1} END"
+    )
+
+
+def _sql_anf_parts(hops: int, registers: int, max_bit: int) -> str:
+    """Unrolled FM bitmask propagation (operators/anf.py): md5 seed
+    bits, per-hop BIT_OR fold over in-edges then per-vertex OR merge.
+    Per-hop CTEs MATERIALIZED per the MIS CTE-inlining rule (each hop
+    references the previous one twice)."""
+    R = range(registers)
+    hs = ", ".join(f"MD5(CAST(v AS VARCHAR) || ':{j}') AS h{j}" for j in R)
+    ns = ", ".join(
+        f"CAST(({_hex15_num(f'h{j}')}) AS BIGINT) AS n{j}" for j in R
+    )
+    ms = ",\n           ".join(
+        f"{_sql_fm_seed(f'n{j}', max_bit)} AS m{j}" for j in R
+    )
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e"
+        " WHERE src <> dst),",
+        "verts AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),",
+        f"""s0 AS MATERIALIZED (
+    SELECT v, {ms}
+    FROM (SELECT v, {ns} FROM (SELECT v, {hs} FROM verts)))""",
+    ]
+    for h in range(1, hops + 1):
+        bs = ", ".join(f"BIT_OR(s.m{j}) AS b{j}" for j in R)
+        us = ", ".join(f"s.m{j} | COALESCE(g.b{j}, 0) AS m{j}" for j in R)
+        parts.append(
+            f""",
+g{h} AS (SELECT ed.src AS v, {bs}
+         FROM ed JOIN s{h - 1} s ON s.v = ed.dst GROUP BY ed.src),
+s{h} AS MATERIALIZED (SELECT s.v, {us}
+         FROM s{h - 1} s LEFT JOIN g{h} g ON g.v = s.v)"""
+        )
+    return "".join(parts)
+
+
+def _sql_anf(hops: int = 3, registers: int = 4, max_bit: int = 20) -> str:
+    bsum = " + ".join(
+        _sql_fm_lub(f"m{j}", max_bit) for j in range(registers)
+    )
+    sels = "\nUNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS hop, COUNT(*) AS n_verts,"
+        f" CAST(SUM({bsum}) AS BIGINT) AS sum_b FROM s{h}"
+        for h in range(1, hops + 1)
+    )
+    return _sql_anf_parts(hops, registers, max_bit) + "\n" + sels
+
+
+def _sql_anf_vertices(
+    hops: int = 3, registers: int = 4, max_bit: int = 20
+) -> str:
+    bsum = " + ".join(
+        _sql_fm_lub(f"m{j}", max_bit) for j in range(registers)
+    )
+    return (
+        _sql_anf_parts(hops, registers, max_bit)
+        + f"\nSELECT v AS vid, CAST({bsum} AS BIGINT) AS b_sum FROM s{hops}"
+    )
+
+
 def _sql_coloring(rounds: int = 4) -> str:
     """Unrolled Jones-Plassmann rounds (operators/coloring.py): fixed
     unique md5+vid priorities, candidates = strict local minima among
@@ -3188,6 +3274,26 @@ def q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood-function curve (operators/anf.py::anf):
+    FM bitmask propagation, 3 hops × 4 registers — the HyperANF shape;
+    pure-integer observable so the oracle comparison is exact."""
+    from crgp_spark.operators.anf import anf
+
+    return anf(spark, _edges_vid(spark, sf_dir), hops=3, cfg=_graph_cfg())
+
+
+def q_anf_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex FM observable at hop 3 (operators/anf.py::
+    anf_vertices) — log2-scale reachable-ball size per vertex, the
+    hub/anomaly-detection feed."""
+    from crgp_spark.operators.anf import anf_vertices
+
+    return anf_vertices(
+        spark, _edges_vid(spark, sf_dir), hops=3, cfg=_graph_cfg()
+    )
+
+
 def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (operators/sketch.py::kmv_distinct, k=32):
     approximate distinct users per event type, deterministic md5
@@ -3939,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "kanon": q_kanon,
         "mad": q_mad,
+        "anf": q_anf,
+        "anf_vertex": q_anf_vertex,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5810,6 +5918,10 @@ rk AS (
 SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         # deterministic Luby MIS (mis.py::maximal_independent_set)
         "mis": _sql_mis(),
+        # approximate neighborhood function (anf.py): unrolled FM
+        # bitmask propagation, pure-integer observables
+        "anf": _sql_anf(),
+        "anf_vertex": _sql_anf_vertices(),
         "coloring": _sql_coloring(),
         # product-quantization ADC top-k (pq.py::knn_pq): one-step
         # Lloyd codebooks per subspace (seed fallback for empty

@@ -21,6 +21,7 @@ Subcommands per --algo:
   temporal_reach  earliest time-respecting arrival from seed vertices
               (edges parquet needs src,dst,t; seeds: src % 17 == 0)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
+  anf         approximate neighborhood function (FM bitmask propagation)
   labelprop   synchronous label propagation
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
@@ -253,6 +254,19 @@ def main() -> None:
         n = earliest_arrival(spark, edges, seeds, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_reached=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "anf":
+        from crgp_spark.operators.anf import anf
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        hops = args.fixed_iterations or 3
+        curve = anf(spark, edges, hops=hops, cfg=cfg).collect()
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   curve={str(r["hop"]): r["sum_b"] for r in curve},
                    edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "msf":
