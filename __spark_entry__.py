@@ -592,6 +592,39 @@ def _sql_anf_vertices(
     )
 
 
+def _sql_hll(p: int = 6, cap: int = 40) -> str:
+    """HLL register twin (operators/hll.py): md5 low-p-bit register
+    index, lowest-set-bit rank ladder on the remaining bits, 2^cap-
+    scaled harmonic denominator — all integer except the one pinned
+    α-estimate division."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    c_num = repr(alpha * m * m * float(1 << cap))
+    rank = (
+        "CASE "
+        + " ".join(
+            f"WHEN (h >> {p}) % {1 << (k + 1)} = {1 << k} THEN {k + 1}"
+            for k in range(cap - 1)
+        )
+        + f" ELSE {cap} END"
+    )
+    return f"""WITH hx AS (
+  SELECT event_type, MD5(CAST(user_id AS VARCHAR)) AS hh FROM events),
+hn AS (SELECT event_type, CAST(({_hex15_num('hh')}) AS BIGINT) AS h FROM hx),
+rg AS (SELECT event_type, h % {m} AS idx, MAX({rank}) AS rank
+       FROM hn GROUP BY event_type, h % {m}),
+sm AS (SELECT event_type, COUNT(*) AS nreg,
+              CAST(SUM(CAST(1 AS BIGINT) << ({cap} - rank)) AS BIGINT) AS sp
+       FROM rg GROUP BY event_type)
+SELECT event_type, CAST({m} AS INT) AS m,
+       CAST({m} - nreg AS INT) AS v_zero,
+       CAST(sp + ({m} - nreg) * (CAST(1 AS BIGINT) << {cap}) AS BIGINT)
+         AS s_scaled,
+       FLOOR({c_num} / CAST(sp + ({m} - nreg) * (CAST(1 AS BIGINT) << {cap})
+             AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS raw_est
+FROM sm"""
+
+
 def _sql_coloring(rounds: int = 4) -> str:
     """Unrolled Jones-Plassmann rounds (operators/coloring.py): fixed
     unique md5+vid priorities, candidates = strict local minima among
@@ -3274,6 +3307,16 @@ def q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (operators/hll.py::
+    hll_distinct, p=6 → 64 registers): deterministic md5 registers so
+    the sketch AND its α-estimate are oracle-exact; corrected estimate
+    stays driver-side (ln is not cross-engine bit-stable)."""
+    from crgp_spark.operators.hll import hll_distinct
+
+    return hll_distinct(_events(spark, sf_dir), "event_type", "user_id", p=6)
+
+
 def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighborhood-function curve (operators/anf.py::anf):
     FM bitmask propagation, 3 hops × 4 registers — the HyperANF shape;
@@ -4047,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad": q_mad,
         "anf": q_anf,
         "anf_vertex": q_anf_vertex,
+        "hll": q_hll,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5922,6 +5966,8 @@ SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         # bitmask propagation, pure-integer observables
         "anf": _sql_anf(),
         "anf_vertex": _sql_anf_vertices(),
+        # HyperLogLog grouped distinct (hll.py): deterministic registers
+        "hll": _sql_hll(),
         "coloring": _sql_coloring(),
         # product-quantization ADC top-k (pq.py::knn_pq): one-step
         # Lloyd codebooks per subspace (seed fallback for empty
