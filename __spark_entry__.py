@@ -3307,6 +3307,27 @@ def q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1..3 autocorrelation of event cents
+    (operators/regress.py::grouped_acf): exact BIGINT cross-multiplied
+    moments, one IEEE division — the grouped_trend contract at lags."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.regress import grouped_acf
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        ts_micros(F.col("ts")).alias("_us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return grouped_acf(
+        ev, "user_id", [F.col("_us"), F.col("event_id")], F.col("cents"),
+        lags=3,
+    )
+
+
 def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users per event type (operators/hll.py::
     hll_distinct, p=6 → 64 registers): deterministic md5 registers so
@@ -4091,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf": q_anf,
         "anf_vertex": q_anf_vertex,
         "hll": q_hll,
+        "acf": q_acf,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6608,6 +6630,50 @@ SELECT user_id, n,
                  / CAST(n * sxx - sx * sx AS DOUBLE)
        END AS slope
 FROM s"""
+    # grouped autocorrelation (regress.py::grouped_acf): per-lag LEAD
+    # arms, exact integer cross-multiplied moments, one IEEE division
+    lead_arms = "\nUNION ALL ".join(
+        f"SELECT user_id, y, {k} AS lag,\n"
+        f"       LEAD(y, {k}) OVER (PARTITION BY user_id"
+        f" ORDER BY us, event_id) AS yl FROM reb"
+        for k in (1, 2, 3)
+    )
+    d["acf"] = f"""
+WITH pts AS MATERIALIZED (
+  SELECT user_id, EPOCH_US(ts) AS us, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y0
+  FROM events
+),
+reb AS MATERIALIZED (
+  SELECT user_id, us, event_id,
+         y0 - MIN(y0) OVER (PARTITION BY user_id) AS y
+  FROM pts
+),
+led AS MATERIALIZED (
+{lead_arms}
+),
+pair AS (
+  SELECT user_id, lag, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(y * yl) AS BIGINT) AS syy,
+         CAST(SUM(y + yl) AS BIGINT) AS sy2
+  FROM led WHERE yl IS NOT NULL GROUP BY user_id, lag
+),
+tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS ss
+  FROM reb GROUP BY user_id
+)
+SELECT p.user_id, CAST(p.lag AS INT) AS lag, p.m,
+       CAST(t.n * t.n * p.syy - t.n * t.s * p.sy2 + p.m * t.s * t.s
+            AS BIGINT) AS num,
+       CAST(t.n * t.n * t.ss - t.n * t.s * t.s AS BIGINT) AS den,
+       CASE WHEN t.n * t.n * t.ss - t.n * t.s * t.s = 0 THEN NULL
+            ELSE CAST(t.n * t.n * p.syy - t.n * t.s * p.sy2
+                      + p.m * t.s * t.s AS DOUBLE)
+                 / CAST(t.n * t.n * t.ss - t.n * t.s * t.s AS DOUBLE)
+       END AS r
+FROM pair p JOIN tot t ON t.user_id = p.user_id"""
     # 2-D skyline: the oracle is the textbook O(n²) NOT-EXISTS
     # dominance self-join over the per-(day,cents) reduction; the
     # engine's linear prefix-min plan must produce the same frontier

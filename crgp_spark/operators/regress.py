@@ -53,3 +53,110 @@ def grouped_trend(df: DataFrame, key: str, x: Column, y: Column) -> DataFrame:
         den.alias("den"),
         slope.alias("slope"),
     )
+
+
+def grouped_acf(
+    df: DataFrame,
+    key: str,
+    order: list[Column],
+    y: Column,
+    lags: int = 3,
+) -> DataFrame:
+    """Per-``key`` sample autocorrelation of integer series ``y``
+    (ordered within the key by ``order``) at lags ``1..lags`` — the
+    seasonality/drift detector next to `grouped_trend`.
+
+    Exact-integer idiom: the mean never materializes. With ``S = Σy``,
+    ``SS = Σy²``, ``n`` per key and per-lag pair sums ``m = n - k``,
+    ``syy = Σ y_t·y_{t+k}``, ``sy2 = Σ (y_t + y_{t+k})``, the lag-k
+    autocovariance and variance cross-multiplied by ``n²`` are::
+
+        num_k = n²·syy − n·S·sy2 + m·S²        (BIGINT exact)
+        den   = n²·SS  − n·S²                  (BIGINT exact)
+
+    and ``r_k = num_k / den`` is ONE IEEE division of two exact
+    integers — bit-stable across engines, no rounding idiom needed
+    (same contract as `grouped_trend`). ``y`` is rebased by the
+    per-key MIN first (autocorrelation is shift-invariant), keeping
+    the overflow envelope at ``n³·R²`` for value range ``R``: e.g.
+    n = 10⁴ points of 10⁴-range values is 10¹² · 10⁸ = 10²⁰ — too
+    hot, so callers with long series pre-bucket y (the documented
+    `anomaly.py`-style envelope); n = 10³, R = 10⁴ stays at 10¹⁷.
+
+    Plan: ONE window pass computes every lead (one exchange on
+    ``key``), the lag column explodes from a literal array (no
+    re-shuffle — ``key`` partitioning is preserved), and both the
+    pair sums and the total moments are map-side-combinable
+    aggregates re-joined on the same key partitioning.
+
+    Returns ``(key, lag, m, num, den, r)``; ``r`` is NULL for
+    constant series (den = 0); lags ≥ n yield no row (no pairs).
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    reb = df.select(
+        F.col(key), y.cast("long").alias("_y0"), *order
+    ).withColumn(
+        "_y", F.col("_y0") - F.min("_y0").over(Window.partitionBy(key))
+    )
+    led = (
+        reb.select(
+            key,
+            "_y",
+            *[
+                F.lead("_y", k).over(w).alias(f"_yl{k}")
+                for k in range(1, lags + 1)
+            ],
+        )
+        .select(
+            key,
+            "_y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col(f"_yl{k}").alias("_yl"),
+                        )
+                        for k in range(1, lags + 1)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            key, "_y", F.col("p.lag").alias("lag"), F.col("p._yl").alias("_yl")
+        )
+    )
+    pair = (
+        led.filter(F.col("_yl").isNotNull())
+        .groupBy(key, "lag")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(F.col("_y") * F.col("_yl")).alias("_syy"),
+            F.sum(F.col("_y") + F.col("_yl")).alias("_sy2"),
+        )
+    )
+    tot = reb.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ss"),
+    )
+    j = pair.join(tot, key)
+    num = (
+        F.col("_n") * F.col("_n") * F.col("_syy")
+        - F.col("_n") * F.col("_s") * F.col("_sy2")
+        + F.col("m") * F.col("_s") * F.col("_s")
+    )
+    den = F.col("_n") * F.col("_n") * F.col("_ss") - F.col("_n") * F.col(
+        "_s"
+    ) * F.col("_s")
+    r = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    return j.select(
+        key,
+        "lag",
+        "m",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        r.alias("r"),
+    )
