@@ -592,6 +592,65 @@ def _sql_anf_vertices(
     )
 
 
+def _sql_densest_parts(rounds: int) -> str:
+    """Unrolled BKV peel rounds (operators/densest.py, ε=1): exact
+    integer peel predicate ``dg·V ≤ 4·E``; MATERIALIZED per the MIS
+    CTE rule (tables shrink geometrically, so the chain stays cheap)."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "g1 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (SELECT x, CAST(COUNT(*) AS BIGINT) AS dg
+    FROM (SELECT u AS x FROM g{r} UNION ALL SELECT v FROM g{r})
+    GROUP BY x),
+s{r} AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+    CAST(COALESCE(SUM(dg), 0) // 2 AS BIGINT) AS ne FROM d{r})"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+p{r} AS (SELECT d.x FROM d{r} d, s{r} s WHERE d.dg * s.nv <= 4 * s.ne),
+g{r + 1} AS MATERIALIZED (SELECT u, v FROM g{r}
+    WHERE u NOT IN (SELECT x FROM p{r})
+      AND v NOT IN (SELECT x FROM p{r}))"""
+            )
+    return "".join(parts)
+
+
+def _sql_densest(rounds: int = 16) -> str:
+    sels = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rnd, nv AS n_verts, ne AS n_edges"
+        f" FROM s{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _sql_densest_parts(rounds) + "\n" + sels
+
+
+def _sql_densest_sub(rounds: int = 16) -> str:
+    curve = "\nUNION ALL ".join(
+        f"SELECT {r} AS rnd, nv, ne FROM s{r}" for r in range(1, rounds + 1)
+    )
+    ends = "\nUNION ALL ".join(
+        f"SELECT u AS x, {r} AS rnd FROM g{r}"
+        f" UNION ALL SELECT v, {r} FROM g{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        _sql_densest_parts(rounds)
+        + f""",
+curve AS ({curve}),
+best AS (SELECT rnd FROM curve WHERE nv > 0
+         ORDER BY CAST(ne AS DOUBLE) / CAST(nv AS DOUBLE) DESC, rnd ASC
+         LIMIT 1),
+ends AS ({ends})
+SELECT DISTINCT t.x AS vid FROM ends t JOIN best b ON b.rnd = t.rnd"""
+    )
+
+
 def _sql_hll(p: int = 6, cap: int = 40) -> str:
     """HLL register twin (operators/hll.py): md5 low-p-bit register
     index, lowest-set-bit rank ladder on the remaining bits, 2^cap-
@@ -3307,6 +3366,28 @@ def q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani et al. densest-subgraph peel curve (operators/
+    densest.py::densest_curve, ε=1, 16 rounds): exact per-round
+    (n_verts, n_edges) — max ratio is the 4-approx max density."""
+    from crgp_spark.operators.densest import densest_curve
+
+    return densest_curve(
+        spark, _edges_vid(spark, sf_dir), rounds=16, cfg=_graph_cfg()
+    )
+
+
+def q_densest_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex set of the densest round (operators/densest.py::
+    densest_vertices): density ties broken by earliest round, the
+    selection reproduced by the oracle's ORDER BY."""
+    from crgp_spark.operators.densest import densest_vertices
+
+    return densest_vertices(
+        spark, _edges_vid(spark, sf_dir), rounds=16, cfg=_graph_cfg()
+    )
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag-1..3 autocorrelation of event cents
     (operators/regress.py::grouped_acf): exact BIGINT cross-multiplied
@@ -4113,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf_vertex": q_anf_vertex,
         "hll": q_hll,
         "acf": q_acf,
+        "densest": q_densest,
+        "densest_sub": q_densest_sub,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5990,6 +6073,9 @@ SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         "anf_vertex": _sql_anf_vertices(),
         # HyperLogLog grouped distinct (hll.py): deterministic registers
         "hll": _sql_hll(),
+        # BKV densest-subgraph peel (densest.py)
+        "densest": _sql_densest(),
+        "densest_sub": _sql_densest_sub(),
         "coloring": _sql_coloring(),
         # product-quantization ADC top-k (pq.py::knn_pq): one-step
         # Lloyd codebooks per subspace (seed fallback for empty

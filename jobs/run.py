@@ -22,6 +22,7 @@ Subcommands per --algo:
               (edges parquet needs src,dst,t; seeds: src % 17 == 0)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   anf         approximate neighborhood function (FM bitmask propagation)
+  densest     densest-subgraph 4-approx peel curve (BKV rounds)
   labelprop   synchronous label propagation
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
@@ -254,6 +255,24 @@ def main() -> None:
         n = earliest_arrival(spark, edges, seeds, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_reached=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "densest":
+        from crgp_spark.operators.densest import densest_curve
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        rows = densest_curve(
+            spark, edges, rounds=args.fixed_iterations or 16, cfg=cfg
+        ).collect()
+        secs = time.time() - t0
+        best = max(
+            (r["n_edges"] / r["n_verts"] for r in rows if r["n_verts"]),
+            default=0.0,
+        )
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   best_density=round(best, 4),
                    edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "anf":
