@@ -3388,6 +3388,23 @@ def q_densest_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL under the hard gate (streaming/windows.py::
+    stream_hll_distinct): registers folded in the streaming state
+    store across capped micro-batches; per-register MAX is a monoid,
+    so the oracle is the SAME SQL as the batch `hll` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_hll_distinct
+
+    work = "/tmp/crgp_stream_hll"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_hll_distinct(
+        spark, work, "event_type", "user_id", p=6, max_files_per_trigger=2
+    )
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag-1..3 autocorrelation of event cents
     (operators/regress.py::grouped_acf): exact BIGINT cross-multiplied
@@ -4193,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anf": q_anf,
         "anf_vertex": q_anf_vertex,
         "hll": q_hll,
+        "stream_hll": q_stream_hll,
         "acf": q_acf,
         "densest": q_densest,
         "densest_sub": q_densest_sub,
@@ -6073,6 +6091,9 @@ SELECT src, dst, rk FROM rk WHERE rk <= 3""",
         "anf_vertex": _sql_anf_vertices(),
         # HyperLogLog grouped distinct (hll.py): deterministic registers
         "hll": _sql_hll(),
+        # stream==batch: streaming register fold drains to the same
+        # sketch, so the oracle IS the batch HLL SQL
+        "stream_hll": _sql_hll(),
         # BKV densest-subgraph peel (densest.py)
         "densest": _sql_densest(),
         "densest_sub": _sql_densest_sub(),

@@ -856,6 +856,22 @@ def main() -> None:
 
     timed("msf", _msf_cell)
 
+    from crgp_spark.operators.anf import anf as anf_op
+    from crgp_spark.operators.densest import densest_curve
+
+    timed("anf_3hop", lambda: anf_op(spark, e2, hops=3, cfg=cfg).count())
+    timed(
+        "densest_peel",
+        lambda: densest_curve(spark, e2, rounds=16, cfg=cfg).count(),
+    )
+
+    from crgp_spark.operators.hll import hll_distinct
+
+    timed(
+        "hll",
+        lambda: hll_distinct(events, "event_type", "user_id", p=6).count(),
+    )
+
     from crgp_spark.operators.regress import grouped_trend
 
     def _trend_cell():
@@ -871,6 +887,23 @@ def main() -> None:
                              F.col("cents")).count()
 
     timed("trend", _trend_cell)
+
+    from crgp_spark.operators.regress import grouped_acf
+
+    def _acf_cell():
+        ev = events.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long").alias("cents"),
+        )
+        return grouped_acf(
+            ev, "user_id", [F.col("_us"), F.col("event_id")],
+            F.col("cents"), lags=3,
+        ).count()
+
+    timed("acf", _acf_cell)
 
     from crgp_spark.operators.privacy import generalize_until_k
 

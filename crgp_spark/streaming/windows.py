@@ -359,3 +359,47 @@ def stream_dim_join(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_hll_distinct(
+    spark: SparkSession,
+    in_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 6,
+    cap: int = 40,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming HyperLogLog distinct counting — the register table
+    maintained in the streaming aggregation state store. Per-register
+    MAX is a commutative idempotent monoid, so the drained registers —
+    and therefore the integer summary AND the α-estimate — are
+    bit-identical to the batch ``hll_distinct`` regardless of
+    micro-batch slicing: the module's stream==batch contract,
+    certified by the SAME oracle as the batch ``hll`` entry.
+
+    At 100 TB the streaming state is ≤ m = 2^p rows per group —
+    constant — where exact streaming COUNT(DISTINCT) would hold one
+    state row per distinct value; the same state asymmetry as
+    `stream_heavy_hitters`, for cardinality instead of frequency.
+
+    Returns ``(group_col, m, v_zero, s_scaled, raw_est)``.
+    """
+    from crgp_spark.operators.hll import hll_sketch, hll_summary
+
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        hll_sketch(stream, group_col, value_col, p=p, cap=cap)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hll_summary(spark.table(name), group_col, p=p, cap=cap)

@@ -765,6 +765,52 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.anf import anf as anf_op
+
+    sections.update({
+        "ANF neighborhood function (FM bitmask propagation, 3 hops): "
+        "per-hop BIT_OR partial aggregation on dst-partitioned edges, "
+        "left-join OR merge, no float anywhere": anf_op(
+            spark, e_vid, hops=3
+        ),
+    })
+
+    from crgp_spark.operators.densest import densest_vertices
+
+    sections.update({
+        "Densest-subgraph peel (BKV, best-round vertex set): per-round "
+        "degree aggregate + cross-multiplied integer peel predicate + "
+        "two anti-joins": densest_vertices(spark, e_vid, rounds=4),
+    })
+
+    from crgp_spark.operators.hll import hll_distinct
+
+    sections.update({
+        "HyperLogLog grouped distinct (p=6): register MAX is map-side "
+        "combinable, 64-row-per-group fold, one pinned IEEE division":
+        hll_distinct(events, "event_type", "user_id", p=6),
+    })
+
+    from crgp_spark.operators.regress import grouped_acf
+
+    sections.update({
+        "Grouped autocorrelation (lags 1..3): one window pass for all "
+        "leads, explode preserves key partitioning, exact integer "
+        "moments": grouped_acf(
+            events.select(
+                "user_id",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+                "event_id",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long").alias("cents"),
+            ),
+            "user_id",
+            [F.col("_us"), F.col("event_id")],
+            F.col("cents"),
+            lags=3,
+        ),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "

@@ -470,3 +470,27 @@ def test_stream_temporal_reach_matches_batch(spark, tmp_path, files_per_trigger)
         )
     )
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3, None])
+def test_stream_hll_matches_batch(spark, tmp_path, files_per_trigger):
+    """Streaming HLL: registers folded through the streaming state
+    store equal the batch sketch at any micro-batch slicing (MAX is a
+    commutative idempotent monoid), so the integer summary and the
+    pinned α-estimate match bit-for-bit."""
+    from crgp_spark.operators.hll import hll_distinct
+    from crgp_spark.streaming.windows import stream_hll_distinct
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "hll_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    out = stream_hll_distinct(
+        spark, work, "event_type", "user_id", p=5,
+        max_files_per_trigger=files_per_trigger,
+    )
+    want_df = hll_distinct(
+        spark.read.parquet(work), "event_type", "user_id", p=5
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) > 0
