@@ -3120,6 +3120,33 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt idiom — the inverse of q_pivot: the wide per-user
+    event-type count matrix melted back to long (user_id, event_type,
+    n) rows via Spark's native ``DataFrame.unpivot`` (physical Expand —
+    one generated row per value column, no shuffle beyond the pivot's
+    own aggregate; zero-count cells kept so the melt is the exact
+    inverse). Oracle spells the dense user×type grid with a VALUES
+    cross join."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping: event counts and exact value cents over all four
     (event_type × weekday) grouping combinations; NULL marker columns
@@ -4293,6 +4320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort": q_cohort,
         "funnel": q_funnel,
         "pivot": q_pivot,
+        "unpivot": q_unpivot,
         "cube": q_cube,
         "rolling": q_rolling,
         "turns": q_turns,
@@ -6015,6 +6043,16 @@ SELECT user_id,
   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY user_id""",
+        # UNPIVOT: dense user x type grid, zero-filled counts
+        "unpivot": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+                            ('signup'), ('view')) v(event_type)),
+c AS (SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type)
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""",
         # CUBE over (event_type, weekday), NULL markers -> 'ALL'
         "cube": """
 WITH ev AS (
