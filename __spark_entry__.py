@@ -1327,6 +1327,109 @@ pick{it} AS (
     return "WITH " + "".join(parts) + "\nSELECT vid, label FROM l2"
 
 
+def _sql_louvain_parts(rounds: int) -> str:
+    """Unrolled rotating-priority independent-set Louvain move rounds
+    (operators/louvain.py) over a CTE ``lund (u < v, w BIGINT)``.
+    Emits ladj/ldeg/lvx/lmm/lc0..lc{rounds}; every comparison is on
+    BIGINTs (the ΔQ·2W² cross-multiplication), so the engines agree
+    exactly."""
+    parts = [
+        """,
+ladj AS MATERIALIZED (
+  SELECT u AS v, v AS u, w FROM lund
+  UNION ALL SELECT v AS v, u AS u, w FROM lund),
+lvx AS MATERIALIZED (
+  SELECT v AS vid, CAST(SUM(w) AS BIGINT) AS d FROM ladj GROUP BY v),
+lmm AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM lund),
+lc0 AS MATERIALIZED (SELECT vid, vid AS comm FROM lvx)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+lph{r} AS (SELECT vid, MD5(CAST(vid AS VARCHAR) || ':{r}') AS h FROM lvx),
+lpri{r} AS MATERIALIZED (
+  SELECT vid, CAST(({_hex15_num("h")}) AS BIGINT) AS pri FROM lph{r}),
+lmv{r} AS MATERIALIZED (
+  SELECT p.vid, (mn.mn IS NULL OR p.pri < mn.mn) AS mov
+  FROM lpri{r} p LEFT JOIN (
+    SELECT a.v AS vid, MIN(x.pri) AS mn
+    FROM ladj a JOIN lpri{r} x ON x.vid = a.u GROUP BY a.v) mn
+  ON mn.vid = p.vid),
+lk{r} AS MATERIALIZED (
+  SELECT a.v, s.comm AS c, CAST(SUM(a.w) AS BIGINT) AS k
+  FROM ladj a JOIN lc{r} s ON s.vid = a.u GROUP BY a.v, s.comm),
+ltot{r} AS MATERIALIZED (
+  SELECT s.comm AS c, CAST(SUM(x.d) AS BIGINT) AS tot
+  FROM lc{r} s JOIN lvx x ON x.vid = s.vid GROUP BY s.comm),
+lcand{r} AS MATERIALIZED (
+  SELECT v, c, CAST(SUM(k) AS BIGINT) AS k FROM (
+    SELECT v, c, k FROM lk{r}
+    UNION ALL SELECT vid AS v, comm AS c, 0 AS k FROM lc{r})
+  GROUP BY v, c),
+lsc{r} AS MATERIALIZED (
+  SELECT n.v, n.c,
+         CASE WHEN n.c = s.comm THEN 1 ELSE 0 END AS is_own,
+         2 * m.W * n.k
+           - x.d * (t.tot - CASE WHEN n.c = s.comm THEN x.d ELSE 0 END)
+           AS score
+  FROM lcand{r} n
+  JOIN lvx x ON x.vid = n.v
+  JOIN lc{r} s ON s.vid = n.v
+  JOIN ltot{r} t ON t.c = n.c, lmm m),
+lb{r} AS MATERIALIZED (
+  SELECT v, c FROM (
+    SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v
+      ORDER BY score DESC, is_own DESC, c ASC) AS rn FROM lsc{r})
+  WHERE rn = 1),
+lc{r + 1} AS MATERIALIZED (
+  SELECT s.vid,
+         CASE WHEN mv.mov THEN COALESCE(b.c, s.comm) ELSE s.comm END AS comm
+  FROM lc{r} s
+  JOIN lmv{r} mv ON mv.vid = s.vid
+  LEFT JOIN lb{r} b ON b.v = s.vid)"""
+        )
+    return "".join(parts)
+
+
+def _sql_louvain() -> str:
+    """Louvain level-1 moves (2 rounds) on the unweighted derived-edge
+    graph."""
+    return (
+        "WITH "
+        + _sql_evid()
+        + """,
+lund AS MATERIALIZED (
+  SELECT u, v, CAST(1 AS BIGINT) AS w FROM (
+    SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+    FROM e WHERE src <> dst))"""
+        + _sql_louvain_parts(2)
+        + "\nSELECT vid, CAST(comm AS BIGINT) AS comm FROM lc2"
+    )
+
+
+def _sql_louvain_coarse() -> str:
+    """Louvain moves (2 rounds) on the WEIGHTED succession graph, then
+    the Blondel phase-2 contraction: communities become supervertices,
+    intra-community mass becomes self-loop rows."""
+    return (
+        f"WITH {_SQL_SUCCESSION},"
+        + """
+lund AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+         CAST(SUM(weight) AS BIGINT) AS w
+  FROM g WHERE src <> dst GROUP BY 1, 2)"""
+        + _sql_louvain_parts(2)
+        + """
+SELECT LEAST(a1.comm, a2.comm) AS src,
+       GREATEST(a1.comm, a2.comm) AS dst,
+       CAST(SUM(l.w) AS BIGINT) AS weight
+FROM lund l
+JOIN lc2 a1 ON a1.vid = l.u
+JOIN lc2 a2 ON a2.vid = l.v
+GROUP BY 1, 2"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shape oracle twins (operators/relational.py).  All money math in
 # DECIMAL(12,2) exactly as the Spark side, cast to DOUBLE at the end.
@@ -2120,6 +2223,40 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vid", F.pmod(F.col("vid"), F.lit(8)).cast("long").alias("label")
     )
     return modularity(g, labels)
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain community detection, level-1 move phase (2
+    rotating-priority independent-set rounds) on the derived-edge graph
+    (operators/louvain.py) — integer-exact ΔQ·2W² scores, strict-gain
+    moves, min-community tie-break."""
+    from crgp_spark.operators.louvain import louvain_moves
+
+    e = _edges_vid(spark, sf_dir)
+    res = louvain_moves(spark, e, _graph_cfg(), rounds=2)
+    return res.state.select("vid", "comm")
+
+
+def q_louvain_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain on the WEIGHTED actor-succession graph (2 move rounds)
+    followed by the Blondel phase-2 contraction
+    (louvain.py::contract_communities): communities collapse to
+    supervertices, intra-community mass becomes self-loop rows — the
+    coarse graph level 2 would run on, gated for exact edge weights."""
+    from crgp_spark.operators.louvain import (
+        contract_communities,
+        louvain_moves,
+    )
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=3)
+    res = louvain_moves(
+        spark, g, _graph_cfg(), rounds=2, weight_col="weight",
+        algo_name="louvain_coarse",
+    )
+    return contract_communities(
+        g, res.state.select("vid", "comm"), weight_col="weight"
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4337,6 +4474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "components": q_components,
         "labelprop": q_labelprop,
+        "louvain": q_louvain,
+        "louvain_coarse": q_louvain_coarse,
         "triangles": q_triangles,
         "pagerank_cascade": q_pagerank_cascade,
         "components_cascade": q_components_cascade,
@@ -4690,6 +4829,10 @@ SELECT doc_id, source FROM ranked WHERE rk <= 10""",
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",
         "labelprop": _sql_labelprop(),
+        # rotating-priority IS Louvain moves, 2 rounds unrolled
+        "louvain": _sql_louvain(),
+        # weighted Louvain moves + Blondel phase-2 contraction
+        "louvain_coarse": _sql_louvain_coarse(),
         "triangles": f"WITH {_SQL_EVID},\n"
         "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
         "tri AS (\n"
