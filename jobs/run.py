@@ -24,6 +24,7 @@ Subcommands per --algo:
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
   labelprop   synchronous label propagation
+  louvain     multi-level Louvain communities (IS-scheduled moves)
   triangles   exact triangle count
   bfs         multi-source BFS hops (sources: originator per conv)
   hits        HITS hubs/authorities (exact integer rounds)
@@ -322,6 +323,28 @@ def main() -> None:
         out.update(edges=n_edges, iterations=res.iterations,
                    seconds=round(secs, 3),
                    edges_per_sec=round(n_edges * res.iterations / secs))
+
+    elif args.algo == "louvain":
+        from crgp_spark.operators.louvain import louvain
+
+        raw = spark.read.parquet(args.edges)
+        wcol = "weight" if "weight" in raw.columns else None
+        edges = raw.select(
+            "src", "dst", *(["weight"] if wcol else [])
+        )
+        n_edges = edges.count()
+        t0 = time.time()
+        assign = louvain(
+            spark, edges, cfg,
+            levels=2,
+            rounds=args.fixed_iterations or 4,
+            weight_col=wcol,
+        )
+        n_comms = assign.select("comm").distinct().count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, communities=n_comms,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "kcore":
         from crgp_spark.operators.kcore import kcore
