@@ -3330,6 +3330,27 @@ def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window corners not covered by the rank/lag/RANGE
+    entries: NTILE(4), PERCENT_RANK, CUME_DIST and NTH_VALUE over the
+    per-event-type (ts, event_id) order. The order key is unique, so
+    RANGE and ROWS default frames coincide and both engines see the
+    same ranks; percent_rank/cume_dist are single divisions of exact
+    integers (IEEE-identical), pinned with decimal_round anyway."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("long").alias("ntile4"),
+        decimal_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        decimal_round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("user_id", 3).over(w).alias("third_user"),
+    )
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain cohort retention triangle
     (operators/cohort.py::cohort_retention)."""
@@ -4460,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "cube": q_cube,
         "rolling": q_rolling,
+        "window_funcs": q_window_funcs,
         "turns": q_turns,
         "activations": q_activations,
         "derive_edges": q_derive_edges,
@@ -6217,6 +6239,15 @@ SELECT event_type, day, n_day,
        CAST(SUM(n_day) OVER (PARTITION BY event_type ORDER BY day
             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
 FROM daily""",
+        # NTILE / PERCENT_RANK / CUME_DIST / NTH_VALUE corners
+        "window_funcs": """
+SELECT event_id, event_type,
+       CAST(NTILE(4) OVER w AS BIGINT) AS ntile4,
+       FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume,
+       NTH_VALUE(user_id, 3) OVER w AS third_user
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""",
         # day-grain cohort retention (cohort.py::cohort_retention)
         "cohort": """
 WITH ev AS (
