@@ -1827,6 +1827,16 @@ def q_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("conv_id", "turn_idx", "role", "text")
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile (operators/convstats.py): single-shuffle
+    integer-exact stats of every conversation in the transcripts payload
+    — the curation gate that decides which conversations feed the
+    derivation (reference per-cascade counters, statistics.rs:17-131)."""
+    from crgp_spark.operators.convstats import conversation_profile
+
+    return conversation_profile(transcripts_from_events(_events(spark, sf_dir)))
+
+
 def q_activations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(_events(spark, sf_dir))
     from crgp_spark.derive import prepare_turns
@@ -4365,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_entry.py still runs the full surface locally.
     return {
         # --- new in round 4 (never gated) ---
+        "conv_stats": q_conv_stats,
         "succession": q_succession,
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
@@ -4557,6 +4568,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # per-conversation profile (operators/convstats.py): LAG window +
+        # groupBy over the same conv key; integer-exact chars/us/switches
+        "conv_stats": (
+            "WITH t AS (\n"
+            "  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,\n"
+            "         CAST(ROW_NUMBER() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,\n"
+            "         event_type AS role,\n"
+            "         COALESCE(props, '') AS text,\n"
+            "         EPOCH_US(ts) AS us\n"
+            "  FROM events\n"
+            "), s AS (\n"
+            "  SELECT conv_id, turn_idx, role,\n"
+            "         CAST(LENGTH(text) AS INT) AS chars, us,\n"
+            "         LAG(role) OVER (PARTITION BY conv_id"
+            " ORDER BY turn_idx) AS prev_role\n"
+            "  FROM t\n"
+            ")\n"
+            "SELECT conv_id,\n"
+            "  COUNT(*) AS n_turns,\n"
+            "  COUNT(DISTINCT role) AS n_roles,\n"
+            "  CAST(SUM(chars) AS BIGINT) AS total_chars,\n"
+            "  MAX(chars) AS max_turn_chars,\n"
+            "  ARG_MIN(role, turn_idx) AS first_role,\n"
+            "  ARG_MAX(role, turn_idx) AS last_role,\n"
+            "  COUNT(*) FILTER (WHERE prev_role IS NOT NULL"
+            " AND role <> prev_role) AS n_switches,\n"
+            "  MAX(us) - MIN(us) AS duration_us\n"
+            "FROM s GROUP BY conv_id"
+        ),
         "turns": "SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,\n"
         "  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,\n"
         "  event_type AS role, COALESCE(props, '') AS text\n"
