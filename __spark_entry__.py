@@ -2165,6 +2165,26 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(spark, edges, seeds, _graph_cfg())
 
 
+MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
+
+def q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """δ-temporal motif census (operators/motifs.py; Paranjape-Benson-
+    Leskovec WSDM'17) over the actor-interaction stream: exact BIGINT
+    counts of ping-pong (a→b,b→a), open 2-paths (a→b,b→c) and cyclic
+    temporal triangles (a→b,b→c,c→a) whose strictly-ordered timestamps
+    span ≤ 6 h — the time-respecting census static triangle counts
+    (q_triangles) cannot express. Equi-joins on the shared vertex with
+    the δ window as a residual range predicate; three 1-row aggregates
+    folded broadcast-side."""
+    from crgp_spark.operators.motifs import (
+        temporal_interactions,
+        temporal_motif_counts,
+    )
+
+    inter = temporal_interactions(_events(spark, sf_dir))
+    return temporal_motif_counts(inter, MOTIF_DELTA_US)
+
+
 def q_stream_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming temporal reachability under the hard gate — the 9th
     gated stream==batch path (streaming/temporal.py): the first-day
@@ -4379,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "succession": q_succession,
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
+        "motifs": q_motifs,
         "stratified_sample": q_stratified_sample,
         "graph_mixing": q_graph_mixing,
         "modularity": q_modularity,
@@ -4791,6 +4812,36 @@ FROM ranked WHERE rk <= 5""",
         # deterministic order, pairs kept at weight >= 3
         "succession": f"WITH {_SQL_SUCCESSION}\n"
         "SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM g",
+        # δ-temporal motif census: interactions = per-channel successions
+        # stamped at the LATER event's EPOCH_US; pair/triple equi-joins on
+        # the shared vertex with the strict (t1 < t2 < t3, span <= δ)
+        # residual — counts are exact BIGINTs, identical join semantics
+        "motifs": f"""WITH inter AS MATERIALIZED (
+  SELECT src, dst, us FROM (
+    SELECT user_id AS src,
+           LEAD(user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS dst,
+           LEAD(EPOCH_US(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS us
+    FROM events) s
+  WHERE dst IS NOT NULL AND src <> dst),
+duo AS (
+  SELECT COUNT(*) FILTER (WHERE y.dst = x.src) AS n_pingpong,
+         COUNT(*) FILTER (WHERE y.dst <> x.src) AS n_2path
+  FROM inter x JOIN inter y
+    ON y.src = x.dst AND y.us > x.us
+   AND y.us <= x.us + {MOTIF_DELTA_US}),
+tri AS (
+  SELECT COUNT(*) AS n_triangle
+  FROM inter x
+  JOIN inter y ON y.src = x.dst AND y.us > x.us
+              AND y.us <= x.us + {MOTIF_DELTA_US} AND y.dst <> x.src
+  JOIN inter z ON z.src = y.dst AND z.dst = x.src AND z.us > y.us
+              AND z.us <= x.us + {MOTIF_DELTA_US}),
+n AS (SELECT COUNT(*) AS n_events FROM inter)
+SELECT CAST({MOTIF_DELTA_US} AS BIGINT) AS delta_us,
+       n_events, n_pingpong, n_2path, n_triangle
+FROM n, duo, tri""",
         # SCC label = min over the mutual-reachability closure: reach is
         # a recursive CTE (set-semantics UNION terminates on cycles);
         # u ~ v iff reach(u,v) AND reach(v,u). MATERIALIZED: the CLAUDE.md

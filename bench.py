@@ -357,6 +357,20 @@ def main() -> None:
 
     timed("temporal_reach", run_temporal)
 
+    # δ-temporal motif census: vertex equi-joins + δ residual, exact
+    # BIGINT counts (operators/motifs.py)
+    def run_motifs():
+        from crgp_spark.operators.motifs import (
+            temporal_interactions,
+            temporal_motif_counts,
+        )
+
+        return temporal_motif_counts(
+            temporal_interactions(events), 6 * 3600 * 1_000_000
+        ).count()
+
+    timed("motifs", run_motifs)
+
     # directed mixing + modularity of the hash partition, both over
     # the succession graph (exact-moment scan-shaped aggregates)
     from crgp_spark.operators.graphstats import mixing_stats, modularity

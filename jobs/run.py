@@ -20,6 +20,8 @@ Subcommands per --algo:
   scc         strongly connected components (trim + FW-BW coloring)
   temporal_reach  earliest time-respecting arrival from seed vertices
               (edges parquet needs src,dst,t; seeds: src % 17 == 0)
+  motifs      δ-temporal motif census (edges parquet needs src,dst,t;
+              window via --motif-delta-us)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
@@ -76,6 +78,12 @@ def main() -> None:
     ap.add_argument("--tol-mode", default="abs", choices=["abs", "scaled"])
     ap.add_argument("--max-iterations", type=positive_int, default=100)
     ap.add_argument("--fixed-iterations", type=positive_int, default=None)
+    ap.add_argument(
+        "--motif-delta-us",
+        type=positive_int,
+        default=6 * 3600 * 1_000_000,
+        help="temporal-motif window δ in microseconds (motifs)",
+    )
     ap.add_argument("--checkpoint-every", type=positive_int, default=1)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--k", type=positive_int, default=3, help="kcore k")
@@ -257,6 +265,28 @@ def main() -> None:
         secs = time.time() - t0
         out.update(edges=n_edges, vertices_reached=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "motifs":
+        from pyspark.sql import functions as F
+
+        from crgp_spark.operators.motifs import temporal_motif_counts
+
+        inter = spark.read.parquet(args.edges).select(
+            "src", "dst", F.col("t").alias("us")
+        )
+        n_edges = inter.count()
+        t0 = time.time()
+        row = temporal_motif_counts(inter, args.motif_delta_us).collect()[0]
+        secs = time.time() - t0
+        out.update(
+            edges=n_edges,
+            delta_us=row["delta_us"],
+            pingpong=row["n_pingpong"],
+            two_path=row["n_2path"],
+            triangle=row["n_triangle"],
+            seconds=round(secs, 3),
+            edges_per_sec=round(n_edges / secs),
+        )
 
     elif args.algo == "densest":
         from crgp_spark.operators.densest import densest_curve
