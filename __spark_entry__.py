@@ -2167,6 +2167,34 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
 
+# event-type → sequence code (operators/seqmatch.py); one char each
+SEQ_CODES = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+SEQ_PATTERN = "e+c"  # error streak resolved by a click
+
+
+def q_seqmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern census (operators/
+    seqmatch.py): per user, the chronologically-ordered event-code
+    string and the number of non-overlapping 'e+c' matches (an error
+    streak resolved by a click) — the arbitrary-regular-language
+    generalization of the funnel entry. One groupBy shuffle, then
+    scan-speed string codegen; RE2-subset pattern so both engines
+    count identically."""
+    from crgp_spark.operators.seqmatch import (
+        keyed_sequences,
+        sequence_pattern_counts,
+    )
+
+    seqs = keyed_sequences(_events(spark, sf_dir), SEQ_CODES)
+    return sequence_pattern_counts(seqs, SEQ_PATTERN)
+
+
 def q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """δ-temporal motif census (operators/motifs.py; Paranjape-Benson-
     Leskovec WSDM'17) over the actor-interaction stream: exact BIGINT
@@ -3335,6 +3363,48 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form ROLLUP/CUBE specialize: exactly
+    three of the four (event_type × weekday) combinations, i.e. the two
+    single-dimension marginals plus the joint cell but NOT the grand
+    total — a set CUBE cannot express without a post-filter. GROUPING()
+    indicators disambiguate set-produced NULLs from data NULLs; Catalyst
+    plans one Expand + one partial-aggregated shuffle, same as cube."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(cast(ts as timestamp)) div 86400000000"
+            " AS BIGINT) % 7"
+        ).alias("wd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupingSets(
+            [
+                [F.col("event_type"), F.col("wd")],
+                [F.col("event_type")],
+                [F.col("wd")],
+            ],
+            F.col("event_type"),
+            F.col("wd"),
+        )
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("wd"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("wd").cast("string"), F.lit("ALL")).alias("wd"),
+            "gid",
+            "n",
+            "total_cents",
+        )
+    )
+
+
 def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling window: per event type and epoch day, the
     day's event count plus the trailing-7-day sum (RANGE BETWEEN 6
@@ -4400,6 +4470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
         "motifs": q_motifs,
+        "seqmatch": q_seqmatch,
+        "grouping_sets": q_grouping_sets,
         "stratified_sample": q_stratified_sample,
         "graph_mixing": q_graph_mixing,
         "modularity": q_modularity,
@@ -4842,6 +4914,21 @@ n AS (SELECT COUNT(*) AS n_events FROM inter)
 SELECT CAST({MOTIF_DELTA_US} AS BIGINT) AS delta_us,
        n_events, n_pingpong, n_2path, n_triangle
 FROM n, duo, tri""",
+        # sequential-pattern census: exact (ts,event_id)-ordered code
+        # string per user, RE2-subset regex counted non-overlapping
+        "seqmatch": f"""WITH coded AS (
+  SELECT user_id AS key,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'view' THEN 'v' END AS code, ts, event_id
+  FROM events),
+seqs AS (
+  SELECT key, STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+  FROM coded WHERE code IS NOT NULL GROUP BY key)
+SELECT key, CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(seq, '{SEQ_PATTERN}')) AS BIGINT)
+         AS n_hits
+FROM seqs""",
         # SCC label = min over the mutual-reachability closure: reach is
         # a recursive CTE (set-semantics UNION terminates on cycles);
         # u ~ v iff reach(u,v) AND reach(v,u). MATERIALIZED: the CLAUDE.md
@@ -6321,6 +6408,19 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(CAST(wd AS VARCHAR), 'ALL') AS wd,
        COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM ev GROUP BY CUBE(event_type, wd)""",
+        # GROUPING SETS: 3 explicit sets (joint + two marginals, no
+        # grand total) + GROUPING() indicators — same Expand shape
+        "grouping_sets": """
+WITH ev AS (
+  SELECT event_type, EPOCH_US(ts) // 86400000000 % 7 AS wd,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(wd AS VARCHAR), 'ALL') AS wd,
+       CAST(GROUPING(event_type) * 2 + GROUPING(wd) AS BIGINT) AS gid,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ev GROUP BY GROUPING SETS ((event_type, wd), (event_type), (wd))""",
         # RANGE-frame trailing-7-day rolling sum per event type
         "rolling": """
 WITH ev AS (
