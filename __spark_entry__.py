@@ -45,6 +45,7 @@ from crgp_spark.operators.dedup import (
 )
 from crgp_spark.operators.multimodal import attach_fake_payload, extract_features
 from crgp_spark.operators.sessions import session_stats
+from crgp_spark.operators.triads import TRIAD_NAMES, TRIAD_STATE_CLASS
 from crgp_spark.operators.labelprop import label_propagation
 from crgp_spark.operators.pagerank import pagerank_df
 from crgp_spark.operators.similarity import (
@@ -2166,6 +2167,27 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
+
+# the 64-state isomorphism table and class spine, inlined into the
+# triads oracle as DuckDB list literals (single source of truth:
+# operators/triads.py)
+_TRIAD_STATES_SQL = "[" + ",".join(f"'{c}'" for c in TRIAD_STATE_CLASS) + "]"
+_TRIAD_NAMES_SQL = "[" + ",".join(f"'{c}'" for c in TRIAD_NAMES) + "]"
+
+
+def q_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt 16-class triad census (operators/triads.py)
+    of the actor-succession graph at weight >= 2 — reciprocity,
+    transitivity-vs-cycle balance and hierarchy in one exact-BIGINT
+    table. Connected classes by dyad-pair enumeration (triangle-bound
+    join), disconnected 003/012/102 by integer identities; at sf0.01
+    all 16 classes are populated."""
+    from crgp_spark.operators.transitions import succession_graph
+    from crgp_spark.operators.triads import triad_census
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=2)
+    return triad_census(g.select("src", "dst"))
+
 
 # event-type → sequence code (operators/seqmatch.py); one char each
 SEQ_CODES = {
@@ -4470,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "temporal_reach": q_temporal_reach,
         "motifs": q_motifs,
+        "triads": q_triads,
         "seqmatch": q_seqmatch,
         "grouping_sets": q_grouping_sets,
         "stratified_sample": q_stratified_sample,
@@ -4914,6 +4937,68 @@ n AS (SELECT COUNT(*) AS n_events FROM inter)
 SELECT CAST({MOTIF_DELTA_US} AS BIGINT) AS delta_us,
        n_events, n_pingpong, n_2path, n_triangle
 FROM n, duo, tri""",
+        # Holland-Leinhardt triad census on the weight>=2 succession
+        # graph: dyad codes -> shared-vertex dyad-pair join -> the SAME
+        # 64-state table (inlined as a list literal); disconnected
+        # classes by the integer identities, 003 by complement
+        "triads": f"""WITH g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT user_id AS src,
+             LEAD(user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      FROM events) s
+    WHERE dst IS NOT NULL AND src <> dst
+    GROUP BY src, dst HAVING COUNT(*) >= 2)),
+dy AS MATERIALIZED (
+  SELECT lo, hi, CASE WHEN f = 1 AND r = 1 THEN 3
+                      WHEN f = 1 THEN 1 ELSE 2 END AS code
+  FROM (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+               MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+               MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+        FROM g GROUP BY 1, 2)),
+half AS (SELECT lo AS v, hi AS o FROM dy
+         UNION ALL SELECT hi, lo FROM dy),
+tri AS MATERIALIZED (
+  SELECT DISTINCT t[1] AS i, t[2] AS j, t[3] AS k FROM (
+    SELECT LIST_SORT([p.v, p.o, q.o]) AS t
+    FROM half p JOIN half q ON p.v = q.v AND p.o < q.o)),
+coded AS MATERIALIZED (
+  SELECT COALESCE(d1.code, 0) * 16 + COALESCE(d2.code, 0) * 4
+         + COALESCE(d3.code, 0) AS state
+  FROM tri t
+  LEFT JOIN dy d1 ON d1.lo = t.i AND d1.hi = t.j
+  LEFT JOIN dy d2 ON d2.lo = t.i AND d2.hi = t.k
+  LEFT JOIN dy d3 ON d3.lo = t.j AND d3.hi = t.k),
+conn AS (SELECT ({_TRIAD_STATES_SQL})[state + 1] AS tclass,
+                COUNT(*) AS n_conn
+         FROM coded GROUP BY 1),
+scal AS (
+  SELECT
+    (SELECT COUNT(*) FROM
+      (SELECT src AS u FROM g UNION SELECT dst FROM g)) AS n,
+    (SELECT COUNT(*) FROM dy WHERE code = 3) AS mm,
+    (SELECT COUNT(*) FROM dy WHERE code <> 3) AS aa,
+    (SELECT COUNT(*) FROM coded) AS ct,
+    (SELECT COALESCE(SUM(CASE WHEN state % 4 = 3 THEN 1 ELSE 0 END
+           + CASE WHEN state // 4 % 4 = 3 THEN 1 ELSE 0 END
+           + CASE WHEN state // 16 % 4 = 3 THEN 1 ELSE 0 END), 0)
+     FROM coded) AS summ,
+    (SELECT COALESCE(SUM(CASE WHEN state % 4 IN (1, 2) THEN 1 ELSE 0 END
+           + CASE WHEN state // 4 % 4 IN (1, 2) THEN 1 ELSE 0 END
+           + CASE WHEN state // 16 % 4 IN (1, 2) THEN 1 ELSE 0 END), 0)
+     FROM coded) AS suma),
+disc AS (
+  SELECT '102' AS tclass, mm * (n - 2) - summ AS n_disc FROM scal
+  UNION ALL SELECT '012', aa * (n - 2) - suma FROM scal
+  UNION ALL SELECT '003', n * (n - 1) * (n - 2) // 6 - ct
+            - (mm * (n - 2) - summ) - (aa * (n - 2) - suma) FROM scal),
+spine AS (SELECT UNNEST({_TRIAD_NAMES_SQL}) AS tclass)
+SELECT s.tclass,
+       CAST(COALESCE(c.n_conn, d.n_disc, 0) AS BIGINT) AS n_triads
+FROM spine s
+LEFT JOIN conn c ON c.tclass = s.tclass
+LEFT JOIN disc d ON d.tclass = s.tclass""",
         # sequential-pattern census: exact (ts,event_id)-ordered code
         # string per user, RE2-subset regex counted non-overlapping
         "seqmatch": f"""WITH coded AS (

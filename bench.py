@@ -371,6 +371,15 @@ def main() -> None:
 
     timed("motifs", run_motifs)
 
+    # Holland-Leinhardt triad census on the weight>=2 succession graph
+    def run_triads():
+        from crgp_spark.operators.triads import triad_census
+
+        g = succession_graph(events, min_weight=2)
+        return triad_census(g.select("src", "dst")).count()
+
+    timed("triads", run_triads)
+
     # directed mixing + modularity of the hash partition, both over
     # the succession graph (exact-moment scan-shaped aggregates)
     from crgp_spark.operators.graphstats import mixing_stats, modularity

@@ -22,6 +22,7 @@ Subcommands per --algo:
               (edges parquet needs src,dst,t; seeds: src % 17 == 0)
   motifs      δ-temporal motif census (edges parquet needs src,dst,t;
               window via --motif-delta-us)
+  triads      Holland-Leinhardt 16-class triad census (edges: src,dst)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
@@ -284,6 +285,21 @@ def main() -> None:
             pingpong=row["n_pingpong"],
             two_path=row["n_2path"],
             triangle=row["n_triangle"],
+            seconds=round(secs, 3),
+            edges_per_sec=round(n_edges / secs),
+        )
+
+    elif args.algo == "triads":
+        from crgp_spark.operators.triads import triad_census
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        rows = triad_census(edges).collect()
+        secs = time.time() - t0
+        out.update(
+            edges=n_edges,
+            census={r["tclass"]: r["n_triads"] for r in rows},
             seconds=round(secs, 3),
             edges_per_sec=round(n_edges / secs),
         )
