@@ -2188,7 +2188,6 @@ def q_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = succession_graph(_events(spark, sf_dir), min_weight=2)
     return triad_census(g.select("src", "dst"))
 
-
 # event-type → sequence code (operators/seqmatch.py); one char each
 SEQ_CODES = {
     "click": "c",
@@ -2198,6 +2197,22 @@ SEQ_CODES = {
     "view": "v",
 }
 SEQ_PATTERN = "e+c"  # error streak resolved by a click
+
+# shared by the batch `seqmatch` entry and the streamed
+# `stream_seqmatch` twin (stream==batch contract: same oracle)
+_SQL_SEQMATCH = f"""WITH coded AS (
+  SELECT user_id AS key,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'view' THEN 'v' END AS code, ts, event_id
+  FROM events),
+seqs AS (
+  SELECT key, STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+  FROM coded WHERE code IS NOT NULL GROUP BY key)
+SELECT key, CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(seq, '{SEQ_PATTERN}')) AS BIGINT)
+         AS n_hits
+FROM seqs"""
 
 
 def q_seqmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,6 +2230,25 @@ def q_seqmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seqs = keyed_sequences(_events(spark, sf_dir), SEQ_CODES)
     return sequence_pattern_counts(seqs, SEQ_PATTERN)
+
+
+def q_stream_seqmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequential-pattern census under the hard gate — the
+    11th gated stream==batch path (streaming/sequences.py): per-key
+    (us, event_id, code) multisets accumulate in the streaming state
+    store across capped micro-batches (multiset union is a commutative
+    monoid), the total order is rebuilt at drain, so the oracle is the
+    SAME SQL as the batch `seqmatch` entry."""
+    import shutil
+
+    from crgp_spark.streaming.sequences import stream_sequence_counts
+
+    work = "/tmp/crgp_stream_seqmatch"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_sequence_counts(
+        spark, work, SEQ_CODES, SEQ_PATTERN, max_files_per_trigger=2
+    )
 
 
 def q_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4494,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs": q_motifs,
         "triads": q_triads,
         "seqmatch": q_seqmatch,
+        "stream_seqmatch": q_stream_seqmatch,
         "grouping_sets": q_grouping_sets,
         "stratified_sample": q_stratified_sample,
         "graph_mixing": q_graph_mixing,
@@ -5001,19 +5036,10 @@ LEFT JOIN conn c ON c.tclass = s.tclass
 LEFT JOIN disc d ON d.tclass = s.tclass""",
         # sequential-pattern census: exact (ts,event_id)-ordered code
         # string per user, RE2-subset regex counted non-overlapping
-        "seqmatch": f"""WITH coded AS (
-  SELECT user_id AS key,
-         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
-              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-              WHEN 'view' THEN 'v' END AS code, ts, event_id
-  FROM events),
-seqs AS (
-  SELECT key, STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
-  FROM coded WHERE code IS NOT NULL GROUP BY key)
-SELECT key, CAST(LENGTH(seq) AS BIGINT) AS seq_len,
-       CAST(LEN(REGEXP_EXTRACT_ALL(seq, '{SEQ_PATTERN}')) AS BIGINT)
-         AS n_hits
-FROM seqs""",
+        "seqmatch": _SQL_SEQMATCH,
+        # stream==batch contract: streamed multiset state drains to
+        # the identical census, so the oracle IS the batch SQL
+        "stream_seqmatch": _SQL_SEQMATCH,
         # SCC label = min over the mutual-reachability closure: reach is
         # a recursive CTE (set-semantics UNION terminates on cycles);
         # u ~ v iff reach(u,v) AND reach(v,u). MATERIALIZED: the CLAUDE.md

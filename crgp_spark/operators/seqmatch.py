@@ -29,15 +29,15 @@ from pyspark.sql import functions as F
 from crgp_spark.functions import ts_micros
 
 
-def keyed_sequences(
+def coded_events(
     events: DataFrame,
     code_map: dict[str, str],
     key_col: str = "user_id",
     type_col: str = "event_type",
-    max_events_per_key: int | None = None,
 ) -> DataFrame:
-    """Per-key code string ``(key, seq)`` in exact ``(ts, event_id)``
-    order. ``code_map`` maps event types to single characters; unmapped
+    """Map the event log to ``(key, code, us, event_id)`` rows — the
+    shared pre-aggregation stage of the batch and streaming sequence
+    paths. ``code_map`` maps event types to single characters; unmapped
     types are dropped (explicit vocabulary, never a silent '?')."""
     for t, c in code_map.items():
         if len(c) != 1:
@@ -48,12 +48,34 @@ def keyed_sequences(
         code = branch if code is None else code.when(
             F.col(type_col) == t, F.lit(c)
         )
-    ev = events.select(
+    return events.select(
         F.col(key_col).alias("key"),
         code.alias("code"),
         ts_micros("ts").alias("us"),
         "event_id",
     ).filter(F.col("code").isNotNull())
+
+
+def assemble_codes(evs):  # Column -> Column
+    """``array<struct<us,event_id,code>>`` → the exact-total-order code
+    string: sort_array over the struct order (us, event_id) then join —
+    deterministic under ANY accumulation order, which is what makes the
+    streamed multiset state drain to the batch string bit-for-bit."""
+    return F.array_join(
+        F.transform(F.array_sort(evs), lambda s: s["code"]), ""
+    )
+
+
+def keyed_sequences(
+    events: DataFrame,
+    code_map: dict[str, str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    max_events_per_key: int | None = None,
+) -> DataFrame:
+    """Per-key code string ``(key, seq)`` in exact ``(ts, event_id)``
+    order."""
+    ev = coded_events(events, code_map, key_col, type_col)
     if max_events_per_key is not None:
         w = Window.partitionBy("key").orderBy("us", "event_id")
         ev = ev.withColumn("rn", F.row_number().over(w)).filter(
@@ -62,14 +84,8 @@ def keyed_sequences(
     # sort_array over (us, event_id, code) structs = the exact total
     # order, assembled JVM-side; array_join leaves one string per key
     return ev.groupBy("key").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("us", "event_id", "code"))
-                ),
-                lambda s: s["code"],
-            ),
-            "",
+        assemble_codes(
+            F.collect_list(F.struct("us", "event_id", "code"))
         ).alias("seq")
     )
 

@@ -494,3 +494,35 @@ def test_stream_hll_matches_batch(spark, tmp_path, files_per_trigger):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, want_df.collect()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_stream_seqmatch_matches_batch(spark, tmp_path, files_per_trigger):
+    """Streaming sequential-pattern census: per-key (us,event_id,code)
+    multisets accumulated in the state store drain to the exact batch
+    code strings at ANY micro-batch slicing (multiset union is a
+    commutative monoid; the total order is rebuilt at drain), so the
+    regex hit counts match bit-for-bit."""
+    from crgp_spark.operators.seqmatch import (
+        keyed_sequences,
+        sequence_pattern_counts,
+    )
+    from crgp_spark.streaming.sequences import stream_sequence_counts
+
+    codes = {
+        "click": "c", "error": "e", "purchase": "p",
+        "signup": "s", "view": "v",
+    }
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "seq_in")
+    spark.read.parquet(src).repartition(10, "event_id").write.parquet(work)
+    out = stream_sequence_counts(
+        spark, work, codes, "e+c",
+        max_files_per_trigger=files_per_trigger,
+    )
+    want_df = sequence_pattern_counts(
+        keyed_sequences(spark.read.parquet(work), codes), "e+c"
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) > 0
