@@ -2168,6 +2168,56 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (operators/coreness.py): the exact core
+    number of EVERY vertex of the weight>=2 succession graph via the
+    Montresor h-index iteration (c(v) <- min(c, h-index of neighbor
+    estimates); fixpoint = peeling core number). Spark runs to the
+    fixpoint; the oracle unrolls 18 MATERIALIZED h-index rounds —
+    convergence at sf0.01 is round 14, and past-fixpoint rounds are the
+    identity, so any R >= convergence replays exactly."""
+    from crgp_spark.operators.coreness import core_decomposition
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=2)
+    return core_decomposition(spark, g.select("src", "dst"), cfg=_graph_cfg())
+
+
+def _sql_coreness(rounds: int) -> str:
+    """Unrolled h-index oracle: per round, the SAME join + window +
+    LEAST fold as the engine, each round MATERIALIZED (CLAUDE.md CTE
+    rule — every round is referenced twice by the next)."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT s.u, LEAST(s.c, h.h) AS c FROM c{r - 1} s JOIN (
+    SELECT u, MAX(LEAST(cv, rn)) AS h FROM (
+      SELECT e.u, cb.c AS cv,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.u ORDER BY cb.c DESC, e.v) AS rn
+      FROM e JOIN c{r - 1} cb ON cb.u = e.v) GROUP BY u) h
+  ON h.u = s.u)"""
+        )
+    joined = ",\n".join(steps)
+    return f"""WITH g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT user_id AS src,
+             LEAD(user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      FROM events) s
+    WHERE dst IS NOT NULL AND src <> dst
+    GROUP BY src, dst HAVING COUNT(*) >= 2)),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM g WHERE src <> dst),
+e AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+c0 AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e GROUP BY u),
+{joined}
+SELECT u AS vid, CAST(c AS BIGINT) AS core FROM c{rounds}"""
+
+
 # the 64-state isomorphism table and class spine, inlined into the
 # triads oracle as DuckDB list literals (single source of truth:
 # operators/triads.py)
@@ -4527,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach": q_temporal_reach,
         "motifs": q_motifs,
         "triads": q_triads,
+        "coreness": q_coreness,
         "seqmatch": q_seqmatch,
         "stream_seqmatch": q_stream_seqmatch,
         "grouping_sets": q_grouping_sets,
@@ -5034,6 +5085,8 @@ SELECT s.tclass,
 FROM spine s
 LEFT JOIN conn c ON c.tclass = s.tclass
 LEFT JOIN disc d ON d.tclass = s.tclass""",
+        # full core decomposition: 18 unrolled h-index rounds
+        "coreness": _sql_coreness(rounds=18),
         # sequential-pattern census: exact (ts,event_id)-ordered code
         # string per user, RE2-subset regex counted non-overlapping
         "seqmatch": _SQL_SEQMATCH,

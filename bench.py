@@ -380,6 +380,15 @@ def main() -> None:
 
     timed("triads", run_triads)
 
+    # full core decomposition via h-index rounds on the same graph
+    def run_coreness():
+        from crgp_spark.operators.coreness import core_decomposition
+
+        g = succession_graph(events, min_weight=2)
+        return core_decomposition(spark, g.select("src", "dst"), cfg=cfg).count()
+
+    timed("coreness", run_coreness)
+
     # directed mixing + modularity of the hash partition, both over
     # the succession graph (exact-moment scan-shaped aggregates)
     from crgp_spark.operators.graphstats import mixing_stats, modularity

@@ -23,6 +23,7 @@ Subcommands per --algo:
   motifs      δ-temporal motif census (edges parquet needs src,dst,t;
               window via --motif-delta-us)
   triads      Holland-Leinhardt 16-class triad census (edges: src,dst)
+  coreness    full k-core decomposition, core number per vertex
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
@@ -300,6 +301,22 @@ def main() -> None:
         out.update(
             edges=n_edges,
             census={r["tclass"]: r["n_triads"] for r in rows},
+            seconds=round(secs, 3),
+            edges_per_sec=round(n_edges / secs),
+        )
+
+    elif args.algo == "coreness":
+        from crgp_spark.operators.coreness import core_decomposition
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        rows = core_decomposition(spark, edges, cfg=cfg).collect()
+        secs = time.time() - t0
+        out.update(
+            edges=n_edges,
+            vertices=len(rows),
+            max_core=max((r["core"] for r in rows), default=0),
             seconds=round(secs, 3),
             edges_per_sec=round(n_edges / secs),
         )
