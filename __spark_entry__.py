@@ -2168,6 +2168,31 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift chart (operators/cusum.py, Page 1954) over per-type
+    event values in integer cents: the recursive max(0, C+(x-k))
+    statistic computed as ONE window pass via its closed prefix form
+    C_t = S_t - min(0, min prefix S) — drift k = 48.00, alarm h =
+    500.00, all BIGINT (first alarms land at rank 28..287 across the
+    five types at sf0.01, so both alarm polarities are exercised)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.cusum import cusum_chart
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
+    return cusum_chart(
+        ev,
+        ["event_type"],
+        [ts_micros("ts"), "event_id"],
+        F.col("cents"),
+        k_num=4800,
+        k_den=1,
+        h_num=50000,
+        h_den=1,
+    )
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition (operators/coreness.py): the exact core
     number of EVERY vertex of the weight>=2 succession graph via the
@@ -4578,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs": q_motifs,
         "triads": q_triads,
         "coreness": q_coreness,
+        "cusum": q_cusum,
         "seqmatch": q_seqmatch,
         "stream_seqmatch": q_stream_seqmatch,
         "grouping_sets": q_grouping_sets,
@@ -5085,6 +5111,23 @@ SELECT s.tclass,
 FROM spine s
 LEFT JOIN conn c ON c.tclass = s.tclass
 LEFT JOIN disc d ON d.tclass = s.tclass""",
+        # CUSUM chart: identical window algebra, S0 included via the
+        # LEAST(0, ...) clamp (Page recursion starts at C_0 = 0)
+        "cusum": """
+WITH ev AS (SELECT event_type, EPOCH_US(ts) AS us, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events),
+s AS (SELECT event_type, ROW_NUMBER() OVER w AS rn, x,
+             SUM(x * 1 - 4800) OVER (
+               PARTITION BY event_type ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS S
+      FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id))
+SELECT event_type, CAST(rn AS INT) AS rn, x,
+       S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
+           ROWS UNBOUNDED PRECEDING)) AS cusum_scaled,
+       (S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
+           ROWS UNBOUNDED PRECEDING))) * 1 > 50000 * 1 AS alarm
+FROM s""",
         # full core decomposition: 18 unrolled h-index rounds
         "coreness": _sql_coreness(rounds=18),
         # sequential-pattern census: exact (ts,event_id)-ordered code

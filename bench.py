@@ -389,6 +389,21 @@ def main() -> None:
 
     timed("coreness", run_coreness)
 
+    # CUSUM drift chart: one window pass over per-type value cents
+    def run_cusum():
+        from crgp_spark.functions import ts_micros
+        from crgp_spark.operators.cusum import cusum_chart
+
+        ev = events.withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        return cusum_chart(
+            ev, ["event_type"], [ts_micros("ts"), "event_id"],
+            F.col("cents"), k_num=4800, k_den=1, h_num=50000, h_den=1,
+        ).count()
+
+    timed("cusum", run_cusum)
+
     # directed mixing + modularity of the hash partition, both over
     # the succession graph (exact-moment scan-shaped aggregates)
     from crgp_spark.operators.graphstats import mixing_stats, modularity
