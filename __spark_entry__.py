@@ -2208,6 +2208,21 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_decomposition(spark, g.select("src", "dst"), cfg=_graph_cfg())
 
 
+def q_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve (operators/richclub.py, Zhou &
+    Mondragón 2004) of the weight>=2 succession graph — the same input
+    q_coreness decomposes: for every observed degree k, how densely the
+    vertices of degree > k link to EACH OTHER. Never a per-k loop: each
+    edge survives below min(deg_u, deg_v), so the whole curve is two
+    degree histograms suffix-summed over the distinct-degree spine.
+    Exact BIGINT counts; φ is one IEEE division floor-rounded to 6 dp."""
+    from crgp_spark.operators.richclub import rich_club
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=2)
+    return rich_club(g.select("src", "dst"))
+
+
 def _sql_coreness(rounds: int) -> str:
     """Unrolled h-index oracle: per round, the SAME join + window +
     LEAST fold as the engine, each round MATERIALIZED (CLAUDE.md CTE
@@ -4603,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motifs": q_motifs,
         "triads": q_triads,
         "coreness": q_coreness,
+        "richclub": q_richclub,
         "cusum": q_cusum,
         "seqmatch": q_seqmatch,
         "stream_seqmatch": q_stream_seqmatch,
@@ -5128,6 +5144,43 @@ SELECT event_type, CAST(rn AS INT) AS rn, x,
        (S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
            ROWS UNBOUNDED PRECEDING))) * 1 > 50000 * 1 AS alarm
 FROM s""",
+        # rich-club curve: suffix sums of the two survival histograms
+        # over the distinct-degree spine (threshold STRICTLY > k), same
+        # integer-scaled floor-round as the engine
+        "richclub": """
+WITH g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT user_id AS src,
+             LEAD(user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      FROM events) s
+    WHERE dst IS NOT NULL AND src <> dst
+    GROUP BY src, dst HAVING COUNT(*) >= 2)),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM g WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u FROM und UNION ALL SELECT v AS u FROM und) GROUP BY u),
+vhist AS (SELECT deg, COUNT(*) AS nv FROM deg GROUP BY deg),
+em AS (
+  SELECT LEAST(du.deg, dv.deg) AS m, COUNT(*) AS ne
+  FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+  GROUP BY 1),
+base AS (
+  SELECT s.deg AS k,
+         CAST(COALESCE((SELECT SUM(nv) FROM vhist WHERE deg > s.deg), 0)
+              AS BIGINT) AS n_rich,
+         CAST(COALESCE((SELECT SUM(ne) FROM em WHERE m > s.deg), 0)
+              AS BIGINT) AS e_rich
+  FROM vhist s)
+SELECT k, n_rich, e_rich,
+       CASE WHEN n_rich >= 2 THEN
+         FLOOR(2000000 * e_rich / (n_rich * (n_rich - 1)) + 0.5)
+           / 1000000.0
+       END AS phi
+FROM base""",
         # full core decomposition: 18 unrolled h-index rounds
         "coreness": _sql_coreness(rounds=18),
         # sequential-pattern census: exact (ts,event_id)-ordered code

@@ -404,6 +404,16 @@ def main() -> None:
 
     timed("cusum", run_cusum)
 
+    # rich-club curve: two degree histograms suffix-summed on the spine
+    def run_richclub():
+        from crgp_spark.operators.richclub import rich_club
+        from crgp_spark.operators.transitions import succession_graph
+
+        g = succession_graph(events, min_weight=2)
+        return rich_club(g.select("src", "dst")).count()
+
+    timed("richclub", run_richclub)
+
     # directed mixing + modularity of the hash partition, both over
     # the succession graph (exact-moment scan-shaped aggregates)
     from crgp_spark.operators.graphstats import mixing_stats, modularity
