@@ -2168,6 +2168,27 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MOTIF_DELTA_US = 6 * 3600 * 1_000_000  # δ = 6 h
 
+# CUSUM chart over per-type event value cents, k = 48.00, h = 500.00:
+# the same closed prefix form as the engine (running sum + running min,
+# S_0 = 0 included via the LEAST(0, ...) clamp). Shared verbatim by the
+# batch entry and the streamed carry fold (stream == batch gate).
+_SQL_CUSUM = """
+WITH ev AS (SELECT event_type, EPOCH_US(ts) AS us, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+            FROM events),
+s AS (SELECT event_type, ROW_NUMBER() OVER w AS rn, x,
+             SUM(x * 1 - 4800) OVER (
+               PARTITION BY event_type ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS S
+      FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id))
+SELECT event_type, CAST(rn AS INT) AS rn, x,
+       S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
+           ROWS UNBOUNDED PRECEDING)) AS cusum_scaled,
+       (S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
+           ROWS UNBOUNDED PRECEDING))) * 1 > 50000 * 1 AS alarm
+FROM s"""
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift chart (operators/cusum.py, Page 1954) over per-type
     event values in integer cents: the recursive max(0, C+(x-k))
@@ -2190,6 +2211,35 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_den=1,
         h_num=50000,
         h_den=1,
+    )
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed CUSUM drift watch (streaming/cusum.py): the SAME chart
+    as `cusum`, but folded through a 3-number keyed-state carry
+    (rows, prefix sum, prefix min) across 4 time-ordered micro-batches —
+    O(|keys|) state regardless of history. Stream == batch is the gate:
+    this entry shares the batch cusum oracle verbatim."""
+    import shutil
+
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.cusum import stream_cusum
+    from crgp_spark.streaming.scd import write_time_chunks
+
+    work = "/tmp/crgp_stream_cusum"
+    shutil.rmtree(work, ignore_errors=True)
+    feed = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    write_time_chunks(feed, work, n_chunks=4)
+    ch = stream_cusum(
+        spark, work, k_num=4800, k_den=1, h_num=50000, h_den=1
+    )
+    return ch.select(
+        F.col("key").alias("event_type"), "rn", "x", "cusum_scaled", "alarm"
     )
 
 
@@ -4620,6 +4670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "richclub": q_richclub,
         "cusum": q_cusum,
+        "stream_cusum": q_stream_cusum,
         "seqmatch": q_seqmatch,
         "stream_seqmatch": q_stream_seqmatch,
         "grouping_sets": q_grouping_sets,
@@ -5129,21 +5180,9 @@ LEFT JOIN conn c ON c.tclass = s.tclass
 LEFT JOIN disc d ON d.tclass = s.tclass""",
         # CUSUM chart: identical window algebra, S0 included via the
         # LEAST(0, ...) clamp (Page recursion starts at C_0 = 0)
-        "cusum": """
-WITH ev AS (SELECT event_type, EPOCH_US(ts) AS us, event_id,
-                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
-            FROM events),
-s AS (SELECT event_type, ROW_NUMBER() OVER w AS rn, x,
-             SUM(x * 1 - 4800) OVER (
-               PARTITION BY event_type ORDER BY us, event_id
-               ROWS UNBOUNDED PRECEDING) AS S
-      FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id))
-SELECT event_type, CAST(rn AS INT) AS rn, x,
-       S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
-           ROWS UNBOUNDED PRECEDING)) AS cusum_scaled,
-       (S - LEAST(0, MIN(S) OVER (PARTITION BY event_type ORDER BY rn
-           ROWS UNBOUNDED PRECEDING))) * 1 > 50000 * 1 AS alarm
-FROM s""",
+        "cusum": _SQL_CUSUM,
+        # streamed carry fold == the batch chart: same oracle verbatim
+        "stream_cusum": _SQL_CUSUM,
         # rich-club curve: suffix sums of the two survival histograms
         # over the distinct-degree spine (threshold STRICTLY > k), same
         # integer-scaled floor-round as the engine
