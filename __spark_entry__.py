@@ -2273,6 +2273,50 @@ def q_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(g.select("src", "dst"))
 
 
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (operators/hierarchy.py): collapse the derived
+    influence DAG to its most-recent-influencer parent forest
+    (parent = MAX src with src < dst, acyclic by construction), then
+    depth / root / subtree size per vertex via pointer-doubled ancestor
+    closure — ⌈log2 depth⌉ co-partitioned join rounds, never a
+    per-level loop. Oracle = recursive-CTE ascent (each vertex has ONE
+    parent, so the UNION ALL closure is duplicate-free) + ARG_MAX root
+    + descendant counts."""
+    from crgp_spark.operators.hierarchy import parent_tree, tree_stats
+
+    parents = parent_tree(_edges_vid(spark, sf_dir))
+    return tree_stats(spark, parents, _graph_cfg())
+
+
+_SQL_HIERARCHY = f"""WITH RECURSIVE {_SQL_EVID},
+par AS MATERIALIZED (
+  SELECT dst AS vid, MAX(src) AS parent FROM e WHERE src < dst GROUP BY dst
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT vid FROM (
+    SELECT vid FROM par UNION ALL SELECT parent AS vid FROM par)
+),
+cl AS (
+  SELECT vid, parent AS anc, CAST(1 AS BIGINT) AS d FROM par
+  UNION ALL
+  SELECT c.vid, p.parent AS anc, c.d + 1 AS d
+  FROM cl c JOIN par p ON p.vid = c.anc
+),
+up AS (
+  SELECT vid, MAX(d) AS depth, ARG_MAX(anc, d) AS root FROM cl GROUP BY vid
+),
+down AS (
+  SELECT anc AS vid, COUNT(*) AS n_desc FROM cl GROUP BY anc
+)
+SELECT v.vid,
+       CAST(COALESCE(u.depth, 0) AS BIGINT) AS depth,
+       COALESCE(u.root, v.vid) AS root,
+       CAST(COALESCE(dn.n_desc, 0) + 1 AS BIGINT) AS subtree_n
+FROM verts v
+LEFT JOIN up u ON u.vid = v.vid
+LEFT JOIN down dn ON dn.vid = v.vid"""
+
+
 def _sql_coreness(rounds: int) -> str:
     """Unrolled h-index oracle: per round, the SAME join + window +
     LEAST fold as the engine, each round MATERIALIZED (CLAUDE.md CTE
@@ -4705,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "densest": q_densest,
         "densest_sub": q_densest_sub,
+        "hierarchy": q_hierarchy,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5183,6 +5228,9 @@ LEFT JOIN disc d ON d.tclass = s.tclass""",
         "cusum": _SQL_CUSUM,
         # streamed carry fold == the batch chart: same oracle verbatim
         "stream_cusum": _SQL_CUSUM,
+        # parent forest (one parent per vertex) => the recursive ascent
+        # is duplicate-free; ARG_MAX(anc, d) = the chain's top = root
+        "hierarchy": _SQL_HIERARCHY,
         # rich-club curve: suffix sums of the two survival histograms
         # over the distinct-degree spine (threshold STRICTLY > k), same
         # integer-scaled floor-round as the engine

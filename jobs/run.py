@@ -24,6 +24,7 @@ Subcommands per --algo:
               window via --motif-delta-us)
   triads      Holland-Leinhardt 16-class triad census (edges: src,dst)
   coreness    full k-core decomposition, core number per vertex
+  hierarchy   parent-forest depth/root/subtree rollup (pointer doubling)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
@@ -317,6 +318,22 @@ def main() -> None:
             edges=n_edges,
             vertices=len(rows),
             max_core=max((r["core"] for r in rows), default=0),
+            seconds=round(secs, 3),
+            edges_per_sec=round(n_edges / secs),
+        )
+
+    elif args.algo == "hierarchy":
+        from crgp_spark.operators.hierarchy import parent_tree, tree_stats
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        rows = tree_stats(spark, parent_tree(edges), cfg=cfg).collect()
+        secs = time.time() - t0
+        out.update(
+            edges=n_edges,
+            vertices=len(rows),
+            max_depth=max((r["depth"] for r in rows), default=0),
             seconds=round(secs, 3),
             edges_per_sec=round(n_edges / secs),
         )
