@@ -4264,6 +4264,54 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(orders, new, ["o_orderkey"])
 
 
+_SQL_ANOMALY = """
+WITH b AS (
+  SELECT event_id, user_id, EPOCH_US(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id, us, cents,
+         CAST(COUNT(*) OVER fr AS BIGINT) AS n_window,
+         CAST(SUM(cents) OVER fr AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss
+  FROM b
+  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, us, cents, n_window
+FROM w
+WHERE n_window >= 8
+  AND (cents * n_window - s) * (cents * n_window - s)
+      > 4 * (n_window * ss - s * s)"""
+
+
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed trailing-window z-score watch (streaming/anomaly.py):
+    the SAME flags as `anomaly`, but produced by a buffer-pruned keyed
+    state (the live 7-day window per user, bounded by
+    events-per-key-per-window) across 4 time-ordered micro-batches —
+    the third state shape in the streaming family after the scalar
+    carry (cusum) and the full multiset (seqmatch). Stream == batch is
+    the gate: this entry shares the batch anomaly oracle verbatim."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.anomaly import stream_anomalies
+    from crgp_spark.streaming.scd import write_time_chunks
+
+    work = "/tmp/crgp_stream_anomaly"
+    feed = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        ts_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).where(F.col("cents").isNotNull())
+    write_time_chunks(feed, work, n_chunks=4)
+    got = stream_anomalies(spark, work)
+    return got.select(
+        "event_id", F.col("key").alias("user_id"), "us", "cents", "n_window"
+    )
+
+
 def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomalies (operators/anomaly.py): events more
     than 2 sigma from their user's trailing-7d mean — the comparison
@@ -4750,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "densest_sub": q_densest_sub,
         "hierarchy": q_hierarchy,
+        "stream_anomaly": q_stream_anomaly,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -6345,26 +6394,10 @@ SELECT lang, doc_id, size, bin,
 FROM b""",
         # Rolling z-score anomalies (anomaly.py): RANGE-frame window
         # sums in integer cents, cross-multiplied sigma test
-        "anomaly": """
-WITH b AS (
-  SELECT event_id, user_id, EPOCH_US(ts) AS us,
-         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL
-),
-w AS (
-  SELECT event_id, user_id, us, cents,
-         CAST(COUNT(*) OVER fr AS BIGINT) AS n_window,
-         CAST(SUM(cents) OVER fr AS BIGINT) AS s,
-         CAST(SUM(cents * cents) OVER fr AS BIGINT) AS ss
-  FROM b
-  WINDOW fr AS (PARTITION BY user_id ORDER BY us
-                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-)
-SELECT event_id, user_id, us, cents, n_window
-FROM w
-WHERE n_window >= 8
-  AND (cents * n_window - s) * (cents * n_window - s)
-      > 4 * (n_window * ss - s * s)""",
+        "anomaly": _SQL_ANOMALY,
+        # buffer-pruned keyed state == the batch RANGE frame: same
+        # oracle verbatim (the 13th gated stream==batch path)
+        "stream_anomaly": _SQL_ANOMALY,
         # CDC table diff (diff.py): statuses derived analytically from
         # the same modular evolution rules the query applies
         "table_diff": """
