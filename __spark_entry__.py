@@ -2818,6 +2818,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document
+    (textstats.py::token_entropy) — the Gopher-style repetition/quality
+    signal. Every per-term log is quantized to BIGINT micro-nats, so
+    h_scaled is an exact integer in both engines and `entropy` is one
+    IEEE division of identical integers: bit-identical, no rounding
+    epsilon anywhere."""
+    from crgp_spark.operators.textstats import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -4799,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_sub": q_densest_sub,
         "hierarchy": q_hierarchy,
         "stream_anomaly": q_stream_anomaly,
+        "entropy": q_entropy,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5159,6 +5172,33 @@ SELECT rk, gram, n_occurrences FROM (
 ) WHERE rk <= 50""",
         # smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1)); ties in the raw
         # score imply equal (tf, df), so the term tie-break is exact
+        # unigram entropy: per-term logs quantized to BIGINT micro-nats
+        # (SUM is exact integer, association-order-free); the final
+        # division is one IEEE op on identical integers => bit-identical
+        "entropy": f"""WITH {_SQL_SHINGLES},
+tok AS (SELECT doc_id, UNNEST(tk) AS term FROM tk WHERE LEN(tk) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+folded AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS clnc
+  FROM tf GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         n_tokens * CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1000000
+                               + 0.5) AS BIGINT) - clnc AS h_scaled
+  FROM folded
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.n_distinct, 0) AS n_distinct,
+       COALESCE(s.h_scaled, 0) AS h_scaled,
+       COALESCE(CAST(s.h_scaled AS DOUBLE)
+                / CAST(s.n_tokens * 1000000 AS DOUBLE), 0.0) AS entropy
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""",
         "tfidf": f"""WITH {_SQL_SHINGLES},
 tok AS (SELECT doc_id, UNNEST(tk) AS term FROM tk WHERE LEN(tk) > 0),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -346,3 +346,70 @@ def collocations(
         )
     )
     return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(k_top)
+
+
+def _lnq(x: Column, scale: int = 1_000_000) -> Column:
+    """ln(x) quantized to BIGINT micro-units: FLOOR(ln(x)·1e6 + 0.5).
+    At 1e6 the float ulp of ln(x)·1e6 (~1e-9 for x <= 1e6) is six
+    orders below the .5 rounding boundary, so Spark's Math.log and
+    DuckDB's libm log quantize identically even if they differ in the
+    last ulp — which makes every SUM over these values an exact
+    BIGINT, immune to float association order."""
+    return F.floor(F.log(x.cast("double")) * scale + F.lit(0.5)).cast("long")
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's unigram distribution —
+    the Gopher-style repetition/quality signal: low entropy = the doc
+    is dominated by few tokens (boilerplate, keyword stuffing), high
+    entropy ~ ln(n_distinct) = flat usage.  Returns (doc_id, n_tokens,
+    n_distinct, h_scaled, entropy).
+
+    Cross-engine exactness: H = (1/n)·Σ_t c_t·(ln n − ln c_t) is
+    hostile to oracle comparison if summed in floats (association
+    order).  Here each log is quantized to integer micro-nats
+    (``_lnq``), so ``h_scaled = Σ c_t·(lnq(n) − lnq(c_t))`` is an
+    exact BIGINT in BOTH engines and ``entropy`` is ONE IEEE division
+    of identical integers — bit-identical, no rounding epsilon at all
+    (quantization error ≤ 1e-6 nat/token is part of the DEFINITION,
+    not a comparison tolerance).
+
+    Scale shape: explode + two map-side-combinable groupBys (term
+    counts, then per-doc fold) — scan-speed whole-stage codegen, no
+    windows, no joins beyond the per-doc count recombine."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    # Σ c·(lnq n − lnq c) = n·lnq(n) − Σ c·lnq(c): fold the Σ exactly,
+    # the n·lnq(n) term recombines after the same aggregate — one pass
+    folded = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * _lnq(F.col("c"))).alias("_clnc"),
+    )
+    h_scaled = (
+        F.col("n_tokens") * _lnq(F.col("n_tokens")) - F.col("_clnc")
+    ).cast("long")
+    scored = folded.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_distinct",
+        h_scaled.alias("h_scaled"),
+        (
+            h_scaled.cast("double")
+            / (F.col("n_tokens") * 1_000_000).cast("double")
+        ).alias("entropy"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("h_scaled", F.lit(0)).cast("long").alias("h_scaled"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
