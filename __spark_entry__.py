@@ -3262,6 +3262,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "format", "n_bytes")
 
 
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center diversity selection (operators/kcenter.py, Gonzalez
+    1985): 8 greedy farthest-point exemplars over the embeddings,
+    every point assigned to its nearest center with the EXACT int64
+    quantized squared distance. Selection, ties and assignment are all
+    integer decisions, so the oracle's unrolled 8 rounds replay the
+    greedy choice bit-for-bit."""
+    from crgp_spark.operators.kcenter import kcenter_assign
+
+    return kcenter_assign(spark, _embs(spark, sf_dir), k=8)
+
+
+def _sql_kcenter(k: int = 8) -> str:
+    """Unrolled Gonzalez rounds: c0 = min id; round r = argmax of the
+    running LEAST-folded best distance (tie: min vec_id); assignment
+    by the same packed (d2·k + rank) integer key as the engine."""
+
+    def dist(cte: str) -> str:
+        return (
+            "SELECT a.vec_id, CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d\n"
+            f"    FROM qx a JOIN qx b ON b.i = a.i AND b.vec_id = (SELECT cid FROM {cte})\n"
+            "    GROUP BY a.vec_id"
+        )
+
+    parts = [
+        """qx AS MATERIALIZED (
+  SELECT vec_id, t.i AS i,
+         CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qx
+  FROM embeddings, RANGE(64) t(i)),
+c0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+d0 AS MATERIALIZED (
+  SELECT vec_id, d AS best FROM ("""
+        + dist("c0")
+        + "))"
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT vec_id AS cid FROM d{r - 1} ORDER BY best DESC, vec_id LIMIT 1),
+d{r} AS MATERIALIZED (
+  SELECT s.vec_id, LEAST(s.best, x.d) AS best
+  FROM d{r - 1} s JOIN ({dist(f"c{r}")}) x ON x.vec_id = s.vec_id)"""
+        )
+    cent = " UNION ALL ".join(
+        f"SELECT {r} AS rk, cid FROM c{r}" for r in range(k)
+    )
+    joined = ",\n".join(parts)
+    return f"""WITH {joined},
+cent AS MATERIALIZED ({cent}),
+pair AS (
+  SELECT a.vec_id, c.rk, c.cid,
+         CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+  FROM qx a CROSS JOIN cent c JOIN qx b ON b.i = a.i AND b.vec_id = c.cid
+  GROUP BY a.vec_id, c.rk, c.cid),
+best AS (SELECT vec_id, MIN(d2 * {k} + rk) AS mk FROM pair GROUP BY vec_id)
+SELECT b.vec_id, CAST(b.mk % {k} AS INT) AS center_rank, c.cid AS center_id,
+       CAST(b.mk // {k} AS BIGINT) AS d2
+FROM best b JOIN cent c ON c.rk = b.mk % {k}"""
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return knn_bruteforce(embs, embs.filter(F.col("vec_id") < 16), k=5)
@@ -4812,6 +4872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy": q_hierarchy,
         "stream_anomaly": q_stream_anomaly,
         "entropy": q_entropy,
+        "kcenter": q_kcenter,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5317,6 +5378,8 @@ LEFT JOIN disc d ON d.tclass = s.tclass""",
         "cusum": _SQL_CUSUM,
         # streamed carry fold == the batch chart: same oracle verbatim
         "stream_cusum": _SQL_CUSUM,
+        # Gonzalez k-center: 8 unrolled greedy rounds, integer argmax
+        "kcenter": _sql_kcenter(8),
         # parent forest (one parent per vertex) => the recursive ascent
         # is duplicate-free; ARG_MAX(anc, d) = the chain's top = root
         "hierarchy": _SQL_HIERARCHY,
