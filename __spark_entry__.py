@@ -3222,6 +3222,20 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "rk")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (operators/sample.py::weighted_sample,
+    Duffield-Lund-Thorup 2007): 40 docs per lang, weight-proportional
+    by n_chars, with the DLT threshold estimator. Every priority is
+    one IEEE division of exact integers (w·2^32)/(h+1) — bit-identical
+    across engines, so rank, threshold and estimator all hash-match
+    with no rounding epsilon."""
+    from crgp_spark.operators.sample import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", "n_chars", 40
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.py::decontaminate):
     flag training docs sharing a word 4-gram with a held-out benchmark
@@ -4873,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly": q_stream_anomaly,
         "entropy": q_entropy,
         "kcenter": q_kcenter,
+        "weighted_sample": q_weighted_sample,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5773,6 +5788,23 @@ r AS (SELECT event_id, event_type,
                                      ORDER BY ({_MD5_U32}), event_id) AS INT) AS rk
       FROM m)
 SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
+        # priority sampling: pri = (w·2^32)/(h+1), one IEEE division of
+        # exact integers; tau = the (n+1)-th priority; est = max(w, tau)
+        "weighted_sample": f"""
+WITH m AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+                  MD5('s0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+p AS (SELECT lang, doc_id, w,
+             CAST(w * 4294967296 AS DOUBLE)
+             / CAST(({_MD5_U32}) + 1 AS DOUBLE) AS priority
+      FROM m),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY priority DESC, doc_id) AS INT) AS rk
+      FROM p),
+tau AS (SELECT lang, MAX(priority) AS tau FROM r WHERE rk = 41 GROUP BY lang)
+SELECT r.lang, r.doc_id, r.w, r.rk, r.priority,
+       GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0)) AS est
+FROM r LEFT JOIN tau t ON t.lang = r.lang
+WHERE r.rk <= 40""",
         # benchmark decontamination: word-4-gram collision against the
         # 10% hash-sample benchmark set (curation.py::decontaminate)
         "decontaminate": f"""

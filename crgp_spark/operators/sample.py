@@ -53,3 +53,71 @@ def stratified_sample(
         df.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= n_per_stratum)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    weight_col: str,
+    n_per_stratum: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement by PRIORITY
+    SAMPLING (Duffield-Lund-Thorup 2007): each row gets priority
+    ``q = w / u`` with ``u = (h+1)/2^32`` its deterministic md5
+    uniform; the sample is the top ``n_per_stratum`` priorities per
+    stratum.  Returns the kept rows with ``(rk, priority, est)`` where
+    ``est = max(w, tau)`` and ``tau`` is the (n+1)-th priority — the
+    DLT estimator that makes SUM(est) over any kept subset an unbiased
+    estimate of that subset's true weight sum (the property that lets
+    a 100 TB pipeline sample first and aggregate later).
+
+    Cross-engine exactness without logs: ``q = (w·2^32)/(h+1)`` is ONE
+    correctly-rounded IEEE division of two exact integers (weights are
+    validated <= 2^20 so ``w·2^32 < 2^53``), so every priority — and
+    therefore the ranking, the threshold and the estimator — is
+    bit-identical in any IEEE-754 engine.  No quantization epsilon,
+    no float-summation order anywhere.
+
+    Scale shape: one scan + one per-stratum window (partitioned,
+    never global); the threshold recombines via a per-stratum
+    broadcast-sized aggregate."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = F.col(weight_col).cast("long")
+    h = _md5_u32(F.concat(F.lit(seed + ":"), F.col(key).cast("string")))
+    bad = df.filter(
+        F.col(weight_col).isNull()
+        | (w <= 0)
+        | (w > F.lit(1 << 20))
+    )
+    if bad.take(1):
+        raise ValueError(
+            f"weighted_sample: {weight_col} must be an integer in "
+            "[1, 2^20] on every row (keeps w*2^32 exact as a double)"
+        )
+    pri = (w * F.lit(1 << 32)).cast("double") / (h + 1).cast("double")
+    win = Window.partitionBy(stratum).orderBy(
+        F.col("priority").desc(), F.col(key).asc()
+    )
+    ranked = df.select(
+        F.col(stratum), F.col(key), w.alias("w"), pri.alias("priority")
+    ).withColumn("rk", F.row_number().over(win).cast("int"))
+    tau = ranked.filter(F.col("rk") == n_per_stratum + 1).groupBy(
+        stratum
+    ).agg(F.max("priority").alias("tau"))
+    return (
+        ranked.filter(F.col("rk") <= n_per_stratum)
+        .join(F.broadcast(tau), stratum, "left")
+        .select(
+            stratum,
+            key,
+            "w",
+            "rk",
+            "priority",
+            F.greatest(
+                F.col("w").cast("double"), F.coalesce("tau", F.lit(0.0))
+            ).alias("est"),
+        )
+    )
