@@ -2243,6 +2243,29 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition
+    (timeseries.py::seasonal_decompose) of the daily per-type revenue
+    series: centered 7-day RANGE-frame trend (NULL at edges), phase
+    means of the integer detrended values, residual. All moments exact
+    BIGINTs; each float output is 1-2 correctly-rounded IEEE ops on
+    identical integers, so the oracle hash-matches bit-for-bit."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.timeseries import seasonal_decompose
+
+    daily = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .withColumn("us", ts_micros("ts"))
+        .withColumn("day", F.expr("us div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "x", period=7)
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition (operators/coreness.py): the exact core
     number of EVERY vertex of the weight>=2 succession graph via the
@@ -4888,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "kcenter": q_kcenter,
         "weighted_sample": q_weighted_sample,
+        "seasonal": q_seasonal,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5395,6 +5419,35 @@ LEFT JOIN disc d ON d.tclass = s.tclass""",
         "stream_cusum": _SQL_CUSUM,
         # Gonzalez k-center: 8 unrolled greedy rounds, integer argmax
         "kcenter": _sql_kcenter(8),
+        # classical decomposition: integer moments, 1-2 IEEE ops at the end
+        "seasonal": """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, EPOCH_US(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER fr AS n,
+         CAST(SUM(x) OVER fr AS BIGINT) AS tt
+  FROM daily
+  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+t2 AS (SELECT event_type, day, x,
+              CASE WHEN n = 7 THEN tt END AS tt,
+              CASE WHEN n = 7 THEN 7 * x - tt END AS d
+       FROM t),
+seas AS (SELECT event_type, day % 7 AS phase,
+                CAST(SUM(d) AS BIGINT) AS sn, COUNT(*) AS m
+         FROM t2 WHERE tt IS NOT NULL GROUP BY 1, 2)
+SELECT t2.event_type, t2.day, t2.x,
+       CAST(t2.tt AS DOUBLE) / 7 AS trend,
+       CASE WHEN t2.tt IS NOT NULL
+            THEN CAST(s.sn AS DOUBLE) / (7 * s.m) END AS seasonal,
+       CASE WHEN t2.tt IS NOT NULL
+            THEN CAST(t2.d AS DOUBLE) / 7
+                 - CAST(s.sn AS DOUBLE) / (7 * s.m) END AS residual
+FROM t2 LEFT JOIN seas s
+  ON s.event_type = t2.event_type AND s.phase = t2.day % 7""",
         # parent forest (one parent per vertex) => the recursive ascent
         # is duplicate-free; ARG_MAX(anc, d) = the chain's top = root
         "hierarchy": _SQL_HIERARCHY,

@@ -76,3 +76,73 @@ def resample_ffill(
     g = j.withColumn("_grp", F.count("_obs").over(w_prefix))
     filled = F.max("_obs").over(Window.partitionBy(key, "_grp"))
     return g.select(key, "bucket", filled.alias("val"))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive decomposition of a daily integer series into
+    trend + seasonal + residual (the moving-average STL ancestor;
+    Kendall's "ratio-to-moving-average" in additive form):
+
+        trend(d)    = centered ``period``-day moving average
+        seasonal(p) = mean of (x - trend) over phase p = day % period
+        residual    = (x - trend) - seasonal
+
+    ``period`` must be ODD (centered window of 2h+1 calendar days,
+    h = (period-1)/2).  The window is a RANGE frame on the day number
+    — calendar-aware, so a gap in the series yields NULL trend (n <
+    period) instead of silently averaging misaligned rows.
+
+    Cross-engine exactness: all moments are integer — ``t = Σ window
+    x`` (trend·period), ``d = period·x − t`` (detrended·period),
+    seasonal numerator ``Σ_phase d`` — and every float output is one
+    or two CORRECTLY-ROUNDED IEEE ops on those exact integers
+    (trend = t/period, seasonal = Σd/(period·m), residual = d/period −
+    Σd/(period·m)), so both engines produce bit-identical doubles with
+    no quantization epsilon.
+
+    Scale shape: one per-key RANGE window + one (key, phase) groupBy +
+    a broadcast-sized recombine join — no global sorts; series length
+    per key is the only state."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be odd and >= 3")
+    half = (period - 1) // 2
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day")
+        .rangeBetween(-half, half)
+    )
+    x = F.col(value_col).cast("long")
+    base = df.select(*key_cols, F.col(day_col).alias("day"), x.alias("x"))
+    t = base.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_t",
+        F.when(F.col("_n") == period, F.sum("x").over(w)),
+    ).withColumn("_d", F.lit(period) * F.col("x") - F.col("_t"))
+    phase = (F.col("day") % period).alias("phase")
+    seas = (
+        t.where(F.col("_t").isNotNull())
+        .groupBy(*key_cols, phase)
+        .agg(F.sum("_d").alias("_sn"), F.count(F.lit(1)).alias("_m"))
+    )
+    joined = t.withColumn("phase", F.col("day") % period).join(
+        F.broadcast(seas), [*key_cols, "phase"], "left"
+    )
+    seasonal = F.col("_sn").cast("double") / (
+        F.lit(period) * F.col("_m")
+    ).cast("double")
+    return joined.select(
+        *key_cols,
+        "day",
+        "x",
+        (F.col("_t").cast("double") / period).alias("trend"),
+        F.when(F.col("_t").isNotNull(), seasonal).alias("seasonal"),
+        F.when(
+            F.col("_t").isNotNull(),
+            F.col("_d").cast("double") / period - seasonal,
+        ).alias("residual"),
+    )
