@@ -3376,6 +3376,20 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF(16 lists, 4 probes) index against exact
+    brute force (similarity.py::ann_recall) — the quality gate every
+    ANN rollout needs. n_hit is an exact intersection count; recall is
+    one IEEE division; the oracle composes the `knn` and `knn_ivf`
+    oracle SQL verbatim as CTEs, so the measurement is checked against
+    the same ground truth the two gated entries already pin."""
+    from crgp_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        q_knn(spark, sf_dir), q_knn_ivf(spark, sf_dir), k=5
+    )
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully oracle-checked since r2: hyperplane weights are md5-derived
     integers and the projection is exact int64, so the DuckDB twin
@@ -4912,6 +4926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": q_kcenter,
         "weighted_sample": q_weighted_sample,
         "seasonal": q_seasonal,
+        "ann_recall": q_ann_recall,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -7958,6 +7973,19 @@ SELECT d.doc_id,
          AS n_tokens
 FROM docw d JOIN s5 s ON d.word = s.word
 GROUP BY d.doc_id"""
+    # ANN quality gate: the exact and IVF oracle pipelines verbatim as
+    # CTEs, intersected per query — n_hit exact BIGINT, recall one IEEE
+    # division by k=5
+    d["ann_recall"] = f"""
+WITH exact AS (SELECT * FROM ({d["knn"]})),
+approx AS (SELECT * FROM ({d["knn_ivf"]})),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5 AS recall FROM hits"""
     return d
 
 

@@ -481,3 +481,42 @@ def knn_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the measurement operator every ANN deployment needs before trading
+    brute force for buckets (IVF/LSH/PQ all ship here).  Inputs are two
+    ``(query_id, neighbor_id, ...)`` top-k tables; output is per query
+    ``(query_id, n_hit, recall)`` with ``n_hit`` the exact-integer
+    intersection size and ``recall`` one IEEE division by ``k`` —
+    bit-identical across engines.
+
+    Scale shape: one co-keyed LEFT SEMI-shaped join + a combinable
+    count — recall over a 10^9-query sweep is two shuffles on
+    query_id.  The exact side is the ground truth, so every query in
+    ``exact`` appears in the output even at recall 0."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall"),
+        )
+    )
