@@ -2266,6 +2266,29 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(daily, ["event_type"], "day", "x", period=7)
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type
+    (regress.py::theil_sen) over the same daily revenue series the
+    seasonal/trend entries use: slope = median pairwise slope (29%
+    breakdown), intercept = median residual. Every slope is one IEEE
+    division of exact integers and medians are order statistics —
+    hash-exact with no epsilon."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.regress import theil_sen
+
+    daily = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .withColumn("us", ts_micros("ts"))
+        .withColumn("day", F.expr("us div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("x"))
+    )
+    return theil_sen(daily, "event_type", "day", "x")
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full k-core decomposition (operators/coreness.py): the exact core
     number of EVERY vertex of the weight>=2 succession graph via the
@@ -4927,6 +4950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "seasonal": q_seasonal,
         "ann_recall": q_ann_recall,
+        "theil_sen": q_theil_sen,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5434,6 +5458,38 @@ LEFT JOIN disc d ON d.tclass = s.tclass""",
         "stream_cusum": _SQL_CUSUM,
         # Gonzalez k-center: 8 unrolled greedy rounds, integer argmax
         "kcenter": _sql_kcenter(8),
+        # Theil-Sen: pairwise integer-division slopes, medians as order
+        # statistics, AVG of at most two identical doubles
+        "theil_sen": """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, EPOCH_US(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+pr AS (SELECT a.event_type,
+              CAST(b.x - a.x AS DOUBLE)
+              / CAST(b.day - a.day AS DOUBLE) AS slope
+       FROM daily a JOIN daily b
+         ON b.event_type = a.event_type AND b.day > a.day),
+rs AS (SELECT event_type, slope,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM pr),
+ms AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+              AVG(slope) AS slope
+       FROM rs WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+       GROUP BY event_type),
+resid AS (SELECT d.event_type,
+                 CAST(d.x AS DOUBLE) - m.slope * CAST(d.day AS DOUBLE) AS resid
+          FROM daily d JOIN ms m ON m.event_type = d.event_type),
+rr AS (SELECT event_type, resid,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY resid) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM resid),
+mi AS (SELECT event_type, AVG(resid) AS intercept
+       FROM rr WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+       GROUP BY event_type)
+SELECT m.event_type, m.n_pairs, m.slope, mi.intercept
+FROM ms m JOIN mi ON mi.event_type = m.event_type""",
         # classical decomposition: integer moments, 1-2 IEEE ops at the end
         "seasonal": """
 WITH daily AS MATERIALIZED (

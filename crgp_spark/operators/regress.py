@@ -160,3 +160,72 @@ def grouped_acf(
         den.cast("long").alias("den"),
         r.alias("r"),
     )
+
+
+def theil_sen(
+    df: DataFrame, key: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Theil-Sen robust trend per group: slope = MEDIAN of all pairwise
+    slopes (breakdown point 29%, immune to the outliers that drag OLS),
+    intercept = MEDIAN of ``y - slope·x``.  Returns ``(key, n_pairs,
+    slope, intercept)``; groups with fewer than 2 distinct x drop out
+    (no pair has a defined slope).
+
+    Cross-engine exactness: inputs are integers, each pairwise slope is
+    ONE IEEE division of exact integers (bit-identical), and a median
+    is an order statistic of that multiset — unique VALUES regardless
+    of how either engine breaks sort ties — with the even-count middle
+    pair averaged by one add + one halving.  The intercept residuals
+    are two more IEEE ops on identical doubles.  No float summation
+    order anywhere.
+
+    Scale shape: the pair join is per-group quadratic — the honest
+    Theil-Sen cost, sized for per-key metric series (the grouped-ACF
+    envelope: thousands of points per key, never corpus-wide); both
+    medians are per-group windows, partitioned, never global."""
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.k").alias("k"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+
+    def _median(vals: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("k").orderBy(col)
+        ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+        )
+        lo, hi = F.expr("(_n + 1) div 2"), F.expr("_n div 2 + 1")
+        mid = ranked.where((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        return mid.groupBy("k").agg(
+            F.max("_n").cast("long").alias("_cnt"),
+            F.avg(col).alias(f"med_{col}"),
+        )
+
+    med_s = _median(pairs, "slope").withColumnRenamed("_cnt", "n_pairs")
+    resid = base.join(F.broadcast(med_s), "k").select(
+        "k",
+        (
+            F.col("y").cast("double")
+            - F.col("med_slope") * F.col("x").cast("double")
+        ).alias("resid"),
+    )
+    med_i = _median(resid, "resid").drop("_cnt")
+    return (
+        med_s.join(med_i, "k")
+        .select(
+            F.col("k").alias(key),
+            "n_pairs",
+            F.col("med_slope").alias("slope"),
+            F.col("med_resid").alias("intercept"),
+        )
+    )
