@@ -1172,6 +1172,57 @@ def main() -> None:
 
     timed("cuped", lambda: cuped_summary(events, split_day=19726).count())
     timed("srm", lambda: srm_check(events).count())
+
+    from crgp_spark.operators.hierarchy import parent_tree, tree_stats
+
+    timed(
+        "hierarchy",
+        lambda: tree_stats(spark, parent_tree(e2), cfg=cfg).count(),
+    )
+
+    from crgp_spark.operators.kcenter import kcenter_assign
+
+    timed("kcenter_8", lambda: kcenter_assign(spark, embs, k=8).count())
+
+    from crgp_spark.operators.textstats import token_entropy
+
+    timed("entropy", lambda: token_entropy(docs).count())
+
+    from crgp_spark.operators.sample import weighted_sample
+
+    timed(
+        "weighted_sample",
+        lambda: weighted_sample(
+            docs_tbl, "lang", "doc_id", "n_chars", 40
+        ).count(),
+    )
+
+    from crgp_spark.functions import ts_micros as _tsm
+    from crgp_spark.operators.regress import theil_sen
+    from crgp_spark.operators.timeseries import seasonal_decompose
+
+    def _daily():
+        return (
+            events.withColumn(
+                "cents",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            )
+            .withColumn("us", _tsm("ts"))
+            .withColumn("day", F.expr("us div 86400000000"))
+            .groupBy("event_type", "day")
+            .agg(F.sum("cents").alias("x"))
+        )
+
+    timed(
+        "seasonal",
+        lambda: seasonal_decompose(
+            _daily(), ["event_type"], "day", "x"
+        ).count(),
+    )
+    timed(
+        "theil_sen",
+        lambda: theil_sen(_daily(), "event_type", "day", "x").count(),
+    )
     timed(
         "salted_join",
         lambda: salted_join(
