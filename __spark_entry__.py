@@ -3268,6 +3268,16 @@ def q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "rk")
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty per doc (curation.py::novelty_scores): the
+    fraction of its distinct word 3-gram shingles first seen (min
+    doc_id) in this doc — the keep-the-first curation signal. Exact
+    BIGINT counts, one IEEE division."""
+    from crgp_spark.operators.curation import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority sampling (operators/sample.py::weighted_sample,
     Duffield-Lund-Thorup 2007): 40 docs per lang, weight-proportional
@@ -4951,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "ann_recall": q_ann_recall,
         "theil_sen": q_theil_sen,
+        "novelty": q_novelty,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5912,6 +5923,22 @@ r AS (SELECT event_id, event_type,
                                      ORDER BY ({_MD5_U32}), event_id) AS INT) AS rk
       FROM m)
 SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
+        # temporal novelty: first-occurrence (MIN doc_id) per shingle,
+        # per-doc fold, one IEEE division of exact counts
+        "novelty": f"""WITH {_SQL_SHINGLES},
+first AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s),
+per AS (SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM sh JOIN first f ON f.s = sh.s GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+            ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""",
         # priority sampling: pri = (w·2^32)/(h+1), one IEEE division of
         # exact integers; tau = the (n+1)-th priority; est = max(w, tau)
         "weighted_sample": f"""

@@ -287,3 +287,56 @@ def redact_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, repl)
     return docs.select(F.col(id_col), cur.alias("redacted"), *counts)
+
+
+def novelty_scores(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Temporal novelty per document: the fraction of its distinct word
+    k-gram shingles whose FIRST corpus occurrence (min doc_id — ingest
+    order) is this document.  Low novelty = the doc mostly restates
+    earlier corpus content (boilerplate families, syndication, quote
+    chains); the standard keep-the-first curation signal between exact
+    dedup (novelty 0 for a verbatim repeat) and MinHash near-dup.
+    Returns ``(doc_id, n_grams, n_novel, novelty)``; empty docs score
+    (0, 0, 0.0).
+
+    Cross-engine exactness: counts are exact BIGINTs and ``novelty`` is
+    one IEEE division of identical integers.
+
+    Scale shape: explode + a map-side-combinable MIN per gram + one
+    co-keyed join back on the gram hash + a per-doc fold — the
+    decontaminate plan shape, linear in corpus grams, no windows, no
+    all-pairs anything."""
+    from crgp_spark.operators.dedup import word_shingles
+
+    g = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )
