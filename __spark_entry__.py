@@ -2266,6 +2266,23 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(daily, ["event_type"], "day", "x", period=7)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value summary
+    (robust.py::winsorized_stats): clamp each tail's 5% (k = n·5//100
+    rows, all-integer rank convention) to the surviving order
+    statistics and average — exact BIGINT cutoffs and sums, one IEEE
+    division for the robust mean."""
+    from crgp_spark.operators.robust import winsorized_stats
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    return winsorized_stats(
+        ev,
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        trim_pct=5,
+    )
+
+
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per event type
     (regress.py::theil_sen) over the same daily revenue series the
@@ -4962,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "theil_sen": q_theil_sen,
         "novelty": q_novelty,
+        "winsorize": q_winsorize,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5469,6 +5487,23 @@ LEFT JOIN disc d ON d.tclass = s.tclass""",
         "stream_cusum": _SQL_CUSUM,
         # Gonzalez k-center: 8 unrolled greedy rounds, integer argmax
         "kcenter": _sql_kcenter(8),
+        # winsorized stats: rank-based clamp cutoffs, integer clamped sum
+        "winsorize": """
+WITH b AS (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b),
+c AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             MIN(CASE WHEN rn > (n * 5) // 100 THEN v END) AS lo,
+             MAX(CASE WHEN rn <= n - (n * 5) // 100 THEN v END) AS hi
+      FROM r GROUP BY event_type)
+SELECT b.event_type, c.n, c.lo, c.hi,
+       CAST(SUM(GREATEST(c.lo, LEAST(c.hi, b.v))) AS BIGINT) AS wsum,
+       CAST(SUM(GREATEST(c.lo, LEAST(c.hi, b.v))) AS DOUBLE) / c.n AS wmean
+FROM b JOIN c ON c.event_type = b.event_type
+GROUP BY b.event_type, c.n, c.lo, c.hi""",
         # Theil-Sen: pairwise integer-division slopes, medians as order
         # statistics, AVG of at most two identical doubles
         "theil_sen": """
