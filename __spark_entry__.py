@@ -2336,6 +2336,62 @@ def q_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich_club(g.select("src", "dst"))
 
 
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard (graphstats.py::edge_jaccard) of
+    the weight>=2 succession graph: triangle support per edge + exact
+    degrees; jaccard = one IEEE division (0.0 marks local bridges).
+    Oracle = the same wedge enumeration in SQL."""
+    from crgp_spark.operators.graphstats import edge_jaccard
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=2)
+    return edge_jaccard(g.select("src", "dst"))
+
+
+def q_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local similarity sparsification
+    (graphstats.py::sparsify_topk): keep an edge iff it ranks in
+    EITHER endpoint's top-2 by neighborhood Jaccard — the
+    community-preserving backbone. Composes the gated edge_jaccard
+    surface with a per-vertex WindowGroupLimit."""
+    from crgp_spark.operators.graphstats import edge_jaccard, sparsify_topk
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=2)
+    return sparsify_topk(edge_jaccard(g.select("src", "dst")), k=2)
+
+
+# shared CTE body: weight>=2 succession graph -> per-edge common/degree
+_SQL_EJ_BODY = """g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT user_id AS src,
+             LEAD(user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS dst
+      FROM events) s
+    WHERE dst IS NOT NULL AND src <> dst
+    GROUP BY src, dst HAVING COUNT(*) >= 2)),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM g WHERE src <> dst),
+nb AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+deg AS MATERIALIZED (
+  SELECT u AS vid, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY u),
+com AS (SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM und e JOIN nb n1 ON n1.u = e.u
+        JOIN nb n2 ON n2.u = e.v AND n2.v = n1.v
+        GROUP BY e.u, e.v),
+ej AS (
+  SELECT e.u, e.v, COALESCE(c.c, 0) AS common,
+         du.deg AS deg_u, dv.deg AS deg_v,
+         CASE WHEN du.deg + dv.deg - 2 - COALESCE(c.c, 0) > 0
+              THEN CAST(COALESCE(c.c, 0) AS DOUBLE)
+                   / (du.deg + dv.deg - 2 - COALESCE(c.c, 0))
+              ELSE 0.0 END AS jaccard
+  FROM und e JOIN deg du ON du.vid = e.u JOIN deg dv ON dv.vid = e.v
+  LEFT JOIN com c ON c.u = e.u AND c.v = e.v)"""
+
+
 def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy rollup (operators/hierarchy.py): collapse the derived
     influence DAG to its most-recent-influencer parent forest
@@ -4980,6 +5036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "novelty": q_novelty,
         "winsorize": q_winsorize,
+        "edge_jaccard": q_edge_jaccard,
+        "sparsify": q_sparsify,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -5568,6 +5626,18 @@ FROM t2 LEFT JOIN seas s
         # parent forest (one parent per vertex) => the recursive ascent
         # is duplicate-free; ARG_MAX(anc, d) = the chain's top = root
         "hierarchy": _SQL_HIERARCHY,
+        # per-edge wedge enumeration == the engine's oriented wedge join
+        "edge_jaccard": f"WITH {_SQL_EJ_BODY}\nSELECT * FROM ej",
+        # OR-of-top-2 rule over both endpoint rankings, then semi filter
+        "sparsify": f"""WITH {_SQL_EJ_BODY},
+half AS (SELECT u AS x, v AS y, common, jaccard FROM ej
+         UNION ALL SELECT v, u, common, jaccard FROM ej),
+kept AS (
+  SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM (
+    SELECT x, y, ROW_NUMBER() OVER (
+      PARTITION BY x ORDER BY jaccard DESC, common DESC, y) AS rk
+    FROM half) WHERE rk <= 2)
+SELECT e.* FROM ej e JOIN kept k ON k.u = e.u AND k.v = e.v""",
         # rich-club curve: suffix sums of the two survival histograms
         # over the distinct-degree spine (threshold STRICTLY > k), same
         # integer-scaled floor-round as the engine
