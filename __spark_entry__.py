@@ -3936,6 +3936,25 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_events(spark, sf_dir))
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed funnel (streaming/funnel.py): the SAME one-row funnel
+    as `funnel`, drained from a per-user min-vector streaming
+    aggregation — per-stage MIN is a commutative monoid, so no
+    ordering contract is needed at all (the only gated path with that
+    property). Shares the batch funnel oracle verbatim — the 14th
+    gated stream==batch path."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.funnel import stream_funnel
+    from crgp_spark.streaming.scd import write_time_chunks
+
+    work = "/tmp/crgp_stream_funnel"
+    feed = _events(spark, sf_dir).select(
+        "user_id", "event_type", ts_micros("ts").alias("us"), "event_id"
+    )
+    write_time_chunks(feed, work, n_chunks=4)
+    return stream_funnel(spark, work)
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fanout-3 neighbor sampling
     (operators/featprop.py::neighbor_sample)."""
@@ -5038,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "edge_jaccard": q_edge_jaccard,
         "sparsify": q_sparsify,
+        "stream_funnel": q_stream_funnel,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8174,6 +8194,8 @@ hits AS (
   GROUP BY e.query_id
 )
 SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5 AS recall FROM hits"""
+    # streamed min-vector state == the batch funnel: same oracle verbatim
+    d["stream_funnel"] = d["funnel"]
     return d
 
 

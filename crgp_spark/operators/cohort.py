@@ -63,6 +63,17 @@ def funnel_counts(
             for i, s in enumerate(stages)
         ]
     )
+    return funnel_from_mins(mins, stages)
+
+
+def funnel_from_mins(
+    mins: DataFrame, stages: tuple[str, ...]
+) -> DataFrame:
+    """Fold per-user first-touch timestamps ``t0..tN`` into the funnel
+    row — shared by the batch scan above and the streamed min-vector
+    state (`streaming/funnel.py`), which drains the SAME mins shape
+    (per-stage MIN is a commutative monoid, so micro-batch slicing
+    cannot change it)."""
     cleared = F.col("t0").isNotNull()
     flags = [cleared.cast("long").alias(f"n_{stages[0]}")]
     for i in range(1, len(stages)):
