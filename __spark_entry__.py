@@ -3936,6 +3936,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(_events(spark, sf_dir))
 
 
+def q_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase time-to-convert (cohort.py::stage_latency):
+    first-touch gap per converted user, summarized with exact type-1
+    order-statistic percentiles — every output an exact BIGINT."""
+    from crgp_spark.operators.cohort import stage_latency
+
+    return stage_latency(_events(spark, sf_dir), "signup", "purchase")
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed funnel (streaming/funnel.py): the SAME one-row funnel
     as `funnel`, drained from a per-user min-vector streaming
@@ -5058,6 +5067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_jaccard": q_edge_jaccard,
         "sparsify": q_sparsify,
         "stream_funnel": q_stream_funnel,
+        "stage_latency": q_stage_latency,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8196,6 +8206,26 @@ hits AS (
 SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 5 AS recall FROM hits"""
     # streamed min-vector state == the batch funnel: same oracle verbatim
     d["stream_funnel"] = d["funnel"]
+    # time-to-convert: first-touch min-vector + type-1 order statistics
+    d["stage_latency"] = """
+WITH mins AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN EPOCH_US(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS t1
+  FROM events GROUP BY user_id),
+conv AS (SELECT t1 - t0 AS d FROM mins
+         WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0),
+r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+             COUNT(*) OVER () AS n FROM conv),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_from
+       FROM mins WHERE t0 IS NOT NULL)
+SELECT nf.n_from,
+       CAST(MAX(r.n) AS BIGINT) AS n_converted,
+       CAST(MIN(d) AS BIGINT) AS min_us,
+       CAST(MIN(CASE WHEN rn * 2 >= n THEN d END) AS BIGINT) AS p50_us,
+       CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN d END) AS BIGINT) AS p90_us,
+       CAST(MAX(d) AS BIGINT) AS max_us
+FROM r, nf GROUP BY nf.n_from"""
     return d
 
 

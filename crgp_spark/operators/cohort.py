@@ -115,3 +115,55 @@ def adoption_curve(
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def stage_latency(
+    events: DataFrame,
+    from_stage: str,
+    to_stage: str,
+) -> DataFrame:
+    """Time-to-convert between two funnel stages: per user, the gap
+    from their FIRST ``from_stage`` event to their FIRST ``to_stage``
+    event at-or-after it (first-touch, the `funnel_counts` convention).
+    Returns ONE row ``(n_from, n_converted, min_us, p50_us, p90_us,
+    max_us)`` — the percentiles are exact type-1 order statistics
+    (value at rank ⌈q·n⌉, integer-rank comparison ``rank·10 ≥ q·10·n``,
+    no interpolation), so every output is an exact BIGINT and the row
+    hash-matches any engine.
+
+    Plan shape: one per-user min-vector aggregate (map-side
+    combinable), then one partitioned sort over CONVERTED users only —
+    the funnel's waist, typically a small fraction of the corpus."""
+    us = ts_micros("ts")
+    mins = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == from_stage, us)).alias("t0"),
+        F.min(F.when(F.col("event_type") == to_stage, us)).alias("t1"),
+    )
+    conv = mins.where(
+        F.col("t0").isNotNull()
+        & F.col("t1").isNotNull()
+        & (F.col("t1") >= F.col("t0"))
+    ).select((F.col("t1") - F.col("t0")).alias("d"))
+    from pyspark.sql import Window
+
+    ranked = conv.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    # the funnel entry count folds in as a broadcast 1-row aggregate —
+    # no driver-side collect (the scalar-fold discipline)
+    n_from = mins.where(F.col("t0").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_from")
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("d").cast("long").alias("min_us"),
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("d"))).alias(
+            "p50_us"
+        ),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("d"))).alias(
+            "p90_us"
+        ),
+        F.max("d").cast("long").alias("max_us"),
+    ).crossJoin(F.broadcast(n_from)).select(
+        "n_from", "n_converted", "min_us", "p50_us", "p90_us", "max_us"
+    )
