@@ -270,6 +270,39 @@ sh AS (
     )
 )"""
 
+# consecutive token pairs (operators/lm.py::_bigrams): same ntext/tk
+# normalization, then struct-unnest of the (w1, w2) pair list
+_SQL_BIGRAMS = """
+ntext AS (
+    SELECT doc_id,
+           TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+    FROM documents
+),
+tk AS (
+    SELECT doc_id,
+           CASE WHEN LENGTH(nt) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE STRING_SPLIT_REGEX(nt, '\\s+') END AS tk
+    FROM ntext
+),
+bg AS (
+    SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+    FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(LEN(tk) - 1),
+                                     i -> {'w1': tk[i + 1], 'w2': tk[i + 2]})) AS p
+        FROM tk WHERE LEN(tk) >= 2
+    )
+)"""
+
+# ln quantized to BIGINT micro-nats — the exactness device shared with
+# textstats._lnq (see the entropy oracle): identical quantization in
+# both engines even when libm logs differ in the last ulp.
+def _sql_lnq(expr: str) -> str:
+    return (
+        f"CAST(FLOOR(LN(CAST({expr} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    )
+
+
 # 4-slot MinHash signatures from the shingle set (dedup.py)
 _SQL_MINHASH = f"""
 {_SQL_SHINGLES},
@@ -5001,6 +5034,35 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1 bigram LM self-scoring (operators/lm.py::lm_score) — the
+    CCNet-style fluency filter; nll_scaled is an exact BIGINT micro-nat
+    total in both engines, avg_nll one IEEE division."""
+    from crgp_spark.operators.lm import lm_score, ngram_lm
+
+    docs = _docs(spark, sf_dir)
+    return lm_score(docs, ngram_lm(docs))
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier
+    (operators/lm.py::nb_classify) — fastText-style supervised gate;
+    exact integer scores, ties break to the smallest label."""
+    from crgp_spark.operators.lm import nb_classify, nb_train
+
+    docs = _docs(spark, sf_dir)
+    return nb_classify(docs, nb_train(docs))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/lm.py::dsir_weights) —
+    hashed-bigram log-likelihood ratio of the lang='en' target slice
+    vs the raw pool (Xie et al. 2023), exact BIGINT micro-nats."""
+    from crgp_spark.operators.lm import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is a rotation policy, not alphabetical: the driver's
     # correctness gate executes the FIRST 50 entries of this dict, so each
@@ -5010,6 +5072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_entry.py still runs the full surface locally.
     return {
         # --- new in round 4 (never gated) ---
+        "lm_perplexity": q_lm_perplexity,
+        "nb_classify": q_nb_classify,
+        "dsir_weights": q_dsir_weights,
         "conv_stats": q_conv_stats,
         "succession": q_succession,
         "scc": q_scc,
@@ -5226,6 +5291,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # add-1 bigram LM self-scoring (lm.py::lm_score): quantized-log
+        # micro-nat sums are exact BIGINTs; avg_nll is one IEEE division
+        "lm_perplexity": f"""WITH {_SQL_BIGRAMS},
+vocab AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT UNNEST(tk) AS t FROM tk WHERE LEN(tk) > 0)),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS ctx FROM bg GROUP BY 1),
+pm AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+       FROM bg GROUP BY 1, 2, 3),
+j AS (
+  SELECT pm.doc_id, pm.m,
+         {_sql_lnq("COALESCE(cc.ctx, 0) + v.v")}
+         - {_sql_lnq("COALESCE(bc.c, 0) + 1")} AS nllq
+  FROM pm
+  LEFT JOIN bc ON bc.w1 = pm.w1 AND bc.w2 = pm.w2
+  LEFT JOIN cc ON cc.w1 = pm.w1
+  CROSS JOIN vocab v
+),
+folded AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m * nllq) AS BIGINT) AS nll_scaled
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(f.n_bigrams, 0) AS n_bigrams,
+       COALESCE(f.nll_scaled, 0) AS nll_scaled,
+       CASE WHEN COALESCE(f.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(f.nll_scaled AS DOUBLE)
+                 / CAST(f.n_bigrams * 1000000 AS DOUBLE) END AS avg_nll
+FROM documents d LEFT JOIN folded f ON f.doc_id = d.doc_id""",
+        # multinomial naive Bayes (lm.py::nb_classify): exact integer
+        # class scores, argmax with min-label tie-break in both engines
+        "nb_classify": f"""WITH {_SQL_SHINGLES},
+tok AS (SELECT doc_id, UNNEST(tk) AS t FROM tk WHERE LEN(tk) > 0),
+term AS (SELECT d.lang AS label, tok.t, CAST(COUNT(*) AS BIGINT) AS c
+         FROM tok JOIN documents d ON d.doc_id = tok.doc_id GROUP BY 1, 2),
+cls AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+clstok AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_tokens
+           FROM term GROUP BY 1),
+tot AS (SELECT (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM tok) AS v,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS dd),
+dt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS m
+       FROM tok GROUP BY 1, 2),
+cov AS (SELECT dt.doc_id, term.label,
+               CAST(SUM(dt.m * {_sql_lnq("term.c + 1")}) AS BIGINT) AS cov
+        FROM dt JOIN term ON term.t = dt.t GROUP BY 1, 2),
+nd AS (SELECT d.doc_id, COALESCE(x.n_d, 0) AS n_d
+       FROM documents d
+       LEFT JOIN (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_d
+                  FROM dt GROUP BY 1) x ON x.doc_id = d.doc_id),
+clsq AS (SELECT c.label,
+                {_sql_lnq("c.n_docs")} - {_sql_lnq("t.dd")} AS prior_q,
+                {_sql_lnq("COALESCE(ct.n_tokens, 0) + t.v")} AS den_q
+         FROM cls c LEFT JOIN clstok ct ON ct.label = c.label
+         CROSS JOIN tot t),
+cells AS (SELECT nd.doc_id, q.label,
+                 q.prior_q + COALESCE(cov.cov, 0)
+                 - nd.n_d * q.den_q AS score_q
+          FROM nd CROSS JOIN clsq q
+          LEFT JOIN cov ON cov.doc_id = nd.doc_id AND cov.label = q.label),
+best AS (SELECT doc_id, MAX(score_q) AS score_q FROM cells GROUP BY 1),
+pred AS (SELECT c.doc_id, c.score_q, MIN(c.label) AS pred
+         FROM cells c
+         JOIN best b ON b.doc_id = c.doc_id AND b.score_q = c.score_q
+         GROUP BY 1, 2)
+SELECT p.doc_id, p.pred, CAST(p.score_q AS BIGINT) AS score_q,
+       d.lang AS truth, CAST(p.pred = d.lang AS INT) AS hit
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id""",
+        # DSIR hashed-bigram importance weights (lm.py::dsir_weights):
+        # md5-u32 feature buckets, integer log-ratio, one IEEE division
+        "dsir_weights": f"""WITH {_SQL_BIGRAMS},
+bgb AS (
+  SELECT hh.doc_id, t.tgt, ({_MD5_U32}) % 4096 AS b
+  FROM (SELECT doc_id, MD5(w1 || ' ' || w2) AS h FROM bg) hh
+  JOIN (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS tgt
+        FROM documents) t ON t.doc_id = hh.doc_id
+),
+buckets AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b,
+                   CAST(SUM(tgt) AS BIGINT) AS t_b
+            FROM bgb GROUP BY 1),
+tots AS (SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+                CAST(SUM(t_b) AS BIGINT) AS t_tot FROM buckets),
+pb AS (SELECT b, {_sql_lnq("t_b + 1")} - {_sql_lnq("r_b + 1")} AS lrq
+       FROM buckets),
+norm AS (SELECT {_sql_lnq("t_tot + 4096")}
+                - {_sql_lnq("r_tot + 4096")} AS normq FROM tots),
+db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS m
+       FROM bgb GROUP BY 1, 2),
+folded AS (SELECT db.doc_id, CAST(SUM(db.m) AS BIGINT) AS n_feats,
+                  CAST(SUM(db.m * pb.lrq) AS BIGINT) AS num_q
+           FROM db JOIN pb ON pb.b = db.b GROUP BY 1),
+w AS (SELECT doc_id, n_feats,
+             num_q - n_feats * (SELECT normq FROM norm) AS w_scaled
+      FROM folded)
+SELECT d.doc_id,
+       COALESCE(w.n_feats, 0) AS n_feats,
+       CAST(COALESCE(w.w_scaled, 0) AS BIGINT) AS w_scaled,
+       CASE WHEN COALESCE(w.n_feats, 0) = 0 THEN 0.0
+            ELSE CAST(w.w_scaled AS DOUBLE)
+                 / CAST(w.n_feats * 1000000 AS DOUBLE) END AS avg_w,
+       CAST(COALESCE(w.w_scaled, 0) > 0 AS INT) AS selected
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""",
         # per-conversation profile (operators/convstats.py): LAG window +
         # groupBy over the same conv key; integer-exact chars/us/switches
         "conv_stats": (

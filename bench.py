@@ -1188,6 +1188,21 @@ def main() -> None:
 
     timed("entropy", lambda: token_entropy(docs).count())
 
+    from crgp_spark.operators.lm import (
+        dsir_weights,
+        lm_score,
+        nb_classify,
+        nb_train,
+        ngram_lm,
+    )
+
+    timed("lm_perplexity", lambda: lm_score(docs, ngram_lm(docs)).count())
+    timed("nb_classify", lambda: nb_classify(docs, nb_train(docs)).count())
+    timed(
+        "dsir_weights",
+        lambda: dsir_weights(docs, F.col("lang") == "en").count(),
+    )
+
     from crgp_spark.operators.sample import weighted_sample
 
     timed(
