@@ -5034,6 +5034,28 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed exact-quota stratified sampling under the hard gate:
+    the per-source bottom-10 of the (md5_num60(doc_id), doc_id) hash
+    order maintained as bounded keyed state across capped micro-batches
+    (streaming/sampling.py). Bottom-R of a hash order is an order-free
+    commutative fold, so the drain equals the batch sample and the
+    oracle is the SAME naive full-sort ROW_NUMBER() <= 10 SQL as the
+    batch stratified_sample entry."""
+    import shutil
+
+    from crgp_spark.streaming.sampling import stream_stratified_sample
+
+    work = "/tmp/crgp_stream_sample"
+    shutil.rmtree(work, ignore_errors=True)
+    _docs(spark, sf_dir).select("doc_id", "source").repartition(
+        8, "doc_id"
+    ).write.parquet(work)
+    return stream_stratified_sample(
+        spark, work, "source", "doc_id", quota=10, max_files_per_trigger=2
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Add-1 bigram LM self-scoring (operators/lm.py::lm_score) — the
     CCNet-style fluency filter; nll_scaled is an exact BIGINT micro-nat
@@ -5072,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_entry.py still runs the full surface locally.
     return {
         # --- new in round 4 (never gated) ---
+        "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "dsir_weights": q_dsir_weights,
@@ -5291,6 +5314,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # stream==batch: the streamed bottom-quota keyed state must equal
+        # the batch stratified sample verbatim (streaming/sampling.py)
+        "stream_sample": f"""
+WITH hx AS (
+  SELECT doc_id, source, MD5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(({_hex15_num('h')}) AS BIGINT), doc_id) AS rk
+  FROM hx
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 10""",
         # add-1 bigram LM self-scoring (lm.py::lm_score): quantized-log
         # micro-nat sums are exact BIGINTs; avg_nll is one IEEE division
         "lm_perplexity": f"""WITH {_SQL_BIGRAMS},
