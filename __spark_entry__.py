@@ -1324,6 +1324,44 @@ FROM h{last} h JOIN a{last} a ON a.vid = h.vid, tot t"""
     return "WITH " + "".join(parts)
 
 
+_KATZ_ITERS = 3
+
+
+def _sql_katz() -> str:
+    """Katz centrality, 3 fixed-point rounds unrolled
+    (operators/katz.py): x <- 1e6 + (A^T x) // 4 in exact BIGINTs, one
+    IEEE division at the end for the L1-normalized column."""
+    parts = [
+        _sql_evid(),
+        """,
+verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+x0 AS MATERIALIZED (SELECT vid, CAST(1000000 AS BIGINT) AS x FROM verts)""",
+    ]
+    last = 0
+    for it in range(_KATZ_ITERS):
+        xp, xc = f"x{it}", f"x{it + 1}"
+        parts.append(
+            f""",
+{xc} AS MATERIALIZED (
+  SELECT v.vid,
+         CAST(1000000 + (CAST(COALESCE(m.s, 0) AS BIGINT) // 4) AS BIGINT) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, CAST(SUM(x.x) AS BIGINT) AS s
+    FROM e JOIN {xp} x ON x.vid = e.src GROUP BY e.dst) m ON m.vid = v.vid
+)"""
+        )
+        last = it + 1
+    parts.append(
+        f""",
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS tx FROM x{last})
+SELECT x.vid, x.x AS katz_scaled,
+  FLOOR(CAST(x.x AS DOUBLE) / CAST(t.tx AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS katz
+FROM x{last} x, tot t"""
+    )
+    return "WITH " + "".join(parts)
+
+
 def _sql_labelprop() -> str:
     """Synchronous min-tie-break label propagation, 2 supersteps unrolled
     (operators/labelprop.py)."""
@@ -2856,6 +2894,21 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vid",
         decimal_round(F.col("hub"), 6).alias("hub"),
         decimal_round(F.col("auth"), 6).alias("auth"),
+    )
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on the derived influence edges — exact BIGINT
+    fixed-point recurrence (operators/katz.py), one IEEE division for
+    the normalized column, 6-dp boundary-safe rounding for the gate."""
+    from crgp_spark.operators.katz import katz
+
+    e = _edges_vid(spark, sf_dir)
+    res = katz(spark, e, _graph_cfg(), fixed_iterations=_KATZ_ITERS)
+    return res.select(
+        "vid",
+        "katz_scaled",
+        decimal_round(F.col("katz"), 6).alias("katz"),
     )
 
 
@@ -5156,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify": q_sparsify,
         "stream_funnel": q_stream_funnel,
         "stage_latency": q_stage_latency,
+        "katz": q_katz,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8432,6 +8486,9 @@ SELECT nf.n_from,
        CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN d END) AS BIGINT) AS p90_us,
        CAST(MAX(d) AS BIGINT) AS max_us
 FROM r, nf GROUP BY nf.n_from"""
+    # Katz centrality: exact BIGINT fixed-point recurrence, one IEEE
+    # division at the end (operators/katz.py)
+    d["katz"] = _sql_katz()
     return d
 
 
