@@ -478,6 +478,10 @@ def main() -> None:
     timed("bfs_cascade", lambda: cascade_bfs(spark, e3, srcs, cfg).count())
     timed("hits_2it", lambda: hits_op(spark, e2, cfg, fixed_iterations=2).count())
 
+    from crgp_spark.operators.katz import katz as katz_op
+
+    timed("katz_3it", lambda: katz_op(spark, e2, cfg, fixed_iterations=3).count())
+
     # forced-split hybrid: same input with the hub threshold lowered so
     # the largest conversations salt across sub-blocks — exercises the
     # split-residue path (in-block kernels for unsplit conversations +

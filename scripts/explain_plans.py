@@ -624,6 +624,18 @@ def main() -> None:
             heavy_hitters(events, "user_id", k=20),
     })
 
+    from crgp_spark.operators.katz import katz as katz_op
+
+    sections.update({
+        "Katz centrality (1 round shown): edge-side partial-sum "
+        "groupBy(dst) with map-side combine, state joins under the "
+        "state_hint policy, exact BIGINT recurrence — normalization "
+        "is one broadcast 1-row cross-join": katz_op(
+            spark, derive_edges(t).select("src", "dst"), cfg,
+            fixed_iterations=1,
+        ),
+    })
+
     from crgp_spark.operators.dedup import duplicate_spans
 
     sections.update({
