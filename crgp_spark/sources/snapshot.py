@@ -202,6 +202,53 @@ class SnapshotTable:
             op = "merge_upsert_overwrite"
         return self._commit(kept.unionByName(live), op)
 
+    def merge_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        op_col: str = "op",
+    ) -> int:
+        """MERGE INTO fed by a raw CDC changelog slice (Debezium/DLT
+        apply-changes semantics): ``changes`` carries the full table
+        payload plus ``op_col`` (``'U'`` upsert / ``'D'`` delete) and a
+        per-key total order ``order_cols``.  The slice is reduced to its
+        frontier (latest change per key — `diff.change_frontier`, which
+        raises on ambiguous duplicate orders), then: matched U updates,
+        matched D deletes, unmatched U inserts, unmatched D is a no-op.
+        Committed copy-on-write like `merge_upsert`, so every earlier
+        snapshot stays time-travel readable.
+
+        NULL keys never match the anti-join and would silently
+        duplicate — rejected loudly (same contract as `merge_upsert`)."""
+        if not key_cols:
+            raise ValueError("need at least one key column")
+        current = self.read(spark)
+        missing = [c for c in current.columns if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"changes missing table columns {missing} "
+                f"(table={current.columns})"
+            )
+        from crgp_spark.operators.diff import change_frontier
+
+        frontier = change_frontier(changes, key_cols, order_cols)
+        null_key = frontier.select(key_cols[0]).filter(
+            F.greatest(*[F.col(k).isNull() for k in key_cols])
+            if len(key_cols) > 1
+            else F.col(key_cols[0]).isNull()
+        )
+        if null_key.limit(1).count():
+            raise ValueError(
+                f"merge_cdc: NULL values in key columns {key_cols}"
+            )
+        kept = current.join(
+            frontier.select(*key_cols), key_cols, "left_anti"
+        )
+        live = frontier.filter(F.col(op_col) == "U").select(*current.columns)
+        return self._commit(kept.unionByName(live), "merge_cdc_overwrite")
+
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """The table as of snapshot ``as_of`` (default: HEAD) — the
