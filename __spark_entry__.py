@@ -426,6 +426,110 @@ bfs AS (
 SELECT vid, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY vid"""
 
 
+def _sql_bridges_core() -> str:
+    """Shared chain for the `bridges` / `ecc2` oracles — the exact
+    twin of operators/bridges.py: BFS spanning forest from the
+    component-minimum roots (the oracle reads them as the per-
+    conversation minimum, the identity the hash-green `components`
+    oracle certifies for this input; the engine computes them
+    generically), parent = MIN neighbor one hop closer, recursive
+    ancestor closure, per-non-tree-edge LCA via ARG_MAX over the
+    common-ancestor chain, and the integer crossing count
+    S1 - 2*S2 = 0 ⟺ bridge."""
+    return f"""WITH RECURSIVE {_SQL_EVID},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+),
+verts AS MATERIALIZED (SELECT DISTINCT a AS vid FROM adj),
+roots AS MATERIALIZED (
+  SELECT MIN(vid) AS vid FROM verts GROUP BY vid // 100000
+),
+bfs AS (
+  SELECT vid, 0 AS d FROM roots
+  UNION
+  SELECT adj.b AS vid, bfs.d + 1 AS d
+  FROM bfs JOIN adj ON adj.a = bfs.vid WHERE bfs.d < 100
+),
+dist AS MATERIALIZED (SELECT vid, MIN(d) AS dist FROM bfs GROUP BY vid),
+par AS MATERIALIZED (
+  SELECT dv.vid, dv.dist, MIN(adj.b) AS parent
+  FROM dist dv JOIN adj ON adj.a = dv.vid
+  JOIN dist du ON du.vid = adj.b AND du.dist = dv.dist - 1
+  GROUP BY dv.vid, dv.dist
+),
+tree AS MATERIALIZED (
+  SELECT LEAST(vid, parent) AS u, GREATEST(vid, parent) AS v FROM par
+),
+nont AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE NOT EXISTS (SELECT 1 FROM tree t WHERE t.u = und.u AND t.v = und.v)
+),
+clos AS (
+  SELECT vid, vid AS anc FROM verts
+  UNION
+  SELECT c.vid, p.parent AS anc FROM clos c JOIN par p ON p.vid = c.anc
+),
+closd AS MATERIALIZED (
+  SELECT c.vid, c.anc, d.dist AS adist
+  FROM clos c JOIN dist d ON d.vid = c.anc
+),
+lca AS MATERIALIZED (
+  SELECT n.u, n.v, ARG_MAX(cu.anc, cu.adist) AS l
+  FROM nont n
+  JOIN closd cu ON cu.vid = n.u
+  JOIN closd cv ON cv.vid = n.v AND cv.anc = cu.anc
+  GROUP BY n.u, n.v
+),
+s1 AS MATERIALIZED (
+  SELECT c.anc, COUNT(*) AS cnt
+  FROM (SELECT u AS x FROM nont UNION ALL SELECT v FROM nont) ep
+  JOIN closd c ON c.vid = ep.x GROUP BY c.anc
+),
+s2 AS MATERIALIZED (
+  SELECT c.anc, COUNT(*) AS cnt
+  FROM lca JOIN closd c ON c.vid = lca.l GROUP BY c.anc
+),
+br AS MATERIALIZED (
+  SELECT LEAST(p.vid, p.parent) AS u, GREATEST(p.vid, p.parent) AS v
+  FROM par p
+  LEFT JOIN s1 ON s1.anc = p.vid
+  LEFT JOIN s2 ON s2.anc = p.vid
+  WHERE COALESCE(s1.cnt, 0) - 2 * COALESCE(s2.cnt, 0) = 0
+)"""
+
+
+def _sql_bridges() -> str:
+    return (
+        _sql_bridges_core()
+        + "\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM br"
+    )
+
+
+def _sql_ecc2() -> str:
+    """2ECC = recursive min-label over the non-bridge adjacency."""
+    return (
+        _sql_bridges_core()
+        + """,
+nb AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE NOT EXISTS (SELECT 1 FROM br WHERE br.u = und.u AND br.v = und.v)
+),
+nbadj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM nb UNION ALL SELECT v, u FROM nb
+),
+lab AS (
+  SELECT vid, vid AS lab FROM verts
+  UNION
+  SELECT a.b AS vid, l.lab FROM lab l JOIN nbadj a ON a.a = l.vid
+)
+SELECT vid, CAST(MIN(lab) AS BIGINT) AS ecc2 FROM lab GROUP BY vid"""
+    )
+
+
 def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
     """Unrolled peel rounds (operators/kcore.py with fixed_rounds):
     b0 = both-direction simple edges; each round keeps endpoints with
@@ -5167,6 +5271,27 @@ def q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges of the influence graph (operators/bridges.py): the
+    influence links with no redundant path — exact, deterministic
+    (BFS forest from component minima + ancestor closure + LCA
+    crossing counts; no hashing). The oracle replays the identical
+    pipeline with recursive CTEs."""
+    from crgp_spark.operators.bridges import bridges
+
+    return bridges(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
+def q_ecc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected components (operators/bridges.py::
+    two_edge_components): component labels after deleting every
+    bridge — min vid per class, bridge-stranded vertices
+    self-labeled."""
+    from crgp_spark.operators.bridges import two_edge_components
+
+    return two_edge_components(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed MERGE INTO under the hard gate (streaming/merge.py):
     the customer snapshot kept current against the time-chunked CDC
@@ -5323,6 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "stream_ivm": q_stream_ivm,
         "stream_merge": q_stream_merge,
+        "bridges": q_bridges,
+        "ecc2": q_ecc2,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8608,6 +8735,10 @@ FROM r, nf GROUP BY nf.n_from"""
     # streamed per-epoch MERGE INTO == the one-shot batch apply: same
     # oracle verbatim (streaming/merge.py)
     d["stream_merge"] = d["cdc_apply"]
+    # bridges / 2ECC: the exact recursive-CTE twin of
+    # operators/bridges.py (BFS forest, closure, LCA crossing counts)
+    d["bridges"] = _sql_bridges()
+    d["ecc2"] = _sql_ecc2()
     return d
 
 

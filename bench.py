@@ -917,6 +917,12 @@ def main() -> None:
 
     timed("msf", _msf_cell)
 
+    from crgp_spark.operators.bridges import bridges as bridges_op
+    from crgp_spark.operators.bridges import two_edge_components
+
+    timed("bridges", lambda: bridges_op(spark, e2, cfg).count())
+    timed("ecc2", lambda: two_edge_components(spark, e2, cfg).count())
+
     from crgp_spark.operators.anf import anf as anf_op
     from crgp_spark.operators.densest import densest_curve
 

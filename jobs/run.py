@@ -26,6 +26,8 @@ Subcommands per --algo:
   coreness    full k-core decomposition, core number per vertex
   hierarchy   parent-forest depth/root/subtree rollup (pointer doubling)
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
+  bridges     cut edges (BFS forest + LCA crossing counts, exact)
+  ecc2        2-edge-connected components (min-vid label per class)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
   labelprop   synchronous label propagation
@@ -609,6 +611,28 @@ def main() -> None:
         row = graph_summary(edges).collect()[0]
         secs = time.time() - t0
         out.update(edges=n_edges, seconds=round(secs, 3), **row.asDict())
+
+    elif args.algo == "bridges":
+        from crgp_spark.operators.bridges import bridges as bridges_op
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = bridges_op(spark, edges, cfg).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, bridges=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "ecc2":
+        from crgp_spark.operators.bridges import two_edge_components
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = two_edge_components(spark, edges, cfg).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "triangles":
         from crgp_spark.operators.triangles import triangles

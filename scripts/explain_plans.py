@@ -636,6 +636,32 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.bridges import (
+        _ancestor_closure,
+        _canonical as _bridge_canon,
+        bfs_forest,
+    )
+
+    _bf = bfs_forest(spark, e_vid, cfg)
+    _bund = _bridge_canon(e_vid)
+    _btree = _bf.filter(F.col("parent").isNotNull()).select(
+        F.least("vid", "parent").alias("u"),
+        F.greatest("vid", "parent").alias("v"),
+    )
+    _bnt = _bund.join(_btree, ["u", "v"], "left_anti")
+    _bclos = _ancestor_closure(_bf)
+    sections.update({
+        "Bridges crossing-count stage (S1): non-tree endpoints x "
+        "ancestor closure — anti-join forest residue, one vid-keyed "
+        "join, map-side-combinable count per subtree root": _bnt.select(
+            F.col("u").alias("x")
+        )
+        .unionAll(_bnt.select(F.col("v").alias("x")))
+        .join(_bclos, _bclos.vid == F.col("x"))
+        .groupBy("anc")
+        .agg(F.count(F.lit(1)).alias("s1")),
+    })
+
     from crgp_spark.operators.dedup import duplicate_spans
 
     sections.update({
