@@ -530,6 +530,76 @@ SELECT vid, CAST(MIN(lab) AS BIGINT) AS ecc2 FROM lab GROUP BY vid"""
     )
 
 
+def _sql_blocks_core() -> str:
+    """Extends `_sql_bridges_core` with the biconnectivity chain of
+    operators/blocks.py: fundamental-cycle cover (the closure XOR
+    predicate), per-cycle hub stars, recursive min-label components
+    over the stars, block labels (tree edges keyed by child vid,
+    bridges singleton, non-tree edges inherit their hub's block)."""
+    return (
+        _sql_bridges_core()
+        + """,
+cov AS MATERIALIZED (
+  SELECT n.u, n.v, c.anc AS ch
+  FROM nont n JOIN closd c ON c.vid = n.u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM closd c2 WHERE c2.vid = n.v AND c2.anc = c.anc)
+  UNION ALL
+  SELECT n.u, n.v, c.anc AS ch
+  FROM nont n JOIN closd c ON c.vid = n.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM closd c2 WHERE c2.vid = n.u AND c2.anc = c.anc)
+),
+hub AS MATERIALIZED (SELECT u, v, MIN(ch) AS hub FROM cov GROUP BY u, v),
+stars AS MATERIALIZED (
+  SELECT h.hub AS a, c.ch AS b
+  FROM cov c JOIN hub h ON h.u = c.u AND h.v = c.v
+  WHERE c.ch <> h.hub
+),
+sadj AS MATERIALIZED (
+  SELECT a, b FROM stars UNION ALL SELECT b, a FROM stars
+),
+snode AS MATERIALIZED (SELECT DISTINCT a AS node FROM sadj),
+slab AS (
+  SELECT node, node AS lab FROM snode
+  UNION
+  SELECT s.b AS node, l.lab FROM slab l JOIN sadj s ON s.a = l.node
+),
+blockof AS MATERIALIZED (
+  SELECT node, MIN(lab) AS block FROM slab GROUP BY node
+),
+eblocks AS MATERIALIZED (
+  SELECT LEAST(p.vid, p.parent) AS u, GREATEST(p.vid, p.parent) AS v,
+         COALESCE(b.block, p.vid) AS block
+  FROM par p LEFT JOIN blockof b ON b.node = p.vid
+  UNION ALL
+  SELECT h.u, h.v, COALESCE(b.block, h.hub) AS block
+  FROM hub h LEFT JOIN blockof b ON b.node = h.hub
+)"""
+    )
+
+
+def _sql_blocks() -> str:
+    return (
+        _sql_blocks_core()
+        + "\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, "
+        "CAST(block AS BIGINT) AS block FROM eblocks"
+    )
+
+
+def _sql_articulation() -> str:
+    return (
+        _sql_blocks_core()
+        + """
+SELECT CAST(x AS BIGINT) AS vid FROM (
+  SELECT x, COUNT(DISTINCT block) AS nb FROM (
+    SELECT u AS x, block FROM eblocks
+    UNION ALL SELECT v AS x, block FROM eblocks)
+  GROUP BY x)
+WHERE nb >= 2"""
+    )
+
+
 def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
     """Unrolled peel rounds (operators/kcore.py with fixed_rounds):
     b0 = both-direction simple edges; each round keeps endpoints with
@@ -5292,6 +5362,25 @@ def q_ecc2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_edge_components(spark, _edges_vid(spark, sf_dir), _graph_cfg())
 
 
+def q_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biconnected components of the influence graph
+    (operators/blocks.py): every edge labeled with its block — the
+    fundamental-cycle star reduction over the bridges substrate,
+    labels = minimum tree-edge child vid per block."""
+    from crgp_spark.operators.blocks import blocks
+
+    return blocks(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
+def q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points (operators/blocks.py): vertices incident to
+    >= 2 distinct blocks — the conversation participants whose removal
+    severs influence flow."""
+    from crgp_spark.operators.blocks import articulation_points
+
+    return articulation_points(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed MERGE INTO under the hard gate (streaming/merge.py):
     the customer snapshot kept current against the time-chunked CDC
@@ -5450,6 +5539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge": q_stream_merge,
         "bridges": q_bridges,
         "ecc2": q_ecc2,
+        "blocks": q_blocks,
+        "articulation": q_articulation,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8739,6 +8830,10 @@ FROM r, nf GROUP BY nf.n_from"""
     # operators/bridges.py (BFS forest, closure, LCA crossing counts)
     d["bridges"] = _sql_bridges()
     d["ecc2"] = _sql_ecc2()
+    # biconnected components / articulation points: the fundamental-
+    # cycle star reduction twin of operators/blocks.py
+    d["blocks"] = _sql_blocks()
+    d["articulation"] = _sql_articulation()
     return d
 
 

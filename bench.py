@@ -923,6 +923,14 @@ def main() -> None:
     timed("bridges", lambda: bridges_op(spark, e2, cfg).count())
     timed("ecc2", lambda: two_edge_components(spark, e2, cfg).count())
 
+    from crgp_spark.operators.blocks import articulation_points
+    from crgp_spark.operators.blocks import blocks as blocks_op
+
+    timed("blocks", lambda: blocks_op(spark, e2, cfg).count())
+    timed(
+        "articulation", lambda: articulation_points(spark, e2, cfg).count()
+    )
+
     from crgp_spark.operators.anf import anf as anf_op
     from crgp_spark.operators.densest import densest_curve
 

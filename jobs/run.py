@@ -28,6 +28,8 @@ Subcommands per --algo:
   msf         minimum spanning forest (Borůvka; 'w' column or unit weights)
   bridges     cut edges (BFS forest + LCA crossing counts, exact)
   ecc2        2-edge-connected components (min-vid label per class)
+  blocks      biconnected components, block label per edge
+  articulation  cut vertices (>= 2 incident blocks)
   anf         approximate neighborhood function (FM bitmask propagation)
   densest     densest-subgraph 4-approx peel curve (BKV rounds)
   labelprop   synchronous label propagation
@@ -632,6 +634,29 @@ def main() -> None:
         n = two_edge_components(spark, edges, cfg).count()
         secs = time.time() - t0
         out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "blocks":
+        from crgp_spark.operators.blocks import blocks as blocks_op
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = blocks_op(spark, edges, cfg)
+        n_blocks = res.select("block").distinct().count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, blocks=n_blocks, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "articulation":
+        from crgp_spark.operators.blocks import articulation_points
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = articulation_points(spark, edges, cfg).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, cut_vertices=n, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "triangles":
