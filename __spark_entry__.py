@@ -5381,6 +5381,38 @@ def q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return articulation_points(spark, _edges_vid(spark, sf_dir), _graph_cfg())
 
 
+def q_block_cut_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-cut tree of the influence graph (operators/blocks.py::
+    block_cut_tree): one (cut vertex, incident block) edge per pair —
+    the bipartite decomposition tree."""
+    from crgp_spark.operators.blocks import block_cut_tree
+
+    return block_cut_tree(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the actor-succession graph
+    (operators/scc.py::condensation): distinct cross-SCC adjacencies,
+    labels = SCC minimum vertex id — the acyclic quotient downstream
+    DAG analyses run on."""
+    from crgp_spark.operators.scc import condensation
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=3)
+    return condensation(spark, g, _graph_cfg())
+
+
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Critical-path layering of the condensation DAG
+    (operators/scc.py::condensation_layers): layer 0 = source SCCs,
+    layer(v) = 1 + max(pred) — exact max-relaxation supersteps."""
+    from crgp_spark.operators.scc import condensation_layers
+    from crgp_spark.operators.transitions import succession_graph
+
+    g = succession_graph(_events(spark, sf_dir), min_weight=3)
+    return condensation_layers(spark, g, _graph_cfg())
+
+
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed MERGE INTO under the hard gate (streaming/merge.py):
     the customer snapshot kept current against the time-chunked CDC
@@ -5541,6 +5573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc2": q_ecc2,
         "blocks": q_blocks,
         "articulation": q_articulation,
+        "block_cut_tree": q_block_cut_tree,
+        "condensation": q_condensation,
+        "dag_layers": q_dag_layers,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8834,6 +8869,61 @@ FROM r, nf GROUP BY nf.n_from"""
     # cycle star reduction twin of operators/blocks.py
     d["blocks"] = _sql_blocks()
     d["articulation"] = _sql_articulation()
+    d["block_cut_tree"] = (
+        _sql_blocks_core()
+        + """,
+binc AS MATERIALIZED (
+  SELECT DISTINCT x AS vid, block FROM (
+    SELECT u AS x, block FROM eblocks
+    UNION ALL SELECT v AS x, block FROM eblocks)
+),
+bcuts AS MATERIALIZED (
+  SELECT vid FROM binc GROUP BY vid HAVING COUNT(DISTINCT block) >= 2
+)
+SELECT CAST(i.vid AS BIGINT) AS vid, CAST(i.block AS BIGINT) AS block
+FROM binc i JOIN bcuts c ON c.vid = i.vid"""
+    )
+    # condensation DAG + its longest-path layering: the recursive
+    # reachability closure of the scc oracle, then cross-SCC distinct
+    # pairs / max chain depth per node
+    _scc_core = f"""WITH RECURSIVE {_SQL_SUCCESSION},
+verts AS MATERIALIZED (SELECT src AS v FROM g UNION SELECT dst FROM g),
+reach AS (
+  SELECT src AS a, dst AS b FROM g
+  UNION
+  SELECT r.a, g.dst AS b FROM reach r JOIN g ON g.src = r.b
+),
+mutual AS (
+  SELECT r1.a, r1.b
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+sccof AS MATERIALIZED (
+  SELECT v.v AS vid, LEAST(v.v, COALESCE(MIN(m.b), v.v)) AS scc
+  FROM verts v LEFT JOIN mutual m ON m.a = v.v
+  GROUP BY v.v
+),
+cond AS MATERIALIZED (
+  SELECT DISTINCT a.scc AS s, b.scc AS t
+  FROM g JOIN sccof a ON a.vid = g.src JOIN sccof b ON b.vid = g.dst
+  WHERE a.scc <> b.scc
+)"""
+    d["condensation"] = (
+        _scc_core
+        + "\nSELECT CAST(s AS BIGINT) AS src_scc, "
+        "CAST(t AS BIGINT) AS dst_scc FROM cond"
+    )
+    d["dag_layers"] = (
+        _scc_core
+        + """,
+chains AS (
+  SELECT scc AS node, 0 AS dep FROM (SELECT DISTINCT scc FROM sccof)
+  UNION
+  SELECT c.t AS node, p.dep + 1 AS dep
+  FROM chains p JOIN cond c ON c.s = p.node WHERE p.dep < 120
+)
+SELECT CAST(node AS BIGINT) AS scc, CAST(MAX(dep) AS BIGINT) AS layer
+FROM chains GROUP BY node"""
+    )
     return d
 
 

@@ -45,7 +45,7 @@ from crgp_spark.operators.bridges import (
 )
 from crgp_spark.operators.components import connected_components
 
-__all__ = ["blocks", "articulation_points"]
+__all__ = ["blocks", "articulation_points", "block_cut_tree"]
 
 
 def blocks(
@@ -137,3 +137,28 @@ def articulation_points(
         .filter(F.col("nb") >= 2)
         .select("vid")
     )
+
+
+def block_cut_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """The block-cut tree: one ``(vid, block)`` edge per (articulation
+    point, incident block) pair — the bipartite tree whose nodes are
+    the blocks and the cut vertices, the standard decomposition the
+    block family exists to produce (path queries, cut enumeration,
+    cactus-style summaries all read it)."""
+    b = blocks(spark, edges, cfg)
+    incident = (
+        b.select(F.col("u").alias("vid"), "block")
+        .unionByName(b.select(F.col("v").alias("vid"), "block"))
+        .distinct()
+    )
+    cuts = (
+        incident.groupBy("vid")
+        .agg(F.count_distinct("block").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select("vid")
+    )
+    return incident.join(cuts, "vid", "left_semi")

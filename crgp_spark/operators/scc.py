@@ -374,3 +374,94 @@ def strongly_connected_components(
     if done is None:
         return spark.createDataFrame([], "vid long, scc long")
     return done.select("vid", "scc")
+
+
+def condensation(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    scc_labels: DataFrame | None = None,
+) -> DataFrame:
+    """The condensation DAG: one ``(src_scc, dst_scc)`` edge per
+    distinct cross-SCC adjacency — the acyclic quotient every
+    DAG-only analysis (topological layering, critical paths, reach
+    summaries) runs on.  Labels = SCC minimum vertex id.  Pass
+    ``scc_labels`` to reuse a prior `strongly_connected_components`
+    run."""
+    cfg = cfg or EngineConfig()
+    e = _canon(edges)
+    if scc_labels is None:
+        scc_labels = strongly_connected_components(
+            spark, e, cfg, algo_name="condensation_scc"
+        )
+    a = scc_labels.select(F.col("vid").alias("src"), F.col("scc").alias("src_scc"))
+    b = scc_labels.select(F.col("vid").alias("dst"), F.col("scc").alias("dst_scc"))
+    return (
+        e.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def condensation_layers(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    max_rounds: int = 128,
+) -> DataFrame:
+    """Longest-path (critical-path) layering of the condensation DAG:
+    ``(scc, layer)`` with layer 0 = source SCCs and
+    ``layer(v) = 1 + max(layer(pred))`` otherwise — the topological
+    depth used for stage scheduling and dependency ranking.  Exact
+    max-relaxation supersteps; converges within the DAG depth, budget
+    raises loudly (`strongly_connected_components` precedent)."""
+    cfg = cfg or EngineConfig()
+    labels = strongly_connected_components(
+        spark, _canon(edges), cfg, algo_name="layers_scc"
+    )
+    dag = condensation(
+        spark, edges, cfg, scc_labels=labels
+    ).localCheckpoint(eager=True)
+    nodes = labels.select("scc").distinct().localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+
+    layers = nodes.withColumn("layer", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            dag.join(
+                state_hint(
+                    layers.withColumnRenamed("scc", "src_scc"), n_nodes
+                ),
+                "src_scc",
+            )
+            .groupBy(F.col("dst_scc").alias("scc"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        nxt = (
+            layers.join(state_hint(relaxed, n_nodes), "scc", "left")
+            .select(
+                "scc",
+                F.greatest(
+                    "layer", F.coalesce("cand", F.lit(0).cast("long"))
+                ).alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.withColumnRenamed("layer", "new_layer")
+            .join(layers, "scc")
+            .filter(F.col("new_layer") != F.col("layer"))
+            .limit(1)
+            .count()
+        )
+        layers = nxt
+        if changed == 0:
+            return layers
+    raise RuntimeError(
+        f"condensation_layers: no fixpoint within {max_rounds} rounds "
+        "(cycle in the condensation would mean SCC labels are wrong)"
+    )
