@@ -5381,6 +5381,17 @@ def q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return articulation_points(spark, _edges_vid(spark, sf_dir), _graph_cfg())
 
 
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the influence graph
+    (operators/wl.py::wl_refine, 2 rounds): the message-passing-GNN
+    expressiveness fingerprint — md5_num60 of (own color | sorted
+    neighbor colors), initial color = degree."""
+    from crgp_spark.operators.wl import wl_refine
+
+    return wl_refine(spark, _edges_vid(spark, sf_dir), rounds=2,
+                     cfg=_graph_cfg())
+
+
 def q_block_cut_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-cut tree of the influence graph (operators/blocks.py::
     block_cut_tree): one (cut vertex, incident block) edge per pair —
@@ -5576,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_cut_tree": q_block_cut_tree,
         "condensation": q_condensation,
         "dag_layers": q_dag_layers,
+        "wl_colors": q_wl_colors,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8907,6 +8919,40 @@ cond AS MATERIALIZED (
   FROM g JOIN sccof a ON a.vid = g.src JOIN sccof b ON b.vid = g.dst
   WHERE a.scc <> b.scc
 )"""
+    # 1-WL refinement: 2 rounds unrolled, STRING_AGG(... ORDER BY) ==
+    # sort_array(collect_list), md5 -> 60-bit int via the INSTR idiom
+    _wl_parts = [
+        f"""WITH {_SQL_EVID},
+wund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+wadj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM wund UNION ALL SELECT v, u FROM wund
+),
+wc0 AS MATERIALIZED (
+  SELECT a AS vid, CAST(COUNT(*) AS BIGINT) AS color
+  FROM wadj GROUP BY a
+)"""
+    ]
+    for _r in (1, 2):
+        _p = _r - 1
+        _wl_parts.append(
+            f""",
+ws{_r} AS MATERIALIZED (
+  SELECT wadj.a AS vid,
+         STRING_AGG(CAST(c.color AS VARCHAR), ',' ORDER BY c.color) AS nbrs
+  FROM wadj JOIN wc{_p} c ON c.vid = wadj.b GROUP BY wadj.a
+),
+wh{_r} AS MATERIALIZED (
+  SELECT s.vid, MD5(CAST(o.color AS VARCHAR) || '|' || s.nbrs) AS h
+  FROM ws{_r} s JOIN wc{_p} o ON o.vid = s.vid
+),
+wc{_r} AS MATERIALIZED (
+  SELECT vid, CAST(({_hex15_num('h')}) AS BIGINT) AS color FROM wh{_r}
+)"""
+        )
+    d["wl_colors"] = "".join(_wl_parts) + "\nSELECT vid, color FROM wc2"
     d["condensation"] = (
         _scc_core
         + "\nSELECT CAST(s AS BIGINT) AS src_scc, "
