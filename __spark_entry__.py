@@ -5381,6 +5381,30 @@ def q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return articulation_points(spark, _edges_vid(spark, sf_dir), _graph_cfg())
 
 
+def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental connected components under the hard gate
+    (streaming/graph.py): the influence edge table drained in 4 chunks,
+    labels maintained by per-epoch contraction (previous labels as star
+    edges + the new batch through one components pass). Components is
+    an order-free commutative fold, so the drained labeling equals the
+    batch run and the oracle is the SAME SQL as the batch `components`
+    entry."""
+    from crgp_spark.streaming.graph import stream_components
+    from crgp_spark.streaming.scd import write_time_chunks
+
+    e = _edges_vid(spark, sf_dir)
+    feed = e.select(
+        "src", "dst",
+        F.col("src").alias("us"),
+        F.col("dst").alias("event_id"),
+    )
+    work = "/tmp/crgp_stream_cc"
+    write_time_chunks(feed, work, n_chunks=4)
+    return stream_components(spark, work, _graph_cfg()).select(
+        "vid", "component"
+    )
+
+
 def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL color refinement over the influence graph
     (operators/wl.py::wl_refine, 2 rounds): the message-passing-GNN
@@ -5588,6 +5612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation": q_condensation,
         "dag_layers": q_dag_layers,
         "wl_colors": q_wl_colors,
+        "stream_components": q_stream_components,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8953,6 +8978,9 @@ wc{_r} AS MATERIALIZED (
 )"""
         )
     d["wl_colors"] = "".join(_wl_parts) + "\nSELECT vid, color FROM wc2"
+    # streamed incremental contraction == the batch components run:
+    # same oracle verbatim (streaming/graph.py)
+    d["stream_components"] = d["components"]
     d["condensation"] = (
         _scc_core
         + "\nSELECT CAST(s AS BIGINT) AS src_scc, "
