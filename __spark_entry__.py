@@ -5405,6 +5405,29 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental triangle counting under the hard gate
+    (streaming/graph.py::TriangleMaintainer): per-vertex counts
+    maintained while the edge table drains in 4 chunks — each triangle
+    counted exactly once, in the epoch its last edge arrives; per-epoch
+    work proportional to the new edges' neighborhoods. Oracle = the
+    SAME SQL as the batch `triangles` entry."""
+    from crgp_spark.streaming.graph import stream_triangles
+    from crgp_spark.streaming.scd import write_time_chunks
+
+    e = _edges_vid(spark, sf_dir)
+    feed = e.select(
+        "src", "dst",
+        F.col("src").alias("us"),
+        F.col("dst").alias("event_id"),
+    )
+    work = "/tmp/crgp_stream_tri"
+    write_time_chunks(feed, work, n_chunks=4)
+    return stream_triangles(spark, work, _graph_cfg()).select(
+        "vid", "triangles"
+    )
+
+
 def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-WL color refinement over the influence graph
     (operators/wl.py::wl_refine, 2 rounds): the message-passing-GNN
@@ -5613,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers": q_dag_layers,
         "wl_colors": q_wl_colors,
         "stream_components": q_stream_components,
+        "stream_triangles": q_stream_triangles,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -8981,6 +9005,9 @@ wc{_r} AS MATERIALIZED (
     # streamed incremental contraction == the batch components run:
     # same oracle verbatim (streaming/graph.py)
     d["stream_components"] = d["components"]
+    # streamed incremental triangle maintenance == the batch count:
+    # same oracle verbatim (streaming/graph.py::TriangleMaintainer)
+    d["stream_triangles"] = d["triangles"]
     d["condensation"] = (
         _scc_core
         + "\nSELECT CAST(s AS BIGINT) AS src_scc, "

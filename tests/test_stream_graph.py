@@ -93,3 +93,33 @@ def test_epochs_and_intermediate_labels(spark, tmp_path):
     assert m.epochs == 4
     lab = {r["vid"]: r["component"] for r in m.labels.collect()}
     assert lab[30] == 1 and lab[13] == 10
+
+
+def test_stream_triangles_equals_batch(spark, tmp_path):
+    """Triangles split across epochs: {1,2,3} completes in chunk 2,
+    {2,3,4} in chunk 3, the K4 on {10..13} accretes over all chunks —
+    plus a duplicate edge replay that must be idempotent."""
+    from crgp_spark.operators.triangles import triangles as batch_triangles
+    from crgp_spark.streaming.graph import stream_triangles
+
+    cfg = _cfg(tmp_path)
+    k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    seq = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (1, 2)] + k4
+    rows = [(u, v, i * 10, i) for i, (u, v) in enumerate(seq)]
+    feed = spark.createDataFrame(
+        rows, "src: long, dst: long, us: long, event_id: long"
+    )
+    work = str(tmp_path / "trifeed")
+    write_time_chunks(feed, work, n_chunks=4)
+    got = sorted(
+        map(tuple, stream_triangles(spark, work, cfg).collect())
+    )
+    _total, per_vertex = batch_triangles(
+        spark, feed.select("src", "dst"), cfg
+    )
+    want = sorted(map(tuple, per_vertex.select("vid", "triangles").collect()))
+    assert got == want
+    lab = dict(got)
+    # K4 gives 3 triangles per vertex; 1,4 in one triangle; 2,3 in two
+    assert lab[10] == lab[11] == lab[12] == lab[13] == 3
+    assert lab[1] == lab[4] == 1 and lab[2] == lab[3] == 2
