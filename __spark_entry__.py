@@ -5405,6 +5405,37 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (sources/columnar.py): events
+    written hive-partitioned by event_type (timestamps pre-converted
+    to exact micros), read back with a partition-pruned filter and
+    rolled up — counts and integer sums must survive the format
+    round-trip bit-exactly. Oracle computes the same rollup straight
+    from the parquet feed."""
+    import shutil
+
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.sources.columnar import read_orc, write_orc
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        ts_micros(F.col("ts")).alias("us"),
+    )
+    work = "/tmp/crgp_orc"
+    shutil.rmtree(work, ignore_errors=True)
+    write_orc(ev, work, partition_by=["event_type"])
+    back = read_orc(spark, work).filter(F.col("event_type") != "click")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+    )
+
+
 def q_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed incremental triangle counting under the hard gate
     (streaming/graph.py::TriangleMaintainer): per-vertex counts
@@ -5637,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": q_wl_colors,
         "stream_components": q_stream_components,
         "stream_triangles": q_stream_triangles,
+        "orc_roundtrip": q_orc_roundtrip,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9008,6 +9040,16 @@ wc{_r} AS MATERIALIZED (
     # streamed incremental triangle maintenance == the batch count:
     # same oracle verbatim (streaming/graph.py::TriangleMaintainer)
     d["stream_triangles"] = d["triangles"]
+    # ORC round-trip: same rollup straight from the parquet feed —
+    # integer cents/micros survive the format exactly
+    d["orc_roundtrip"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(MIN(EPOCH_US(ts)) AS BIGINT) AS min_us,
+       CAST(MAX(EPOCH_US(ts)) AS BIGINT) AS max_us
+FROM events WHERE event_type <> 'click'
+GROUP BY event_type"""
     d["condensation"] = (
         _scc_core
         + "\nSELECT CAST(s AS BIGINT) AS src_scc, "
