@@ -5405,6 +5405,49 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BFS spanning forest (operators/bridges.py::
+    bfs_forest): per vertex its component root, hop distance and
+    parent (MIN neighbor one hop closer) — the rooted-forest substrate
+    the whole connectivity family shares."""
+    from crgp_spark.operators.bridges import bfs_forest
+
+    return bfs_forest(spark, _edges_vid(spark, sf_dir), _graph_cfg()).select(
+        "vid", "comp", "dist", "parent"
+    )
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized Gram/covariance accumulator over the embedding
+    table — the PCA-whitening precursor every embedding pipeline runs:
+    vectors quantized to integer micro-units, then
+    G[i,j] = Σ_docs q_i * q_j as exact BIGINTs (4096 cells for the
+    64-dim table), plus the mean accumulators. Pure explode+groupBy —
+    map-side combinable, no float-order sensitivity."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    # explode pairs from one carried quantized vector per row — no
+    # self-join, no synthetic row ids; the double cast BEFORE the
+    # multiply is the engine-wide float32 quantization idiom
+    qv = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * 1000000.0 + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q")
+    )
+    pairs = qv.select(
+        F.posexplode("q").alias("i", "qi"), F.col("q")
+    ).select(
+        "i", "qi", F.posexplode("q").alias("j", "qj")
+    ).filter(F.col("j") >= F.col("i"))
+    return pairs.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("dot"),
+        F.sum("qi").alias("sum_i"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source round-trip (sources/columnar.py): events
     written hive-partitioned by event_type (timestamps pre-converted
@@ -5669,6 +5712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_components": q_stream_components,
         "stream_triangles": q_stream_triangles,
         "orc_roundtrip": q_orc_roundtrip,
+        "spanning_forest": q_spanning_forest,
+        "embedding_gram": q_embedding_gram,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9042,6 +9087,34 @@ wc{_r} AS MATERIALIZED (
     d["stream_triangles"] = d["triangles"]
     # ORC round-trip: same rollup straight from the parquet feed —
     # integer cents/micros survive the format exactly
+    # deterministic BFS forest: the bridges-core par/dist/roots chain
+    d["spanning_forest"] = (
+        _sql_bridges_core()
+        + """
+SELECT CAST(d.vid AS BIGINT) AS vid,
+       CAST(MIN(r.vid) OVER (PARTITION BY d.vid // 100000) AS BIGINT)
+         AS comp,
+       CAST(d.dist AS INT) AS dist,
+       CAST(p.parent AS BIGINT) AS parent
+FROM dist d
+LEFT JOIN par p ON p.vid = d.vid
+LEFT JOIN roots r ON r.vid = d.vid"""
+    )
+    # exact quantized Gram accumulator: micro-unit ints, upper triangle
+    d["embedding_gram"] = """
+SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS dot,
+       CAST(SUM(qi) AS BIGINT) AS sum_i,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT CAST(r1.i AS INT) AS i, CAST(r2.i AS INT) AS j,
+         CAST(FLOOR(CAST(embedding[r1.i + 1] AS DOUBLE) * 1000000.0
+                    + 0.5) AS BIGINT) AS qi,
+         CAST(FLOOR(CAST(embedding[r2.i + 1] AS DOUBLE) * 1000000.0
+                    + 0.5) AS BIGINT) AS qj
+  FROM embeddings, RANGE(64) r1(i), RANGE(64) r2(i)
+  WHERE r2.i >= r1.i
+)
+GROUP BY i, j"""
     d["orc_roundtrip"] = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
