@@ -5405,6 +5405,18 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bridges_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges over the cascade-local layout (cascade_algos.py::
+    cascade_bridges): one vectorized LCA-walk kernel per conversation,
+    no supersteps — exact because fundamental cycles never cross
+    conversations. Same oracle as the generic `bridges` entry."""
+    from crgp_spark.operators.cascade_algos import cascade_bridges
+
+    return cascade_bridges(
+        spark, _edges_vid_conv(spark, sf_dir), _graph_cfg()
+    )
+
+
 def q_spanning_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic BFS spanning forest (operators/bridges.py::
     bfs_forest): per vertex its component root, hop distance and
@@ -5714,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "spanning_forest": q_spanning_forest,
         "embedding_gram": q_embedding_gram,
+        "bridges_cascade": q_bridges_cascade,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9002,6 +9015,8 @@ FROM r, nf GROUP BY nf.n_from"""
     # bridges / 2ECC: the exact recursive-CTE twin of
     # operators/bridges.py (BFS forest, closure, LCA crossing counts)
     d["bridges"] = _sql_bridges()
+    # cascade-local kernel must equal the generic path bit for bit
+    d["bridges_cascade"] = _sql_bridges()
     d["ecc2"] = _sql_ecc2()
     # biconnected components / articulation points: the fundamental-
     # cycle star reduction twin of operators/blocks.py

@@ -565,3 +565,121 @@ def cascade_triangles(
         (per_vertex.agg(F.sum("triangles")).first()[0] or 0) // 3
     )
     return total, per_vertex
+
+
+def _bridges_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact bridges of one conversation's undirected edges — the
+    `operators/bridges.py` pipeline run vectorized inside one task:
+    min-label components, BFS distances, MIN-parent forest, then a
+    vectorized LCA walk that bumps a crossing counter on every tree
+    edge under each non-tree edge's fundamental cycle (O(E · depth)
+    work, O(V + E) memory — no ancestor matrix).  A tree edge above
+    child ``c`` is a bridge iff ``crossing[c] == 0``.  Returns the
+    canonical ``(u, v)`` bridge rows, matching the generic operator
+    bit for bit (same forest: component-minimum roots, minimum
+    parents)."""
+    s = pdf["src"].to_numpy().astype(np.int64)
+    d = pdf["dst"].to_numpy().astype(np.int64)
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    keep = lo != hi
+    if not keep.any():
+        return pd.DataFrame({"u": np.empty(0, np.int64),
+                             "v": np.empty(0, np.int64)})
+    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    lo, hi = pairs[:, 0], pairs[:, 1]
+    nodes, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    m = len(lo)
+    a, b = inv[:m], inv[m:]
+    n = len(nodes)
+
+    # min-label components (relaxation to fixpoint, O(diameter) rounds)
+    lab = np.arange(n)
+    while True:
+        nl = lab.copy()
+        np.minimum.at(nl, b, lab[a])
+        np.minimum.at(nl, a, lab[b])
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+
+    # BFS distances from the component-minimum roots
+    inf = np.int64(1) << 60
+    dist = np.full(n, inf, dtype=np.int64)
+    dist[lab == np.arange(n)] = 0
+    while True:
+        nd = dist.copy()
+        np.minimum.at(nd, b, dist[a] + 1)
+        np.minimum.at(nd, a, dist[b] + 1)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+
+    # parent = MIN neighbor one hop closer (by vertex id, then index)
+    pa = np.concatenate([a, b])
+    pb = np.concatenate([b, a])
+    ok = dist[pa] == dist[pb] - 1
+    pnode = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(pnode, pb[ok], nodes[pa[ok]])
+    has_par = dist > 0
+    pidx = np.full(n, -1, dtype=np.int64)
+    pidx[has_par] = np.searchsorted(nodes, pnode[has_par])
+
+    # non-tree edges: neither endpoint is the other's parent
+    tree_mask = (pidx[b] == a) | (pidx[a] == b)
+    crossing = np.zeros(n, dtype=np.int64)
+    cu, cv = a[~tree_mask].copy(), b[~tree_mask].copy()
+    while True:
+        diff = cu != cv
+        if not diff.any():
+            break
+        lift_u = diff & (dist[cu] >= dist[cv])
+        lift_v = diff & (dist[cv] > dist[cu])
+        # equal-depth distinct nodes lift BOTH sides this round
+        lift_v |= diff & (dist[cu] == dist[cv])
+        np.add.at(crossing, cu[lift_u], 1)
+        np.add.at(crossing, cv[lift_v], 1)
+        cu[lift_u] = pidx[cu[lift_u]]
+        cv[lift_v] = pidx[cv[lift_v]]
+
+    child = np.where(has_par & (crossing == 0))[0]
+    bu = np.minimum(nodes[child], nodes[pidx[child]])
+    bv = np.maximum(nodes[child], nodes[pidx[child]])
+    return pd.DataFrame({"u": bu, "v": bv})
+
+
+def cascade_bridges(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Bridges over the conversation-partitioned layout: ONE
+    ``applyInPandas`` pass grouped by conversation — exact because
+    influence edges never cross conversations, so every fundamental
+    cycle is conversation-local.  ``edges`` = (src, dst, conv_id).
+    Conversations beyond ``RESIDUE_KERNEL_MAX_EDGES`` fall back to the
+    generic `operators.bridges.bridges` over their edges only and
+    union in (the split-residue hybrid pattern)."""
+    from crgp_spark.operators.bridges import bridges as generic_bridges
+
+    cfg = cfg or EngineConfig()
+    rows = edges.select(
+        "conv_id",
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    sizes = rows.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_e"))
+    big = sizes.filter(F.col("n_e") > RESIDUE_KERNEL_MAX_EDGES).select(
+        "conv_id"
+    )
+    if big.isEmpty():
+        return rows.groupBy("conv_id").applyInPandas(
+            _bridges_kernel, "u long, v long"
+        )
+    small = rows.join(F.broadcast(big), "conv_id", "left_anti")
+    local = small.groupBy("conv_id").applyInPandas(
+        _bridges_kernel, "u long, v long"
+    )
+    residue = rows.join(F.broadcast(big), "conv_id", "left_semi").select(
+        "src", "dst"
+    )
+    return local.unionByName(generic_bridges(spark, residue, cfg))

@@ -161,3 +161,64 @@ def test_matches_brute_force_on_random_graph(spark, tmp_path):
     # compare partitions (labels are min-vid in both)
     want_map = {v: min(grp) for grp in want2.values() for v in grp}
     assert got == want_map
+
+
+def test_cascade_kernel_matches_generic(spark, tmp_path):
+    """cascade_bridges (one LCA-walk kernel per conversation) equals
+    the generic superstep path on multi-conversation random input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crgp_spark.operators.cascade_algos import cascade_bridges
+
+    rng = random.Random(99)
+    rows = []
+    for conv in range(1, 6):
+        base = conv * 1000
+        n = 12 + conv
+        rows += [(base + i, base + i + 1, conv) for i in range(1, n, 3)]
+        rows += [
+            (base + rng.randrange(1, n + 1), base + rng.randrange(1, n + 1), conv)
+            for _ in range(18)
+        ]
+    df = spark.createDataFrame(rows, "src: long, dst: long, conv_id: long")
+    got = sorted(
+        map(tuple, cascade_bridges(spark, df, _cfg(tmp_path)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            bridges(
+                spark, df.select("src", "dst"), _cfg(tmp_path)
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert want == _brute_bridges([(u, v) for u, v, _c in rows])
+
+
+def test_cascade_split_residue_path(spark, tmp_path, monkeypatch):
+    """Conversations above the kernel cap route through the generic
+    path and union back in — force it by shrinking the cap."""
+    from crgp_spark.operators import cascade_algos
+
+    monkeypatch.setattr(cascade_algos, "RESIDUE_KERNEL_MAX_EDGES", 6)
+    pairs_small = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (3, 4, 1)]  # 4 edges
+    big = [(100 + i, 100 + i + 1, 2) for i in range(1, 9)]      # 8 edges
+    df = spark.createDataFrame(
+        pairs_small + big, "src: long, dst: long, conv_id: long"
+    )
+    got = sorted(
+        map(
+            tuple,
+            cascade_algos.cascade_bridges(spark, df, _cfg(tmp_path)).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            bridges(spark, df.select("src", "dst"), _cfg(tmp_path)).collect(),
+        )
+    )
+    assert got == want and (3, 4) in got
