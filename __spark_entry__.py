@@ -5405,6 +5405,26 @@ def q_stream_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_wl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental WL refinement under the hard gate
+    (streaming/wl.py): the 2-round color tables maintained while the
+    edge table drains in 4 chunks — per epoch only the batch's 2-hop
+    ball recolors (round-r colors are r-hop-local). Oracle = the SAME
+    SQL as the batch `wl_colors` entry."""
+    from crgp_spark.streaming.scd import write_time_chunks
+    from crgp_spark.streaming.wl import stream_wl
+
+    e = _edges_vid(spark, sf_dir)
+    feed = e.select(
+        "src", "dst",
+        F.col("src").alias("us"),
+        F.col("dst").alias("event_id"),
+    )
+    work = "/tmp/crgp_stream_wl"
+    write_time_chunks(feed, work, n_chunks=4)
+    return stream_wl(spark, work, _graph_cfg()).select("vid", "color")
+
+
 def q_bridges_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bridges over the cascade-local layout (cascade_algos.py::
     cascade_bridges): one vectorized LCA-walk kernel per conversation,
@@ -5727,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_forest": q_spanning_forest,
         "embedding_gram": q_embedding_gram,
         "bridges_cascade": q_bridges_cascade,
+        "stream_wl": q_stream_wl,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9094,6 +9115,8 @@ wc{_r} AS MATERIALIZED (
 )"""
         )
     d["wl_colors"] = "".join(_wl_parts) + "\nSELECT vid, color FROM wc2"
+    # streamed 2-hop-ball recolor == the batch refinement: same oracle
+    d["stream_wl"] = d["wl_colors"]
     # streamed incremental contraction == the batch components run:
     # same oracle verbatim (streaming/graph.py)
     d["stream_components"] = d["components"]
