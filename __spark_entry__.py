@@ -5091,6 +5091,23 @@ def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover — the endpoints of a maximal
+    matching (the classic Gavril/Yannakakis bound; every edge is
+    covered because an uncovered one could still be matched). Reuses
+    the 4-round deterministic matching; output = the cover's vids."""
+    from crgp_spark.operators.matching import maximal_matching
+
+    m = maximal_matching(
+        spark, _edges_vid(spark, sf_dir), rounds=4, cfg=_graph_cfg()
+    )
+    return (
+        m.select(F.col("u").alias("vid"))
+        .unionByName(m.select(F.col("v").alias("vid")))
+        .distinct()
+    )
+
+
 def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence latency (operators/sssp.py::bounded_sssp): min total
     turn-gap from each conversation's originator, Bellman-Ford with 4
@@ -5748,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "bridges_cascade": q_bridges_cascade,
         "stream_wl": q_stream_wl,
+        "vertex_cover": q_vertex_cover,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9117,6 +9135,13 @@ wc{_r} AS MATERIALIZED (
     d["wl_colors"] = "".join(_wl_parts) + "\nSELECT vid, color FROM wc2"
     # streamed 2-hop-ball recolor == the batch refinement: same oracle
     d["stream_wl"] = d["wl_colors"]
+    # 2-approx vertex cover = distinct endpoints of the 4-round matching
+    d["vertex_cover"] = (
+        "WITH mm AS MATERIALIZED (\n"
+        + _sql_matching(rounds=4)
+        + "\n)\nSELECT DISTINCT vid FROM ("
+        "SELECT u AS vid FROM mm UNION ALL SELECT v FROM mm)"
+    )
     # streamed incremental contraction == the batch components run:
     # same oracle verbatim (streaming/graph.py)
     d["stream_components"] = d["components"]
