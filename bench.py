@@ -931,6 +931,10 @@ def main() -> None:
         "articulation", lambda: articulation_points(spark, e2, cfg).count()
     )
 
+    from crgp_spark.operators.wl import wl_refine
+
+    timed("wl_2r", lambda: wl_refine(spark, e2, rounds=2, cfg=cfg).count())
+
     from crgp_spark.operators.anf import anf as anf_op
     from crgp_spark.operators.densest import densest_curve
 

@@ -662,6 +662,17 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("s1")),
     })
 
+    from crgp_spark.functions import md5_num60 as _md5n
+    from crgp_spark.operators.wl import wl_refine as _wl
+
+    sections.update({
+        "WL refinement (2 rounds): one groupBy(vid) shuffle per round "
+        "carrying neighbor colors, sort_array(collect_list) canonical "
+        "signature, md5_num60 JVM-side — no Python in the loop": _wl(
+            spark, e_vid, rounds=2, cfg=cfg
+        ),
+    })
+
     from crgp_spark.operators.dedup import duplicate_spans
 
     sections.update({
