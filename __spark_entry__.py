@@ -5108,6 +5108,77 @@ def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, composing four audited operators:
+    deterministic dirty duplicates (every 7th customer re-keyed with an
+    appended-char name and a later version) -> FastSS ED-1 blocking +
+    verify (fuzzy.py) -> match-graph clustering
+    (components.connected_components) -> survivorship merge
+    (survivor.golden_records: latest name/balance by version, modal
+    segment). Names are md5-prefix handles so the only systematic ED-1
+    matches are the planted ones; the oracle replays the identical
+    construction."""
+    from crgp_spark.operators.components import connected_components
+    from crgp_spark.operators.fuzzy import fuzzy_pairs_ed1
+    from crgp_spark.operators.survivor import golden_records
+
+    cust = _tbl(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    handle = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    clean = cust.select(
+        F.col("c_custkey").alias("key"),
+        handle.alias("name"),
+        cents.alias("bal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    dirty = cust.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1_000_000_000).alias("key"),
+        F.concat(handle, F.lit("x")).alias("name"),
+        (cents + 5).alias("bal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(2).cast("long").alias("ver"),
+    )
+    recs = clean.unionByName(dirty).withColumn(
+        "ts", F.timestamp_micros("ver")
+    )
+    pairs = fuzzy_pairs_ed1(
+        recs.select(F.col("name").alias("s")).distinct()
+    )
+    n2k = recs.select("name", "key")
+    edges = (
+        pairs.join(
+            n2k.withColumnRenamed("name", "s1").withColumnRenamed(
+                "key", "src"
+            ),
+            "s1",
+        )
+        .join(
+            n2k.withColumnRenamed("name", "s2").withColumnRenamed(
+                "key", "dst"
+            ),
+            "s2",
+        )
+        .select("src", "dst")
+    )
+    comp = connected_components(spark, edges, _graph_cfg(), algo_name="er_cc")
+    labeled = recs.join(
+        comp.withColumnRenamed("vid", "key"), "key", "left"
+    ).withColumn("cluster", F.coalesce("component", "key"))
+    g = golden_records(
+        labeled,
+        "cluster",
+        "ts",
+        ["key"],
+        latest_cols=["name", "bal_cents"],
+        mode_cols=["segment"],
+    )
+    return g.select(
+        "cluster", "n_records", "first_us", "last_us",
+        "latest_name", "latest_bal_cents", "mode_segment",
+    )
+
+
 def q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence latency (operators/sssp.py::bounded_sssp): min total
     turn-gap from each conversation's originator, Bellman-Ford with 4
@@ -5766,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges_cascade": q_bridges_cascade,
         "stream_wl": q_stream_wl,
         "vertex_cover": q_vertex_cover,
+        "er_pipeline": q_er_pipeline,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9136,6 +9208,80 @@ wc{_r} AS MATERIALIZED (
     # streamed 2-hop-ball recolor == the batch refinement: same oracle
     d["stream_wl"] = d["wl_colors"]
     # 2-approx vertex cover = distinct endpoints of the 4-round matching
+    # end-to-end ER: the same construction -> ED1 pairs -> recursive
+    # min-label clustering -> survivorship idioms as the golden oracle
+    d["er_pipeline"] = """
+WITH RECURSIVE clean AS (
+  SELECT c_custkey AS key,
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         c_mktsegment AS segment, CAST(1 AS BIGINT) AS ver
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey + 1000000000 AS key,
+         SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 12) || 'x' AS name,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 5 AS bal_cents,
+         c_mktsegment AS segment, CAST(2 AS BIGINT) AS ver
+  FROM customer WHERE c_custkey % 7 = 0
+),
+recs AS MATERIALIZED (
+  SELECT * FROM clean UNION ALL SELECT * FROM dirty
+),
+sf AS (SELECT DISTINCT name AS s FROM recs),
+ex AS (
+  SELECT DISTINCT s,
+         CASE WHEN r.i = 0 THEN s
+              ELSE SUBSTRING(s, 1, r.i - 1) || SUBSTRING(s, r.i + 1)
+         END AS v
+  FROM sf, RANGE(14) r(i) WHERE r.i <= LENGTH(s)
+),
+cand AS (
+  SELECT DISTINCT a.s AS s1, b.s AS s2
+  FROM ex a JOIN ex b ON a.v = b.v WHERE a.s < b.s
+),
+prs AS MATERIALIZED (
+  SELECT s1, s2 FROM cand WHERE LEVENSHTEIN(s1, s2) = 1
+),
+eg AS MATERIALIZED (
+  SELECT k1.key AS a, k2.key AS b
+  FROM prs JOIN recs k1 ON k1.name = prs.s1
+           JOIN recs k2 ON k2.name = prs.s2
+),
+eadj AS (SELECT a, b FROM eg UNION ALL SELECT b, a FROM eg),
+elab AS (
+  SELECT key AS node, key AS lab FROM recs
+  UNION
+  SELECT eadj.b AS node, l.lab FROM elab l JOIN eadj ON eadj.a = l.node
+),
+clus AS MATERIALIZED (
+  SELECT node AS key, MIN(lab) AS cluster FROM elab GROUP BY node
+),
+lr AS MATERIALIZED (
+  SELECT c.cluster, r.name, r.bal_cents, r.segment, r.ver,
+         LPAD(CAST(r.ver AS VARCHAR), 20, '0') || ':' ||
+         LPAD(CAST(r.key AS VARCHAR), 20, '0') AS k
+  FROM recs r JOIN clus c ON c.key = r.key
+),
+base AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(MIN(ver) AS BIGINT) AS first_us,
+         CAST(MAX(ver) AS BIGINT) AS last_us,
+         ARG_MAX(name, k) AS latest_name,
+         CAST(ARG_MAX(bal_cents, k) AS BIGINT) AS latest_bal_cents
+  FROM lr GROUP BY cluster
+),
+scnt AS (
+  SELECT cluster, segment, COUNT(*) AS n FROM lr GROUP BY 1, 2
+),
+md AS (
+  SELECT cluster,
+         ARG_MIN(segment,
+                 LPAD(CAST(1000000000000 - n AS VARCHAR), 13, '0')
+                 || ':' || segment) AS mode_segment
+  FROM scnt GROUP BY 1
+)
+SELECT base.*, md.mode_segment FROM base LEFT JOIN md USING (cluster)"""
     d["vertex_cover"] = (
         "WITH mm AS MATERIALIZED (\n"
         + _sql_matching(rounds=4)
