@@ -5108,6 +5108,42 @@ def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table schema evolution (sources/snapshot.py::read with
+    merge_schema): a base snapshot, then an append carrying a NEW
+    loyalty_tier column (every 3rd customer) — the merged HEAD read
+    widens the schema and NULL-backfills old rows, and the rollup over
+    the union must be exact. The oracle derives the same union
+    analytically."""
+    import shutil
+
+    from crgp_spark.sources.snapshot import SnapshotTable
+
+    cust = _tbl(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = cust.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+    )
+    evolved = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        cents.alias("bal_cents"),
+        F.when(F.col("c_acctbal") >= 5000, F.lit("gold"))
+        .otherwise(F.lit("basic"))
+        .alias("loyalty_tier"),
+    )
+    work = "/tmp/crgp_schema_evo"
+    shutil.rmtree(work, ignore_errors=True)
+    t = SnapshotTable(work)
+    t.overwrite(base)
+    t.append(evolved)
+    merged = t.read(spark, merge_schema=True)
+    return merged.groupBy("segment", "loyalty_tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
+
+
 def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution, composing four audited operators:
     deterministic dirty duplicates (every 7th customer re-keyed with an
@@ -5838,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_wl": q_stream_wl,
         "vertex_cover": q_vertex_cover,
         "er_pipeline": q_er_pipeline,
+        "schema_evolution": q_schema_evolution,
         # --- round 1-3 entries without an official gate row yet ---
         "betweenness": q_betweenness,
         "virality": q_virality,
@@ -9208,6 +9245,17 @@ wc{_r} AS MATERIALIZED (
     # streamed 2-hop-ball recolor == the batch refinement: same oracle
     d["stream_wl"] = d["wl_colors"]
     # 2-approx vertex cover = distinct endpoints of the 4-round matching
+    # schema evolution: the widened-union rollup derived analytically
+    d["schema_evolution"] = """
+SELECT c_mktsegment AS segment,
+       CASE WHEN c_custkey % 3 <> 0 THEN NULL
+            WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'basic'
+       END AS loyalty_tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+GROUP BY 1, 2"""
     # end-to-end ER: the same construction -> ED1 pairs -> recursive
     # min-label clustering -> survivorship idioms as the golden oracle
     d["er_pipeline"] = """

@@ -250,9 +250,21 @@ class SnapshotTable:
         return self._commit(kept.unionByName(live), "merge_cdc_overwrite")
 
     # -- read --------------------------------------------------------------
-    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """The table as of snapshot ``as_of`` (default: HEAD) — the
-        ``VERSION AS OF`` read path."""
+        ``VERSION AS OF`` read path.
+
+        ``merge_schema=True`` enables schema evolution (the Iceberg
+        add-column semantics): snapshots appended with extra columns
+        union into one widened schema, rows from older snapshots carry
+        NULL in the new columns.  Off by default — the merged-footer
+        scan costs one extra metadata pass, so pay it only on evolved
+        tables."""
         head = self.head()
         if head is None:
             raise ValueError(f"snapshot table {self.path!r} is empty")
@@ -262,7 +274,10 @@ class SnapshotTable:
                 f"snapshot {snap_id} does not exist (HEAD = {head})"
             )
         dirs = self._read_manifest(snap_id)["data_dirs"]
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     # -- maintenance ---------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 5) -> dict:

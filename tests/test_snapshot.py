@@ -233,3 +233,23 @@ def test_expire_crash_between_phases_is_safe(spark, tmp_path, monkeypatch):
     stats = t.expire_snapshots(keep_last=1)  # re-run completes
     assert stats["data_dirs_removed"] >= 1
     assert read_table(spark, t.path).count() == 40
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Appending a snapshot with a NEW column widens the merged read;
+    old rows NULL-backfill, and the pre-evolution snapshot still reads
+    with its original schema (time travel unaffected)."""
+    from crgp_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k: long, v: long"))
+    t.append(
+        spark.createDataFrame([(3, 30, "gold")], "k: long, v: long, tier: string")
+    )
+    merged = t.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "tier"}
+    rows = {r["k"]: (r["v"], r["tier"]) for r in merged.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "gold")}
+    old = t.read(spark, as_of=0)
+    assert set(old.columns) == {"k", "v"}
+    assert old.count() == 2
