@@ -1034,6 +1034,42 @@ def _sql_harmonic(radius: int = 3) -> str:
     return "".join(parts)
 
 
+def _sql_closeness(radius: int = 3) -> str:
+    """Wasserman–Faust closeness twin (harmonic.py::closeness_bounded):
+    same unrolled level sets; reach/totdist are BIGINT sums of the
+    integer level counts, the score ONE IEEE division of two exact
+    integers (reach², (n−1)·totdist)."""
+    parts = _sql_level_sets(radius)
+    for d in range(1, radius + 1):
+        parts.append(
+            f",\nc{d} AS (SELECT s, CAST(COUNT(*) AS INT) AS c FROM l{d} GROUP BY s)"
+        )
+    parts.append(",\nverts AS (SELECT DISTINCT src AS vid FROM sym)")
+    reach = " + ".join(
+        f"CAST(COALESCE(c{d}.c, 0) AS BIGINT)" for d in range(1, radius + 1)
+    )
+    tot = " + ".join(
+        f"{d} * CAST(COALESCE(c{d}.c, 0) AS BIGINT)"
+        for d in range(1, radius + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN c{d} ON c{d}.s = verts.vid" for d in range(1, radius + 1)
+    )
+    parts.append(
+        f""",
+base AS (SELECT verts.vid, {reach} AS reach, {tot} AS totdist
+         FROM verts {joins}),
+nn AS (SELECT CAST(COUNT(*) - 1 AS BIGINT) AS n1 FROM base)
+SELECT vid, reach, totdist,
+       CASE WHEN totdist > 0 AND n1 > 0
+            THEN CAST(reach * reach AS DOUBLE)
+                 / CAST(n1 * totdist AS DOUBLE)
+            ELSE 0.0 END AS closeness
+FROM base, nn"""
+    )
+    return "".join(parts)
+
+
 def _sql_virality(radius: int = 3) -> str:
     """Structural-virality twin (operators/virality.py): the harmonic
     level sets grouped by conversation (conv = vid // 100000 under the
@@ -4310,6 +4346,43 @@ def q_harmonic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-3 Wasserman–Faust closeness from the exact integer BFS
+    level counts (operators/harmonic.py::closeness_bounded) — the
+    reachable-fraction-corrected companion to ``harmonic``; score is
+    one IEEE division of two BIGINTs, so bit-equal cross-engine."""
+    from crgp_spark.operators.harmonic import closeness_bounded
+
+    return closeness_bounded(
+        spark, _edges_vid(spark, sf_dir), radius=3, cfg=_graph_cfg()
+    )
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-participant butterfly (2×2-biclique) counts over the
+    conversation–participant membership graph
+    (operators/butterfly.py::butterfly_counts; Sanei-Mehri et al. KDD
+    2018) — the bipartite motif companion to ``triangles`` and
+    ``coparticipation``. All-BIGINT, no floats."""
+    from crgp_spark.derive import prepare_turns
+    from crgp_spark.operators.butterfly import butterfly_counts
+
+    t = prepare_turns(transcripts_from_events(_events(spark, sf_dir)))
+    return butterfly_counts(t, side="participant")
+
+
+def q_butterflies_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-side butterfly counts (the OTHER pairing side of
+    operators/butterfly.py::butterfly_counts) — global Σ butterflies
+    must equal the participant side's; the per-round gate checks both
+    sides against independent SQL twins."""
+    from crgp_spark.derive import prepare_turns
+    from crgp_spark.operators.butterfly import butterfly_counts
+
+    t = prepare_turns(transcripts_from_events(_events(spark, sf_dir)))
+    return butterfly_counts(t, side="conv")
+
+
 def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard set-similarity self-join at t = 9/10
     (operators/dedup.py::setsim_join, AllPairs prefix filtering) — the
@@ -5792,6 +5865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_entry.py still runs the full surface locally.
     return {
         # --- new in round 4 (never gated) ---
+        "butterflies": q_butterflies,
+        "butterflies_conv": q_butterflies_conv,
+        "closeness": q_closeness,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6033,6 +6109,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # bipartite 2x2-biclique motif (butterfly.py::butterfly_counts):
+        # wedge pairs through the conversation key, BIGINT binomials
+        "butterflies": f"WITH {_SQL_TURNS},\n"
+        "pc AS (SELECT DISTINCT conv_id, participant FROM turns),\n"
+        "pr AS (SELECT l.participant AS a, r.participant AS b,\n"
+        "              CAST(COUNT(*) AS BIGINT) AS s\n"
+        "       FROM pc l JOIN pc r ON l.conv_id = r.conv_id\n"
+        "         AND l.participant < r.participant\n"
+        "       GROUP BY 1, 2),\n"
+        "bo AS (SELECT a AS vid, s FROM pr\n"
+        "       UNION ALL SELECT b AS vid, s FROM pr)\n"
+        "SELECT vid AS participant,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_mates,\n"
+        "       CAST(SUM(s) AS BIGINT) AS wedges,\n"
+        "       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS butterflies\n"
+        "FROM bo GROUP BY 1",
+        # the same motif paired through the participant key
+        "butterflies_conv": f"WITH {_SQL_TURNS},\n"
+        "pc AS (SELECT DISTINCT conv_id, participant FROM turns),\n"
+        "pr AS (SELECT l.conv_id AS a, r.conv_id AS b,\n"
+        "              CAST(COUNT(*) AS BIGINT) AS s\n"
+        "       FROM pc l JOIN pc r ON l.participant = r.participant\n"
+        "         AND l.conv_id < r.conv_id\n"
+        "       GROUP BY 1, 2),\n"
+        "bo AS (SELECT a AS vid, s FROM pr\n"
+        "       UNION ALL SELECT b AS vid, s FROM pr)\n"
+        "SELECT vid AS conv_id,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_mates,\n"
+        "       CAST(SUM(s) AS BIGINT) AS wedges,\n"
+        "       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS butterflies\n"
+        "FROM bo GROUP BY 1",
+        # Wasserman-Faust closeness from the harmonic level sets
+        "closeness": _sql_closeness(3),
         # stream==batch: the streamed bottom-quota keyed state must equal
         # the batch stratified sample verbatim (streaming/sampling.py)
         "stream_sample": f"""

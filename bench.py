@@ -541,6 +541,15 @@ def main() -> None:
         lambda: coparticipation(prepare_turns(transcripts)).count(),
     )
 
+    from crgp_spark.operators.butterfly import butterfly_counts
+
+    timed(
+        "butterflies",
+        lambda: butterfly_counts(
+            prepare_turns(transcripts), side="participant"
+        ).count(),
+    )
+
     # --- walk corpus, symmetry breaking, bounded centrality, GNN prep
     from crgp_spark.operators.walks import hash_walks
 
@@ -573,6 +582,13 @@ def main() -> None:
     timed(
         "harmonic_cascade_r3",
         lambda: cascade_harmonic(spark, e3, radius=3, cfg=cfg).count(),
+    )
+
+    from crgp_spark.operators.harmonic import closeness_bounded
+
+    timed(
+        "closeness_r3",
+        lambda: closeness_bounded(spark, e2, radius=3, cfg=cfg).count(),
     )
 
     from crgp_spark.operators.matching import maximal_matching

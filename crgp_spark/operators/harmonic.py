@@ -198,3 +198,54 @@ def cascade_harmonic(
         cfg,
     )
     return local.unionByName(residue)
+
+
+def closeness_bounded(
+    spark: SparkSession,
+    edges: DataFrame,
+    radius: int = 3,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Radius-bounded Wasserman–Faust closeness centrality, derived
+    from the same exact integer level counts as ``harmonic_bounded``
+    (one BFS sweep shared conceptually; here one call):
+
+        C_WF(v) = (r/(n−1)) · (r/Σd)  =  r² / ((n−1)·Σd)
+
+    with ``r`` = vertices reachable within ``radius`` (excluding
+    ``v``), ``Σd`` = Σ_{d=1..R} d·n_d(v) the total bounded distance,
+    and ``n`` = non-isolated vertex count.  The (r/(n−1)) factor is
+    Wasserman & Faust's reachable-fraction correction — the standard
+    fix that keeps closeness comparable on DISCONNECTED graphs (a
+    conversation-partitioned influence graph is maximally
+    disconnected), where raw closeness would reward tiny components.
+
+    Cross-engine exactness: ``r``, ``Σd`` and ``(n−1)·Σd`` are BIGINT
+    in both engines; the score is ONE IEEE division of two exact
+    integers, so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Returns ``(vid, reach, totdist, closeness)``.  Scale shape: the
+    BFS level sets (see ``harmonic_bounded``) plus one metadata-sized
+    1-row broadcast for ``n`` — no driver-side data, no new shuffles
+    beyond the shared level-set machinery.
+    """
+    h = harmonic_bounded(spark, edges, radius=radius, cfg=cfg)
+    reach = sum(F.col(f"cnt_d{d}").cast("long") for d in range(1, radius + 1))
+    tot = sum(
+        (F.lit(d) * F.col(f"cnt_d{d}")).cast("long")
+        for d in range(1, radius + 1)
+    )
+    base = h.select("vid", reach.alias("reach"), tot.alias("totdist"))
+    n1 = base.agg((F.count(F.lit(1)) - F.lit(1)).cast("long").alias("_n1"))
+    return base.crossJoin(F.broadcast(n1)).select(
+        "vid",
+        "reach",
+        "totdist",
+        F.when(
+            (F.col("totdist") > 0) & (F.col("_n1") > 0),
+            (F.col("reach") * F.col("reach")).cast("double")
+            / (F.col("_n1") * F.col("totdist")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )

@@ -173,6 +173,14 @@ def main() -> None:
         "partial-agg pair count": coparticipation(prepare_turns(t)),
     })
 
+    from crgp_spark.operators.butterfly import butterfly_counts
+
+    sections.update({
+        "Butterfly counting: conv-key wedge self-join, BIGINT binomial "
+        "per pair, endpoint explode + partial-agg per-vertex rollup":
+            butterfly_counts(prepare_turns(t)),
+    })
+
     from crgp_spark.operators.curation import redact_pii
     from crgp_spark.operators.featprop import neighborhood_mean
     from crgp_spark.operators.harmonic import cascade_harmonic
@@ -190,6 +198,14 @@ def main() -> None:
         "Harmonic centrality, cascade kernel path: single "
         "applyInPandas pass grouped by conversation":
             cascade_harmonic(spark, e_conv, radius=3, cfg=cfg),
+    })
+
+    from crgp_spark.operators.harmonic import closeness_bounded
+
+    sections.update({
+        "Closeness (Wasserman-Faust): BFS level sets + BIGINT "
+        "reach/totdist project + 1-row broadcast n":
+            closeness_bounded(spark, e_vid, radius=3, cfg=cfg),
     })
 
     from crgp_spark.operators.kmeans import kmeans_step

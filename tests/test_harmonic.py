@@ -70,3 +70,21 @@ def test_forced_residue_hybrid_exact(spark, monkeypatch):
         )
     )
     assert a == b
+
+
+def test_closeness_path_graph(spark):
+    # path 0-1-2-3-4, radius 3, n=5
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["vid"]: r.asDict()
+        for r in H.closeness_bounded(spark, df, radius=3, cfg=_cfg()).collect()
+    }
+    # v0: levels {1},{2},{3} -> reach 3, totdist 6, C = 9/(4*6)
+    assert (got[0]["reach"], got[0]["totdist"]) == (3, 6)
+    assert got[0]["closeness"] == 9 / 24
+    # v2 (center): {1,3},{0,4} -> reach 4, totdist 6, C = 16/(4*6)
+    assert (got[2]["reach"], got[2]["totdist"]) == (4, 6)
+    assert got[2]["closeness"] == 16 / 24
+    assert got[4]["closeness"] == got[0]["closeness"]
