@@ -1534,6 +1534,54 @@ FROM h{last} h JOIN a{last} a ON a.vid = h.vid, tot t"""
     return "WITH " + "".join(parts)
 
 
+def _sql_salsa(iters: int = 2, scale: int = 1_000_000) -> str:
+    """SALSA twin (operators/salsa.py): degree CTEs once, then the
+    stochastic recurrence unrolled with BIGINT floor-division splits
+    (DuckDB ``//`` = Spark ``div`` on non-negatives); only the final
+    two L1 divisions are floating point, rounded boundary-safe."""
+    parts = [
+        _sql_evid(),
+        f""",
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+dout AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+din AS (SELECT dst AS vid, CAST(COUNT(*) AS BIGINT) AS id FROM e GROUP BY dst),
+h0 AS (SELECT vid, CAST({scale} AS BIGINT) AS h FROM verts)""",
+    ]
+    last = 0
+    for it in range(iters):
+        hp, ac, hc = f"h{it}", f"a{it + 1}", f"h{it + 1}"
+        parts.append(
+            f""",
+{ac} AS (
+  SELECT v.vid, CAST(COALESCE(m.s, 0) AS BIGINT) AS a
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, CAST(SUM(h.h // o.od) AS BIGINT) AS s
+    FROM e JOIN {hp} h ON h.vid = e.src
+    JOIN dout o ON o.vid = e.src GROUP BY e.dst) m ON m.vid = v.vid
+),
+{hc} AS (
+  SELECT v.vid, CAST(COALESCE(m.s, 0) AS BIGINT) AS h
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, CAST(SUM(a.a // i.id) AS BIGINT) AS s
+    FROM e JOIN {ac} a ON a.vid = e.dst
+    JOIN din i ON i.vid = e.dst GROUP BY e.src) m ON m.vid = v.vid
+)"""
+        )
+        last = it + 1
+    parts.append(
+        f""",
+tot AS (SELECT CAST(SUM(h.h) AS BIGINT) AS th, CAST(SUM(a.a) AS BIGINT) AS ta
+        FROM h{last} h JOIN a{last} a ON a.vid = h.vid)
+SELECT h.vid, h.h AS hub_scaled, a.a AS auth_scaled,
+  FLOOR((CASE WHEN t.th > 0 THEN CAST(h.h AS DOUBLE) / CAST(t.th AS DOUBLE)
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS hub,
+  FLOOR((CASE WHEN t.ta > 0 THEN CAST(a.a AS DOUBLE) / CAST(t.ta AS DOUBLE)
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS auth
+FROM h{last} h JOIN a{last} a ON a.vid = h.vid, tot t"""
+    )
+    return "WITH " + "".join(parts)
+
+
 _KATZ_ITERS = 3
 
 
@@ -3102,6 +3150,25 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = hits(spark, e, _graph_cfg(), fixed_iterations=_HITS_ITERS)
     return res.select(
         "vid",
+        decimal_round(F.col("hub"), 6).alias("hub"),
+        decimal_round(F.col("auth"), 6).alias("auth"),
+    )
+
+
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs/authorities (operators/salsa.py; Lempel–Moran 2000)
+    on the derived influence edges — 2 exact BIGINT stochastic rounds
+    (floor-division mass splits), scaled integers compared exactly and
+    the two L1 doubles rounded with the boundary-safe idiom."""
+    from crgp_spark.operators.salsa import salsa
+
+    res = salsa(
+        spark, _edges_vid(spark, sf_dir), _graph_cfg(), fixed_iterations=2
+    )
+    return res.select(
+        "vid",
+        "hub_scaled",
+        "auth_scaled",
         decimal_round(F.col("hub"), 6).alias("hub"),
         decimal_round(F.col("auth"), 6).alias("auth"),
     )
@@ -5868,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
+        "salsa": q_salsa,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6142,6 +6210,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM bo GROUP BY 1",
         # Wasserman-Faust closeness from the harmonic level sets
         "closeness": _sql_closeness(3),
+        # SALSA stochastic hubs/authorities (salsa.py), 2 rounds unrolled
+        "salsa": _sql_salsa(2),
         # stream==batch: the streamed bottom-quota keyed state must equal
         # the batch stratified sample verbatim (streaming/sampling.py)
         "stream_sample": f"""

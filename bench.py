@@ -533,6 +533,13 @@ def main() -> None:
 
     timed("ktruss_fixpoint", lambda: ktruss_op(spark, e2, k=4, cfg=cfg).count())
 
+    from crgp_spark.operators.salsa import salsa as salsa_op
+
+    timed(
+        "salsa_2it",
+        lambda: salsa_op(spark, e2, cfg, fixed_iterations=2).count(),
+    )
+
     from crgp_spark.derive import prepare_turns
     from crgp_spark.operators.project import coparticipation
 

@@ -652,6 +652,17 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.salsa import salsa as salsa_op
+
+    sections.update({
+        "SALSA (1 round shown): degrees joined once onto the static "
+        "edge table, floor-division mass splits, one shuffle per "
+        "half-round, state_hint joins": salsa_op(
+            spark, derive_edges(t).select("src", "dst"), cfg,
+            fixed_iterations=1,
+        ),
+    })
+
     from crgp_spark.operators.bridges import (
         _ancestor_closure,
         _canonical as _bridge_canon,
