@@ -715,6 +715,47 @@ def main() -> None:
                    seconds=round(secs, 3),
                    edges_per_sec=round(n_edges * iters / secs))
 
+    elif args.algo == "salsa":
+        from crgp_spark.operators.salsa import salsa
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        iters = args.fixed_iterations or 2
+        t0 = time.time()
+        n = salsa(spark, edges, cfg, fixed_iterations=iters).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, iterations=iters, vertices_scored=n,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges * iters / secs))
+
+    elif args.algo == "closeness":
+        from crgp_spark.operators.harmonic import closeness_bounded
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        n = closeness_bounded(
+            spark, edges, radius=args.fixed_iterations or 3, cfg=cfg
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "butterflies":
+        from crgp_spark.derive import prepare_turns
+        from crgp_spark.generator import transcripts_from_events
+        from crgp_spark.operators.butterfly import butterfly_counts
+
+        events = spark.read.parquet(args.edges)
+        t = prepare_turns(transcripts_from_events(events))
+        n_rows = t.count()
+        t0 = time.time()
+        n = butterfly_counts(t, side="participant").count()
+        secs = time.time() - t0
+        out.update(membership_rows=n_rows, vertices=n,
+                   seconds=round(secs, 3),
+                   rows_per_sec=round(n_rows / secs))
+
     elif args.algo in (
         "cascade_components", "cascade_labelprop", "cascade_triangles"
     ):
