@@ -1534,6 +1534,46 @@ FROM h{last} h JOIN a{last} a ON a.vid = h.vid, tot t"""
     return "WITH " + "".join(parts)
 
 
+def _sql_ic_sim(
+    p_num: int = 3, p_den: int = 10, n_seeds: int = 20, rounds: int = 4
+) -> str:
+    """Independent-cascade twin (operators/icsim.py): md5-u32 live-edge
+    coins (same portable-hash idiom as doc_sample), top-k out-degree
+    seeds, BFS rounds unrolled with MATERIALIZED per-round CTEs (each
+    frontier is referenced by every later round's EXCEPT — the
+    CLAUDE.md exponential-inlining rule)."""
+    parts = [
+        _sql_evid(),
+        f""",
+lw AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           MD5('ic:' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS h
+    FROM e)
+  WHERE ({_MD5_U32}) % {p_den} < {p_num}),
+sd AS (SELECT src AS vid FROM (
+    SELECT src, COUNT(*) AS c FROM e GROUP BY src
+    ORDER BY c DESC, src ASC LIMIT {n_seeds})),
+f0 AS MATERIALIZED (SELECT vid FROM sd)""",
+    ]
+    for r in range(1, rounds + 1):
+        earlier = " ".join(
+            f"EXCEPT SELECT vid FROM f{k}" for k in range(r)
+        )
+        parts.append(
+            f""",
+f{r} AS MATERIALIZED (
+  SELECT DISTINCT l.dst AS vid FROM lw l JOIN f{r - 1} f ON l.src = f.vid
+  {earlier})"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT vid, CAST({r} AS INT) AS round FROM f{r}"
+        for r in range(rounds + 1)
+    )
+    parts.append("\n" + union)
+    return "WITH " + "".join(parts)
+
+
 def _sql_salsa(iters: int = 2, scale: int = 1_000_000) -> str:
     """SALSA twin (operators/salsa.py): degree CTEs once, then the
     stochastic recurrence unrolled with BIGINT floor-division splits
@@ -3152,6 +3192,19 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vid",
         decimal_round(F.col("hub"), 6).alias("hub"),
         decimal_round(F.col("auth"), 6).alias("auth"),
+    )
+
+
+def q_ic_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic independent-cascade simulation
+    (operators/icsim.py; Kempe-Kleinberg-Tardos 2003): md5-coin
+    live-edge graph at p=3/10, top-20-out-degree seeds, 4 rounds —
+    returns every activated vertex with its activation round."""
+    from crgp_spark.operators.icsim import independent_cascade
+
+    return independent_cascade(
+        spark, _edges_vid(spark, sf_dir), p_num=3, p_den=10,
+        n_seeds=20, rounds=4, cfg=_graph_cfg(),
     )
 
 
@@ -5936,6 +5989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
         "salsa": q_salsa,
+        "ic_sim": q_ic_sim,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6212,6 +6266,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness": _sql_closeness(3),
         # SALSA stochastic hubs/authorities (salsa.py), 2 rounds unrolled
         "salsa": _sql_salsa(2),
+        # deterministic independent-cascade diffusion (icsim.py)
+        "ic_sim": _sql_ic_sim(3, 10, 20, 4),
         # stream==batch: the streamed bottom-quota keyed state must equal
         # the batch stratified sample verbatim (streaming/sampling.py)
         "stream_sample": f"""

@@ -540,6 +540,15 @@ def main() -> None:
         lambda: salsa_op(spark, e2, cfg, fixed_iterations=2).count(),
     )
 
+    from crgp_spark.operators.icsim import independent_cascade
+
+    timed(
+        "ic_sim_4r",
+        lambda: independent_cascade(
+            spark, e2, p_num=3, p_den=10, n_seeds=20, rounds=4, cfg=cfg
+        ).count(),
+    )
+
     from crgp_spark.derive import prepare_turns
     from crgp_spark.operators.project import coparticipation
 

@@ -663,6 +663,17 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.icsim import independent_cascade
+
+    sections.update({
+        "Independent-cascade live-edge filter (scan-side md5 coin in "
+        "codegen, no shuffle) + one BFS frontier round":
+            independent_cascade(
+                spark, derive_edges(t).select("src", "dst"),
+                p_num=3, p_den=10, n_seeds=20, rounds=1, cfg=cfg,
+            ),
+    })
+
     from crgp_spark.operators.bridges import (
         _ancestor_closure,
         _canonical as _bridge_canon,
