@@ -3195,6 +3195,41 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel changelog between two committed snapshot versions —
+    Delta's ``table_changes`` shape, composed from
+    sources/snapshot.py (VERSION AS OF reads) + operators/diff.py
+    (fingerprinted keyed diff): v2 deletes every 5th customer,
+    rewrites every 7th's segment, inserts every 11th re-keyed high;
+    the oracle derives added/removed/changed analytically from the
+    same modular rules."""
+    import shutil
+
+    from crgp_spark.operators.diff import table_diff
+    from crgp_spark.sources.snapshot import SnapshotTable
+
+    work = "/tmp/crgp_snapdiff_dim"
+    shutil.rmtree(work, ignore_errors=True)
+    cust = _tbl(spark, sf_dir, "customer")
+    t = SnapshotTable(work)
+    v1 = t.overwrite(cust)
+    key = F.col("c_custkey")
+    survivors = cust.where(key % 5 != 0)
+    updated = survivors.withColumn(
+        "c_mktsegment",
+        F.when(key % 7 == 0, F.lit("MERGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    inserts = cust.where(key % 11 == 0).withColumn(
+        "c_custkey", key + F.lit(1_000_000_000)
+    )
+    v2 = t.overwrite(updated.unionByName(inserts))
+    return table_diff(
+        t.read(spark, as_of=v1), t.read(spark, as_of=v2), ["c_custkey"]
+    )
+
+
 def q_ic_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic independent-cascade simulation
     (operators/icsim.py; Kempe-Kleinberg-Tardos 2003): md5-coin
@@ -5990,6 +6025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": q_closeness,
         "salsa": q_salsa,
         "ic_sim": q_ic_sim,
+        "snapshot_diff": q_snapshot_diff,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6268,6 +6304,16 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _sql_salsa(2),
         # deterministic independent-cascade diffusion (icsim.py)
         "ic_sim": _sql_ic_sim(3, 10, 20, 4),
+        # time-travel changelog between snapshot versions: statuses
+        # derived analytically from the same modular v2 rules
+        "snapshot_diff": """
+SELECT c_custkey, 'removed' AS status FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, 'changed' AS status FROM customer
+WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+UNION ALL
+SELECT c_custkey + 1000000000 AS c_custkey, 'added' AS status
+FROM customer WHERE c_custkey % 11 = 0""",
         # stream==batch: the streamed bottom-quota keyed state must equal
         # the batch stratified sample verbatim (streaming/sampling.py)
         "stream_sample": f"""
