@@ -3195,6 +3195,26 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-quantile sketch under the hard gate
+    (streaming/windows.py::stream_hist_quantiles): bucket counts
+    folded in the streaming state store across capped micro-batches;
+    per-bucket SUM is a monoid, so the oracle is the SAME SQL as the
+    batch `hist_quantiles` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_hist_quantiles
+
+    work = "/tmp/crgp_stream_histq"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_hist_quantiles(
+        spark, work, "event_type", "value",
+        [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0],
+        [0.25, 0.5, 0.9], max_files_per_trigger=2,
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel changelog between two committed snapshot versions —
     Delta's ``table_changes`` shape, composed from
@@ -6026,6 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "ic_sim": q_ic_sim,
         "snapshot_diff": q_snapshot_diff,
+        "stream_histq": q_stream_histq,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -8983,6 +9004,9 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # streamed SCD2 == batch SCD2 by the stream==batch contract (the
     # open version is carried in keyed state across micro-batches)
     d["stream_scd2"] = d["scd2"]
+    # stream==batch: per-bucket SUM monoid (streaming/windows.py::
+    # stream_hist_quantiles) — same oracle as the batch sketch entry
+    d["stream_histq"] = d["hist_quantiles"]
     # the count-min grid is a commutative monoid: the grid drained from
     # the streaming state store equals the batch cms_sketch grid
     # bit-for-bit, so streamed heavy hitters share the batch oracle

@@ -403,3 +403,47 @@ def stream_hll_distinct(
     )
     q.awaitTermination()
     return hll_summary(spark.table(name), group_col, p=p, cap=cap)
+
+
+def stream_hist_quantiles(
+    spark: SparkSession,
+    in_dir: str,
+    group_col: str,
+    value_col: str,
+    boundaries: list[float],
+    qs: list[float],
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming mergeable histogram-quantile sketch — the bucket-count
+    table of ``operators/histogram.py::hist_sketch`` maintained in the
+    streaming aggregation state store.  Per-bucket COUNT is a SUM
+    monoid (the most map-side-combinable state there is), so the
+    drained sketch — and therefore every quantile read off it — is
+    bit-identical to the batch ``hist_grouped_quantiles`` regardless
+    of micro-batch slicing: the module's stream==batch contract,
+    certified by the SAME oracle as the batch ``hist_quantiles``
+    entry.
+
+    At 100 TB the streaming state is ≤ |groups|·(len(boundaries)+1)
+    rows — constant in the stream length — where an exact streaming
+    percentile would have to buffer every value.  Same state asymmetry
+    as ``stream_hll_distinct``, for quantiles instead of cardinality.
+    """
+    from crgp_spark.operators.histogram import hist_quantiles, hist_sketch
+
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    name = f"histq_{uuid.uuid4().hex[:8]}"
+    q = (
+        hist_sketch(stream, group_col, value_col, boundaries)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hist_quantiles(spark.table(name), boundaries, qs)

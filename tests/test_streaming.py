@@ -526,3 +526,30 @@ def test_stream_seqmatch_matches_batch(spark, tmp_path, files_per_trigger):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, want_df.collect()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3, None])
+def test_stream_hist_quantiles_matches_batch(spark, tmp_path,
+                                             files_per_trigger):
+    """Streaming histogram-quantile sketch: bucket counts folded
+    through the streaming state store equal the batch sketch at any
+    micro-batch slicing (per-bucket SUM is a commutative monoid), so
+    every quantile read off the drained sketch matches bit-for-bit."""
+    from crgp_spark.operators.histogram import hist_grouped_quantiles
+    from crgp_spark.streaming.windows import stream_hist_quantiles
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    work = str(tmp_path / "histq_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    bs = [10.0, 50.0, 100.0, 200.0]
+    qs = [0.5, 0.9]
+    out = stream_hist_quantiles(
+        spark, work, "event_type", "value", bs, qs,
+        max_files_per_trigger=files_per_trigger,
+    )
+    want_df = hist_grouped_quantiles(
+        spark.read.parquet(work), "event_type", "value", bs, qs
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) > 0
