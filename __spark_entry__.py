@@ -1574,6 +1574,48 @@ f{r} AS MATERIALIZED (
     return "WITH " + "".join(parts)
 
 
+def _sql_eigencent(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Eigenvector-centrality twin (operators/eigencent.py): unrolled
+    power iteration, per-round integer max-rescale via scalar
+    subqueries; every per-round CTE MATERIALIZED (each r{k} is
+    referenced three times — the CLAUDE.md exponential-inlining
+    rule)."""
+    parts = [
+        _sql_evid(),
+        f""",
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+x0 AS (SELECT vid, CAST({scale} AS BIGINT) AS x FROM verts)""",
+    ]
+    for it in range(iters):
+        xp, rc, xc = f"x{it}", f"r{it + 1}", f"x{it + 1}"
+        parts.append(
+            f""",
+{rc} AS MATERIALIZED (
+  SELECT v.vid, CAST(COALESCE(m.s, 0) AS BIGINT) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, CAST(SUM(x.x) AS BIGINT) AS s
+    FROM e JOIN {xp} x ON x.vid = e.src GROUP BY e.dst) m ON m.vid = v.vid
+),
+{xc} AS MATERIALIZED (
+  SELECT vid, CASE WHEN (SELECT MAX(r) FROM {rc}) > 0
+              THEN CAST((r * CAST({scale} AS BIGINT))
+                        // (SELECT MAX(r) FROM {rc}) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS x
+  FROM {rc}
+)"""
+        )
+    last = f"x{iters}"
+    parts.append(
+        f""",
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM {last})
+SELECT x.vid, x.x AS eig_scaled,
+  CASE WHEN t.t > 0 THEN CAST(x.x AS DOUBLE) / CAST(t.t AS DOUBLE)
+       ELSE 0.0 END AS eig
+FROM {last} x, tot t"""
+    )
+    return "WITH " + "".join(parts)
+
+
 def _sql_salsa(iters: int = 2, scale: int = 1_000_000) -> str:
     """SALSA twin (operators/salsa.py): degree CTEs once, then the
     stochastic recurrence unrolled with BIGINT floor-division splits
@@ -3260,6 +3302,17 @@ def q_ic_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return independent_cascade(
         spark, _edges_vid(spark, sf_dir), p_num=3, p_den=10,
         n_seeds=20, rounds=4, cfg=_graph_cfg(),
+    )
+
+
+def q_eigencent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (operators/eigencent.py; Bonacich 1972):
+    3 exact integer power-iteration rounds with per-round max-rescale
+    — scaled BIGINTs compared exactly, one final IEEE division."""
+    from crgp_spark.operators.eigencent import eigenvector_centrality
+
+    return eigenvector_centrality(
+        spark, _edges_vid(spark, sf_dir), _graph_cfg(), fixed_iterations=3
     )
 
 
@@ -6047,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_sim": q_ic_sim,
         "snapshot_diff": q_snapshot_diff,
         "stream_histq": q_stream_histq,
+        "eigencent": q_eigencent,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6323,6 +6377,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness": _sql_closeness(3),
         # SALSA stochastic hubs/authorities (salsa.py), 2 rounds unrolled
         "salsa": _sql_salsa(2),
+        # eigenvector centrality (eigencent.py), 3 max-rescaled rounds
+        "eigencent": _sql_eigencent(3),
         # deterministic independent-cascade diffusion (icsim.py)
         "ic_sim": _sql_ic_sim(3, 10, 20, 4),
         # time-travel changelog between snapshot versions: statuses

@@ -540,6 +540,15 @@ def main() -> None:
         lambda: salsa_op(spark, e2, cfg, fixed_iterations=2).count(),
     )
 
+    from crgp_spark.operators.eigencent import eigenvector_centrality
+
+    timed(
+        "eigencent_3it",
+        lambda: eigenvector_centrality(
+            spark, e2, cfg, fixed_iterations=3
+        ).count(),
+    )
+
     from crgp_spark.operators.icsim import independent_cascade
 
     timed(
