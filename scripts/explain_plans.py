@@ -663,6 +663,17 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.eigencent import eigenvector_centrality
+
+    sections.update({
+        "Eigenvector centrality (1 round shown): partial-sum "
+        "groupBy(dst), broadcast 1-row max-rescale, state_hint joins":
+            eigenvector_centrality(
+                spark, derive_edges(t).select("src", "dst"), cfg,
+                fixed_iterations=1,
+            ),
+    })
+
     from crgp_spark.operators.icsim import independent_cascade
 
     sections.update({
