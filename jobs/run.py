@@ -728,6 +728,35 @@ def main() -> None:
                    seconds=round(secs, 3),
                    edges_per_sec=round(n_edges * iters / secs))
 
+    elif args.algo == "eigencent":
+        from crgp_spark.operators.eigencent import eigenvector_centrality
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        iters = args.fixed_iterations or 3
+        t0 = time.time()
+        n = eigenvector_centrality(
+            spark, edges, cfg, fixed_iterations=iters
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, iterations=iters, vertices_scored=n,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges * iters / secs))
+
+    elif args.algo == "ic_sim":
+        from crgp_spark.operators.icsim import independent_cascade
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        act = independent_cascade(
+            spark, edges, p_num=3, p_den=10, n_seeds=args.k or 20,
+            rounds=args.fixed_iterations or 4, cfg=cfg,
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, activated=act, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
     elif args.algo == "closeness":
         from crgp_spark.operators.harmonic import closeness_bounded
 
