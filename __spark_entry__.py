@@ -4586,6 +4586,17 @@ def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman–Faust closeness via the conversation-local kernel
+    (operators/harmonic.py::closeness_cascade) — same oracle as the
+    generic path (the two implementations must agree exactly)."""
+    from crgp_spark.operators.harmonic import closeness_cascade
+
+    return closeness_cascade(
+        spark, _edges_vid_conv(spark, sf_dir), radius=3, cfg=_graph_cfg()
+    )
+
+
 def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-participant butterfly (2×2-biclique) counts over the
     conversation–participant membership graph
@@ -6101,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "stream_histq": q_stream_histq,
         "eigencent": q_eigencent,
+        "closeness_cascade": q_closeness_cascade,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6375,6 +6387,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM bo GROUP BY 1",
         # Wasserman-Faust closeness from the harmonic level sets
         "closeness": _sql_closeness(3),
+        # cascade-kernel path must agree exactly with the generic one
+        "closeness_cascade": _sql_closeness(3),
         # SALSA stochastic hubs/authorities (salsa.py), 2 rounds unrolled
         "salsa": _sql_salsa(2),
         # eigenvector centrality (eigencent.py), 3 max-rescaled rounds

@@ -609,11 +609,18 @@ def main() -> None:
         lambda: cascade_harmonic(spark, e3, radius=3, cfg=cfg).count(),
     )
 
-    from crgp_spark.operators.harmonic import closeness_bounded
+    from crgp_spark.operators.harmonic import (
+        closeness_bounded,
+        closeness_cascade,
+    )
 
     timed(
         "closeness_r3",
         lambda: closeness_bounded(spark, e2, radius=3, cfg=cfg).count(),
+    )
+    timed(
+        "closeness_cascade_r3",
+        lambda: closeness_cascade(spark, e3, radius=3, cfg=cfg).count(),
     )
 
     from crgp_spark.operators.matching import maximal_matching

@@ -230,6 +230,29 @@ def closeness_bounded(
     beyond the shared level-set machinery.
     """
     h = harmonic_bounded(spark, edges, radius=radius, cfg=cfg)
+    return closeness_from_counts(h, radius)
+
+
+def closeness_cascade(
+    spark: SparkSession,
+    edges: DataFrame,
+    radius: int = 3,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Closeness via the conversation-local kernel
+    (``cascade_harmonic``'s vectorized per-conversation BFS — the fast
+    path when edges never cross conversations, with the split-residue
+    fallback for oversized ones).  Identical results to
+    ``closeness_bounded``; ``edges`` must carry ``conv_id``."""
+    h = cascade_harmonic(spark, edges, radius=radius, cfg=cfg)
+    return closeness_from_counts(h, radius)
+
+
+def closeness_from_counts(h: DataFrame, radius: int) -> DataFrame:
+    """Derive ``(vid, reach, totdist, closeness)`` from a level-count
+    table ``(vid, cnt_d1..cnt_dR, ...)`` — shared by both execution
+    paths (and usable directly when harmonic and closeness are wanted
+    off ONE BFS sweep)."""
     reach = sum(F.col(f"cnt_d{d}").cast("long") for d in range(1, radius + 1))
     tot = sum(
         (F.lit(d) * F.col(f"cnt_d{d}")).cast("long")

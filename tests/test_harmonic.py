@@ -88,3 +88,21 @@ def test_closeness_path_graph(spark):
     assert (got[2]["reach"], got[2]["totdist"]) == (4, 6)
     assert got[2]["closeness"] == 16 / 24
     assert got[4]["closeness"] == got[0]["closeness"]
+
+
+def test_closeness_cascade_matches_generic(spark):
+    rows = []
+    for c in range(3):
+        base = c * 100
+        rows += [(f"u{c}", base + 0, base + 1), (f"u{c}", base + 1, base + 2),
+                 (f"u{c}", base + 0, base + 3)]
+    e = spark.createDataFrame(rows, "conv_id string, src long, dst long")
+    got = sorted(
+        map(tuple, H.closeness_cascade(spark, e, radius=3,
+                                       cfg=_cfg()).collect())
+    )
+    want = sorted(
+        map(tuple, H.closeness_bounded(spark, e.select("src", "dst"),
+                                       radius=3, cfg=_cfg()).collect())
+    )
+    assert got == want and len(got) > 0
