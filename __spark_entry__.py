@@ -3257,6 +3257,28 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation analysis: the component-size distribution of
+    the p=1/2 live-edge subgraph (operators/icsim.py::live_edges
+    md5 coins composed with operators/components.py small-star/
+    large-star) — the robustness curve question "how does the graph
+    fragment under random edge failure?".  The oracle recomputes true
+    components on the SAME deterministic subgraph via a bounded
+    WITH RECURSIVE transitive closure (components stay conversation-
+    local, so the closure is small)."""
+    from crgp_spark.operators.components import connected_components
+    from crgp_spark.operators.icsim import live_edges
+
+    live = live_edges(_edges_vid(spark, sf_dir), 1, 2, seed="perc")
+    comp = connected_components(spark, live, _graph_cfg())
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel changelog between two committed snapshot versions —
     Delta's ``table_changes`` shape, composed from
@@ -6113,6 +6135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_histq": q_stream_histq,
         "eigencent": q_eigencent,
         "closeness_cascade": q_closeness_cascade,
+        "percolation": q_percolation,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6395,6 +6418,28 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # deterministic independent-cascade diffusion (icsim.py)
         "ic_sim": _sql_ic_sim(3, 10, 20, 4),
+        # bond percolation: true components of the md5-coin live-edge
+        # subgraph via bounded recursive closure (conversation-local)
+        "percolation": "WITH RECURSIVE " + _sql_evid() + f""",
+lw AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           MD5('perc:' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS h
+    FROM e)
+  WHERE ({_MD5_U32}) % 2 < 1),
+sym AS MATERIALIZED (SELECT src, dst FROM lw WHERE src <> dst
+       UNION SELECT dst, src FROM lw WHERE src <> dst),
+verts AS (SELECT DISTINCT src AS vid FROM sym),
+reach(vid, lbl) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.vid
+),
+comp AS (SELECT vid, MIN(lbl) AS component FROM reach GROUP BY vid),
+sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+       FROM comp GROUP BY component)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sz GROUP BY size""",
         # time-travel changelog between snapshot versions: statuses
         # derived analytically from the same modular v2 rules
         "snapshot_diff": """
