@@ -1574,6 +1574,46 @@ f{r} AS MATERIALIZED (
     return "WITH " + "".join(parts)
 
 
+def _sql_sweep_cut(k_max: int = 100) -> str:
+    """ACL sweep-cut twin (operators/sweepcut.py): PPR scores nested as
+    a subquery of the existing ppr oracle, 6-dp-quantized to the same
+    integer, then pure-integer cut/vol window sums over the top-k_max
+    score/degree ordering; conductance FLOOR-rounded like the Spark
+    side."""
+    return f"""WITH {_sql_evid()},
+pprv AS MATERIALIZED (SELECT vid, rank FROM ({_sql_ppr()}) q),
+sc AS (SELECT vid, CAST(FLOOR(rank * 1000000.0 + 0.5) AS BIGINT) AS num
+       FROM pprv),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+dg AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         SELECT a AS vid FROM und UNION ALL SELECT b FROM und)
+       GROUP BY vid),
+ranked AS MATERIALIZED (
+  SELECT vid, deg, CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(num AS DOUBLE) / CAST(deg AS DOUBLE) DESC,
+                    vid ASC) AS BIGINT) AS k
+  FROM sc JOIN dg USING (vid)
+  QUALIFY k <= {k_max}),
+ia AS (SELECT GREATEST(ra.k, rb.k) AS k, CAST(COUNT(*) AS BIGINT) AS ni
+       FROM und JOIN ranked ra ON ra.vid = und.a
+                JOIN ranked rb ON rb.vid = und.b
+       GROUP BY 1),
+m2 AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2 FROM und),
+curve AS (
+  SELECT r.k, r.vid,
+         CAST(SUM(r.deg) OVER (ORDER BY r.k) AS BIGINT) AS vol,
+         CAST(SUM(COALESCE(ia.ni, 0)) OVER (ORDER BY r.k) AS BIGINT) AS cint
+  FROM ranked r LEFT JOIN ia ON ia.k = r.k)
+SELECT k, vid, vol, CAST(vol - 2 * cint AS BIGINT) AS cut,
+  FLOOR((CASE WHEN LEAST(vol, m2.m2 - vol) > 0
+              THEN CAST(vol - 2 * cint AS DOUBLE)
+                   / CAST(LEAST(vol, m2.m2 - vol) AS DOUBLE)
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS conductance
+FROM curve, m2"""
+
+
 def _sql_eigencent(iters: int = 3, scale: int = 1_000_000) -> str:
     """Eigenvector-centrality twin (operators/eigencent.py): unrolled
     power iteration, per-round integer max-rescale via scalar
@@ -3254,6 +3294,31 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, "event_type", "value",
         [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0],
         [0.25, 0.5, 0.9], max_files_per_trigger=2,
+    )
+
+
+def q_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Andersen-Chung-Lang PPR sweep cut
+    (operators/sweepcut.py::sweep_cut over
+    pagerank.py::personalized_pagerank): conductance curve of the
+    top-100 prefixes of the score/degree ordering — integer cut/vol,
+    ordering key and conductance each ONE IEEE division of exact
+    integers (conductance rounded with the boundary-safe idiom)."""
+    from crgp_spark.operators.pagerank import personalized_pagerank
+    from crgp_spark.operators.sweepcut import sweep_cut
+
+    e = _edges_vid(spark, sf_dir)
+    srcs = _bfs_sources(spark, sf_dir).select("vid")
+    ranks = personalized_pagerank(
+        spark, e, srcs, _graph_cfg(), fixed_iterations=_PR_ITERS
+    )
+    num = F.floor(
+        decimal_round(F.col("rank"), 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    out = sweep_cut(spark, e, ranks.select("vid", num.alias("num")), 100)
+    return out.select(
+        "k", "vid", "vol", "cut",
+        decimal_round(F.col("conductance"), 6).alias("conductance"),
     )
 
 
@@ -6136,6 +6201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencent": q_eigencent,
         "closeness_cascade": q_closeness_cascade,
         "percolation": q_percolation,
+        "sweep_cut": q_sweep_cut,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6416,6 +6482,8 @@ def oracle_sql() -> dict[str, str]:
         "salsa": _sql_salsa(2),
         # eigenvector centrality (eigencent.py), 3 max-rescaled rounds
         "eigencent": _sql_eigencent(3),
+        # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
+        "sweep_cut": _sql_sweep_cut(100),
         # deterministic independent-cascade diffusion (icsim.py)
         "ic_sim": _sql_ic_sim(3, 10, 20, 4),
         # bond percolation: true components of the md5-coin live-edge

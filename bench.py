@@ -549,6 +549,22 @@ def main() -> None:
         ).count(),
     )
 
+    from crgp_spark.operators.pagerank import personalized_pagerank
+    from crgp_spark.operators.sweepcut import sweep_cut
+
+    def _sweep():
+        srcs = e2.select(F.col("src").alias("vid")).distinct().orderBy(
+            "vid"
+        ).limit(8)
+        ranks = personalized_pagerank(spark, e2, srcs, cfg,
+                                      fixed_iterations=3)
+        num = F.floor(F.col("rank") * 1_000_000.0 + F.lit(0.5)).cast("long")
+        return sweep_cut(
+            spark, e2, ranks.select("vid", num.alias("num")), 100
+        ).count()
+
+    timed("sweep_cut_top100", _sweep)
+
     from crgp_spark.operators.icsim import independent_cascade
 
     timed(
