@@ -3297,6 +3297,28 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact midrank Mann-Whitney ROC-AUC
+    (operators/evalmetrics.py::roc_auc) of n_chars predicting
+    lang='en' — doubled-rank BIGINTs throughout, one IEEE division."""
+    from crgp_spark.operators.evalmetrics import roc_auc
+
+    docs = _docs(spark, sf_dir)
+    return roc_auc(docs, F.col("n_chars"), F.col("lang") == "en")
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (evalmetrics.py::calibration_curve):
+    width-200 n_chars buckets vs the lang='en' rate — integer counts,
+    one IEEE division per bucket."""
+    from crgp_spark.operators.evalmetrics import calibration_curve
+
+    docs = _docs(spark, sf_dir)
+    return calibration_curve(
+        docs, F.col("n_chars"), F.col("lang") == "en", bucket_width=200
+    )
+
+
 def q_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Andersen-Chung-Lang PPR sweep cut
     (operators/sweepcut.py::sweep_cut over
@@ -6202,6 +6224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_cascade": q_closeness_cascade,
         "percolation": q_percolation,
         "sweep_cut": q_sweep_cut,
+        "auc": q_auc,
+        "calibration": q_calibration,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6484,6 +6508,38 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
         "sweep_cut": _sql_sweep_cut(100),
+        # exact midrank Mann-Whitney AUC (evalmetrics.py::roc_auc)
+        "auc": """
+WITH g AS (SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos
+           FROM documents GROUP BY 1),
+rk AS (SELECT cnt, pos,
+              CAST(1 + COALESCE(SUM(cnt) OVER (
+                ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING), 0) AS BIGINT) AS r_lo
+       FROM g),
+ag AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+              CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+              CAST(SUM(pos * (2 * r_lo + cnt - 1)) AS BIGINT) AS s2
+       FROM rk)
+SELECT n_pos, n_neg,
+       CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)
+            ELSE 0.0 END AS auc
+FROM ag""",
+        # reliability diagram (evalmetrics.py::calibration_curve)
+        "calibration": """
+WITH b AS (SELECT n_chars // 200 AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_pos
+           FROM documents GROUP BY 1)
+SELECT bucket, n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+FROM b""",
         # deterministic independent-cascade diffusion (icsim.py)
         "ic_sim": _sql_ic_sim(3, 10, 20, 4),
         # bond percolation: true components of the md5-coin live-edge

@@ -1,0 +1,129 @@
+"""Classifier evaluation metrics — exact ROC-AUC and calibration
+curves, the measurement companion to the training/inference pair
+(``regress.py::train_logistic``, ``inference.py``): a curation
+pipeline that trains quality classifiers needs to SCORE them, on-
+cluster, over held-out corpus slices.  Standard statistics (Mann &
+Whitney 1947; Hanley & McNeil 1982 for the AUC = U-statistic
+identity; DeGroot & Fienberg 1983 for calibration) — public textbook
+material, independently expressed.
+
+Exactness device for AUC: the Mann-Whitney identity
+
+    AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N)
+
+with midrank tie handling.  Everything stays in BIGINTs by tracking
+DOUBLED ranks: a tied score-group with ``cnt`` members starting at
+1-based rank ``r_lo`` has midrank ``r_lo + (cnt−1)/2``, so its doubled
+midrank ``2·r_lo + cnt − 1`` is always an integer.  Then
+
+    S2  = Σ_groups pos_g · (2·r_lo_g + cnt_g − 1)     (= 2·Σ ranks⁺)
+    U2  = S2 − P·(P+1)                                 (= 2·U)
+    AUC = U2 / (2·P·N)                                 (ONE IEEE division)
+
+— bit-identical cross-engine.
+
+Scale shape: ranks are computed over SCORE GROUPS, not rows — one
+map-side-combinable ``groupBy(score)`` then a cumulative window over
+the distinct-score table (cardinality of the score domain, not the
+corpus; a quantized model score has thousands of groups at any corpus
+size).  No global per-row sort, no per-row Python.  Calibration is a
+single partial-agg ``groupBy(bucket)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["roc_auc", "calibration_curve"]
+
+
+def roc_auc(
+    df: DataFrame, score_col: str | Column, label_col: str | Column
+) -> DataFrame:
+    """One row ``(n_pos, n_neg, u2, auc)``: exact midrank Mann-Whitney
+    AUC of ``score_col`` predicting boolean ``label_col`` (higher
+    score ⇒ more likely positive).  ``u2`` is the doubled U statistic
+    (exact integer); ``auc`` is one IEEE division of two BIGINTs."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = (
+        df.select(score.alias("_s"), label.cast("long").alias("_y"))
+        .where(F.col("_s").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "cnt",
+        "pos",
+        (F.lit(1) + F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .cast("long")
+        .alias("r_lo"),
+    )
+    agg = ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("r_lo") + F.col("cnt") - 1)
+        )
+        .cast("long")
+        .alias("_s2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (
+                F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auc"),
+    )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    bucket_width: int,
+) -> DataFrame:
+    """Reliability diagram over integer scores: per fixed-width score
+    bucket, ``(bucket, n, n_pos, pos_rate)`` — counts exact BIGINTs,
+    ``pos_rate`` one IEEE division (DeGroot-Fienberg binning)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    return (
+        df.select(
+            score.cast("long").alias("_s"),
+            label.cast("long").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull())
+        .select(
+            F.expr(f"_s div {int(bucket_width)}").alias("bucket"), "_y"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+    )
