@@ -685,6 +685,24 @@ def main() -> None:
             ),
     })
 
+    from crgp_spark.operators.evalmetrics import roc_auc
+    from crgp_spark.operators.sweepcut import sweep_cut
+
+    sections.update({
+        "Exact midrank ROC-AUC: score-group partial agg + distinct-"
+        "score window + single integer fold (no per-row sort)":
+            roc_auc(docs2, F.col("n_chars"), F.col("lang") == "en"),
+        "ACL sweep cut: TakeOrdered top-k candidates, broadcast k-row "
+        "rank map onto the candidate subgraph, k-row windows only":
+            sweep_cut(
+                spark, e_vid,
+                derive_edges(t).select(
+                    F.col("src").alias("vid")
+                ).distinct().select("vid", F.lit(1).cast("long").alias("num")),
+                50,
+            ),
+    })
+
     from crgp_spark.operators.bridges import (
         _ancestor_closure,
         _canonical as _bridge_canon,
