@@ -313,6 +313,18 @@ def main() -> None:
         )
 
     timed("components", lambda: connected_components(spark, e2, cfg).count())
+
+    from crgp_spark.operators.icsim import live_edges as _live_edges
+
+    def _percolation():
+        live = _live_edges(e2, 1, 2, seed="perc")
+        return (
+            connected_components(spark, live, cfg)
+            .groupBy("component").count()
+            .groupBy("count").count().count()
+        )
+
+    timed("percolation", _percolation)
     timed(
         "labelprop_5it",
         lambda: label_propagation(spark, e2, cfg, fixed_iterations=5).state.count(),
@@ -715,6 +727,21 @@ def main() -> None:
         lambda: setsim_join(docs, threshold=(2, 3), shingle_k=3).count(),
     )
     timed("quality_score", lambda: quality_score(docs).count())
+
+    from crgp_spark.operators.evalmetrics import calibration_curve, roc_auc
+
+    timed(
+        "auc",
+        lambda: roc_auc(
+            docs, F.col("n_chars"), F.col("lang") == "en"
+        ).count(),
+    )
+    timed(
+        "calibration",
+        lambda: calibration_curve(
+            docs, F.col("n_chars"), F.col("lang") == "en", 200
+        ).count(),
+    )
 
     from crgp_spark.operators.inference import batch_inference
 
