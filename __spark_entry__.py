@@ -3297,6 +3297,24 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact ROC-AUC under the hard gate
+    (streaming/windows.py::stream_roc_auc): per-score-group (cnt, pos)
+    counts folded in the streaming state store across capped
+    micro-batches — both SUM monoids, so the oracle is the SAME SQL
+    as the batch `auc` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_roc_auc
+
+    work = "/tmp/crgp_stream_auc"
+    shutil.rmtree(work, ignore_errors=True)
+    _docs(spark, sf_dir).repartition(8, "doc_id").write.parquet(work)
+    return stream_roc_auc(
+        spark, work, "n_chars", "lang = 'en'", max_files_per_trigger=2
+    )
+
+
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact midrank Mann-Whitney ROC-AUC
     (operators/evalmetrics.py::roc_auc) of n_chars predicting
@@ -6226,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_cut": q_sweep_cut,
         "auc": q_auc,
         "calibration": q_calibration,
+        "stream_auc": q_stream_auc,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -9246,6 +9265,9 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # stream==batch: per-bucket SUM monoid (streaming/windows.py::
     # stream_hist_quantiles) — same oracle as the batch sketch entry
     d["stream_histq"] = d["hist_quantiles"]
+    # stream==batch: score-group (cnt, pos) SUM monoids
+    # (streaming/windows.py::stream_roc_auc) — same oracle as `auc`
+    d["stream_auc"] = d["auc"]
     # the count-min grid is a commutative monoid: the grid drained from
     # the streaming state store equals the batch cms_sketch grid
     # bit-for-bit, so streamed heavy hitters share the batch oracle

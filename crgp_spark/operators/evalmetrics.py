@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "calibration_curve"]
+__all__ = ["roc_auc", "auc_from_groups", "calibration_curve"]
 
 
 def roc_auc(
@@ -56,6 +56,15 @@ def roc_auc(
             F.sum("_y").cast("long").alias("pos"),
         )
     )
+    return auc_from_groups(g)
+
+
+def auc_from_groups(g: DataFrame) -> DataFrame:
+    """The midrank fold over a pre-aggregated score-group table
+    ``(_s, cnt, pos)`` — shared by the batch path and the streaming
+    state-store drain (``streaming/windows.py::stream_roc_auc``):
+    per-group (cnt, pos) are SUM monoids, so any partial grouping
+    folds to the same statistic."""
     w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
     ranked = g.select(
         "cnt",

@@ -447,3 +447,56 @@ def stream_hist_quantiles(
     )
     q.awaitTermination()
     return hist_quantiles(spark.table(name), boundaries, qs)
+
+
+def stream_roc_auc(
+    spark: SparkSession,
+    in_dir: str,
+    score_col: str,
+    label_expr: str,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming exact ROC-AUC — the per-SCORE-GROUP (cnt, pos)
+    counts of ``operators/evalmetrics.py::roc_auc`` maintained in the
+    streaming aggregation state store.  Both counts are SUM monoids,
+    so the drained score-group table — and therefore the midrank
+    Mann-Whitney statistic computed from it — is bit-identical to the
+    batch AUC regardless of micro-batch slicing: the module's
+    stream==batch contract, certified by the SAME oracle as the batch
+    ``auc`` entry.
+
+    At 100 TB the streaming state is ≤ |score domain| rows — for a
+    quantized model score, thousands — where an exact streaming rank
+    statistic computed naively would buffer every row.  Same state
+    asymmetry as ``stream_hist_quantiles``, for a rank statistic
+    instead of quantiles.
+    """
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    grouped = (
+        stream.select(
+            F.col(score_col).alias("_s"),
+            F.expr(label_expr).cast("long").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+    name = f"auc_{uuid.uuid4().hex[:8]}"
+    q = (
+        grouped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from crgp_spark.operators.evalmetrics import auc_from_groups
+
+    return auc_from_groups(spark.table(name))

@@ -553,3 +553,26 @@ def test_stream_hist_quantiles_matches_batch(spark, tmp_path,
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, want_df.collect()))
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, 3, None])
+def test_stream_auc_matches_batch(spark, tmp_path, files_per_trigger):
+    """Streaming midrank AUC: score-group (cnt, pos) counts folded
+    through the streaming state store equal the batch statistic at any
+    micro-batch slicing (both counts are SUM monoids)."""
+    from pyspark.sql import functions as F
+
+    from crgp_spark.operators.evalmetrics import roc_auc
+    from crgp_spark.streaming.windows import stream_roc_auc
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    work = str(tmp_path / "auc_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    out = stream_roc_auc(
+        spark, work, "n_chars", "lang = 'en'",
+        max_files_per_trigger=files_per_trigger,
+    )
+    want_df = roc_auc(
+        spark.read.parquet(work), F.col("n_chars"), F.col("lang") == "en"
+    )
+    assert out.collect() == want_df.collect()
