@@ -3297,6 +3297,46 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH candidate pairs
+    against the EXACT Jaccard pairs at t=0.6 (operators/dedup.py) —
+    the same measured-not-asserted contract as `ann_recall`, for the
+    dedup family: integer pair counts, two IEEE divisions."""
+    from crgp_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    exact = jaccard_pairs(docs, threshold=0.6).select("a", "b")
+    cand = lsh_candidate_pairs(docs, n_hashes=4, band_size=2)
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = exact.join(cand, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_hit").cast("double")
+                / F.col("n_exact").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            F.when(
+                F.col("n_cand") > 0,
+                F.col("n_hit").cast("double")
+                / F.col("n_cand").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+        )
+    )
+
+
 def q_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact ROC-AUC under the hard gate
     (streaming/windows.py::stream_roc_auc): per-score-group (cnt, pos)
@@ -6245,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "calibration": q_calibration,
         "stream_auc": q_stream_auc,
+        "lsh_recall": q_lsh_recall,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6527,6 +6568,38 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
         "sweep_cut": _sql_sweep_cut(100),
+        # measured LSH recall/precision vs exact Jaccard pairs
+        "lsh_recall": f"""WITH {_SQL_MINHASH},
+bands AS (
+  SELECT doc_id, 0 AS band, sig_0 || '|' || sig_1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, sig_2 || '|' || sig_3 AS key FROM sig
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+it AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       GROUP BY 1, 2),
+exact AS MATERIALIZED (
+  SELECT a, b FROM it JOIN sizes sa ON sa.doc_id = it.a
+                      JOIN sizes sb ON sb.doc_id = it.b
+  WHERE 5 * i > 3 * (sa.n + sb.n - i)),
+hit AS MATERIALIZED (SELECT a, b FROM exact INTERSECT SELECT a, b FROM cand),
+cnt AS (SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+               CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit)
+SELECT n_exact, n_cand, n_hit,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)
+            ELSE 0.0 END AS recall,
+       CASE WHEN n_cand > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+            ELSE 0.0 END AS precision
+FROM cnt""",
         # exact midrank Mann-Whitney AUC (evalmetrics.py::roc_auc)
         "auc": """
 WITH g AS (SELECT n_chars AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
