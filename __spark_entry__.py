@@ -3297,6 +3297,25 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal PageRank (operators/temporalpr.py; Rozenshtein-Gionis
+    2016): attenuated time-respecting path counts up to length 3 in
+    scaled-BIGINT fixed point — mass cannot ride edge chains whose
+    timestamps decrease, the causality constraint static PageRank
+    ignores."""
+    from crgp_spark.operators.temporalpr import temporal_pagerank
+
+    e = _edge_turns(spark, sf_dir)
+    evt = e.select(
+        (_uid("conv_id") * 100000 + F.col("src_turn")).alias("src"),
+        (_uid("conv_id") * 100000 + F.col("dst_turn")).alias("dst"),
+        F.col("ts").cast("long").alias("t"),
+    )
+    return temporal_pagerank(
+        spark, evt, max_len=3, damp_den=2, cfg=_graph_cfg()
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall/precision of the MinHash-LSH candidate pairs
     against the EXACT Jaccard pairs at t=0.6 (operators/dedup.py) —
@@ -6286,6 +6305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "stream_auc": q_stream_auc,
         "lsh_recall": q_lsh_recall,
+        "temporal_pr": q_temporal_pr,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6568,6 +6588,37 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
         "sweep_cut": _sql_sweep_cut(100),
+        # temporal PageRank (temporalpr.py): 3 unrolled sparse levels
+        "temporal_pr": f"""WITH {_SQL_EDGES},
+et AS MATERIALIZED (
+  SELECT ed.uid * 100000 + ed.src_turn AS src,
+         ed.uid * 100000 + ed.dst_turn AS dst,
+         CAST(EPOCH_US(t.ts) AS BIGINT) AS t
+  FROM edges ed JOIN turns t
+    ON t.conv_id = ed.conv_id AND t.turn_idx = ed.dst_turn),
+w1 AS MATERIALIZED (SELECT src, dst, t, CAST(500000 AS BIGINT) AS w FROM et),
+w2 AS MATERIALIZED (
+  SELECT c.src, c.dst, c.t, CAST(SUM(p.w) // 2 AS BIGINT) AS w
+  FROM et c JOIN w1 p ON p.dst = c.src AND p.t < c.t
+  GROUP BY 1, 2, 3),
+w3 AS MATERIALIZED (
+  SELECT c.src, c.dst, c.t, CAST(SUM(p.w) // 2 AS BIGINT) AS w
+  FROM et c JOIN w2 p ON p.dst = c.src AND p.t < c.t
+  GROUP BY 1, 2, 3),
+sc AS (SELECT dst AS vid, CAST(SUM(w) AS BIGINT) AS s FROM (
+         SELECT dst, w FROM w1 UNION ALL SELECT dst, w FROM w2
+         UNION ALL SELECT dst, w FROM w3) GROUP BY 1),
+verts AS (SELECT DISTINCT vid FROM (
+            SELECT src AS vid FROM et UNION ALL SELECT dst FROM et)),
+base AS MATERIALIZED (
+  SELECT v.vid, CAST(COALESCE(sc.s, 0) AS BIGINT) AS tpr_scaled
+  FROM verts v LEFT JOIN sc ON sc.vid = v.vid),
+tot AS (SELECT CAST(SUM(tpr_scaled) AS BIGINT) AS t FROM base)
+SELECT vid, tpr_scaled,
+  CASE WHEN tot.t > 0
+       THEN CAST(tpr_scaled AS DOUBLE) / CAST(tot.t AS DOUBLE)
+       ELSE 0.0 END AS tpr
+FROM base, tot""",
         # measured LSH recall/precision vs exact Jaccard pairs
         "lsh_recall": f"""WITH {_SQL_MINHASH},
 bands AS (

@@ -577,6 +577,17 @@ def main() -> None:
 
     timed("sweep_cut_top100", _sweep)
 
+    from crgp_spark.operators.temporalpr import temporal_pagerank
+
+    timed(
+        "temporal_pr_l3",
+        lambda: temporal_pagerank(
+            spark,
+            edges.select("src", "dst", F.col("ts").cast("long").alias("t")),
+            max_len=3, damp_den=2, cfg=cfg,
+        ).count(),
+    )
+
     from crgp_spark.operators.icsim import independent_cascade
 
     timed(
