@@ -3297,6 +3297,24 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reliability diagram under the hard gate
+    (streaming/windows.py::stream_calibration): per-bucket (n, n_pos)
+    SUM monoids in the streaming state store — same oracle as the
+    batch `calibration` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_calibration
+
+    work = "/tmp/crgp_stream_calib"
+    shutil.rmtree(work, ignore_errors=True)
+    _docs(spark, sf_dir).repartition(8, "doc_id").write.parquet(work)
+    return stream_calibration(
+        spark, work, "n_chars", "lang = 'en'", bucket_width=200,
+        max_files_per_trigger=2,
+    )
+
+
 def q_temporal_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal PageRank (operators/temporalpr.py; Rozenshtein-Gionis
     2016): attenuated time-respecting path counts up to length 3 in
@@ -6306,6 +6324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_auc": q_stream_auc,
         "lsh_recall": q_lsh_recall,
         "temporal_pr": q_temporal_pr,
+        "stream_calibration": q_stream_calibration,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -9392,6 +9411,8 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # stream==batch: score-group (cnt, pos) SUM monoids
     # (streaming/windows.py::stream_roc_auc) — same oracle as `auc`
     d["stream_auc"] = d["auc"]
+    # stream==batch: bucket-count SUM monoids (stream_calibration)
+    d["stream_calibration"] = d["calibration"]
     # the count-min grid is a commutative monoid: the grid drained from
     # the streaming state store equals the batch cms_sketch grid
     # bit-for-bit, so streamed heavy hitters share the batch oracle

@@ -500,3 +500,56 @@ def stream_roc_auc(
     from crgp_spark.operators.evalmetrics import auc_from_groups
 
     return auc_from_groups(spark.table(name))
+
+
+def stream_calibration(
+    spark: SparkSession,
+    in_dir: str,
+    score_col: str,
+    label_expr: str,
+    bucket_width: int,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming reliability diagram — the per-bucket ``(n, n_pos)``
+    counts of ``operators/evalmetrics.py::calibration_curve``
+    maintained in the streaming aggregation state store (both SUM
+    monoids; state = bucket count, constant in stream length).  The
+    drained table folds to the exact batch curve at any micro-batch
+    slicing, certified by the SAME oracle as the batch
+    ``calibration`` entry."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    grouped = (
+        stream.select(
+            F.col(score_col).cast("long").alias("_s"),
+            F.expr(label_expr).cast("long").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull())
+        .select(F.expr(f"_s div {int(bucket_width)}").alias("bucket"), "_y")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+        )
+    )
+    name = f"calib_{uuid.uuid4().hex[:8]}"
+    q = (
+        grouped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        "bucket",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+    )

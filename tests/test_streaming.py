@@ -576,3 +576,29 @@ def test_stream_auc_matches_batch(spark, tmp_path, files_per_trigger):
         spark.read.parquet(work), F.col("n_chars"), F.col("lang") == "en"
     )
     assert out.collect() == want_df.collect()
+
+
+@pytest.mark.parametrize("files_per_trigger", [1, None])
+def test_stream_calibration_matches_batch(spark, tmp_path,
+                                          files_per_trigger):
+    """Streaming reliability diagram: bucket (n, n_pos) SUM monoids
+    drain to the exact batch curve at any micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from crgp_spark.operators.evalmetrics import calibration_curve
+    from crgp_spark.streaming.windows import stream_calibration
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    work = str(tmp_path / "calib_in")
+    spark.read.parquet(src).repartition(12).write.parquet(work)
+    out = stream_calibration(
+        spark, work, "n_chars", "lang = 'en'", 150,
+        max_files_per_trigger=files_per_trigger,
+    )
+    want = calibration_curve(
+        spark.read.parquet(work), F.col("n_chars"),
+        F.col("lang") == "en", 150
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    ) and out.count() > 0
