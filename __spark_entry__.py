@@ -3297,6 +3297,20 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection (operators/bursts.py; KDD 2002) over
+    per-user event-gap sequences: exact integer 2-state min-cost DP
+    (rational gap costs, the single ln 2 constant pinned) — the oracle
+    replays the identical recursion via WITH RECURSIVE."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.bursts import burst_detect
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("uid"), ts_micros("ts").alias("us")
+    ).select("uid", F.expr("CAST(us div 1000 AS BIGINT)").alias("t"))
+    return burst_detect(ev)
+
+
 def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming reliability diagram under the hard gate
     (streaming/windows.py::stream_calibration): per-bucket (n, n_pos)
@@ -6325,6 +6339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "temporal_pr": q_temporal_pr,
         "stream_calibration": q_stream_calibration,
+        "bursts": q_bursts,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6607,6 +6622,47 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
         "sweep_cut": _sql_sweep_cut(100),
+        # Kleinberg bursts (bursts.py): the identical integer DP as a
+        # recursive step join; same SCALE/LN2/GAMMA constants
+        "bursts": """
+WITH RECURSIVE
+ev AS MATERIALIZED (
+  SELECT user_id AS uid, CAST(EPOCH_US(ts) // 1000 AS BIGINT) AS t
+  FROM events),
+ord AS MATERIALIZED (
+  SELECT uid, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY uid ORDER BY t) AS BIGINT) AS rn
+  FROM ev),
+gaps AS MATERIALIZED (
+  SELECT b.uid, b.rn - 1 AS idx, CAST(b.t - a.t AS BIGINT) AS x
+  FROM ord a JOIN ord b ON b.uid = a.uid AND b.rn = a.rn + 1),
+st AS MATERIALIZED (
+  SELECT uid, CAST(COUNT(*) - 1 AS BIGINT) AS n,
+         CAST(MAX(t) - MIN(t) AS BIGINT) AS span
+  FROM ev GROUP BY uid),
+rec AS (
+  SELECT uid, CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS c0,
+         CAST(100000 AS BIGINT) AS c1, CAST(0 AS BIGINT) AS bs
+  FROM st WHERE n >= 1 AND span > 0
+  UNION ALL
+  SELECT r.uid, r.idx + 1,
+         LEAST(r.c0, r.c1) + (g.x * s.n * 100000) // s.span,
+         LEAST(r.c0 + 100000, r.c1)
+           + (g.x * s.n * 2 * 100000) // s.span - 69314,
+         r.bs + CASE WHEN
+             LEAST(r.c0 + 100000, r.c1)
+               + (g.x * s.n * 2 * 100000) // s.span - 69314
+             < LEAST(r.c0, r.c1) + (g.x * s.n * 100000) // s.span
+           THEN 1 ELSE 0 END
+  FROM rec r JOIN gaps g ON g.uid = r.uid AND g.idx = r.idx + 1
+             JOIN st s ON s.uid = r.uid)
+SELECT r.uid, s.n AS n_gaps, r.bs AS burst_steps,
+       LEAST(r.c0, r.c1) AS cost
+FROM rec r JOIN st s ON s.uid = r.uid WHERE r.idx = s.n
+UNION ALL
+SELECT uid, GREATEST(n, 0) AS n_gaps, CAST(0 AS BIGINT) AS burst_steps,
+       CAST(0 AS BIGINT) AS cost
+FROM st WHERE n < 1 OR span <= 0""",
         # temporal PageRank (temporalpr.py): 3 unrolled sparse levels
         "temporal_pr": f"""WITH {_SQL_EDGES},
 et AS MATERIALIZED (

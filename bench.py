@@ -739,6 +739,19 @@ def main() -> None:
     )
     timed("quality_score", lambda: quality_score(docs).count())
 
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.bursts import burst_detect
+
+    timed(
+        "bursts",
+        lambda: burst_detect(
+            events.select(
+                F.col("user_id").alias("uid"),
+                ts_micros("ts").alias("us"),
+            ).select("uid", F.expr("CAST(us div 1000 AS BIGINT)").alias("t"))
+        ).count(),
+    )
+
     from crgp_spark.operators.evalmetrics import calibration_curve, roc_auc
 
     timed(
