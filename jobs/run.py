@@ -757,6 +757,41 @@ def main() -> None:
         out.update(edges=n_edges, activated=act, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
+    elif args.algo == "temporal_pr":
+        from crgp_spark.operators.temporalpr import temporal_pagerank
+        from pyspark.sql import functions as F
+
+        full = spark.read.parquet(args.edges)
+        if "ts" not in full.columns:
+            raise SystemExit("temporal_pr needs a ts edge column")
+        edges = full.select(
+            "src", "dst", F.col("ts").cast("long").alias("t")
+        )
+        n_edges = edges.count()
+        t0 = time.time()
+        n = temporal_pagerank(
+            spark, edges, max_len=args.fixed_iterations or 3, cfg=cfg
+        ).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, vertices=n, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "bursts":
+        from pyspark.sql import functions as F
+
+        from crgp_spark.functions import ts_micros
+        from crgp_spark.operators.bursts import burst_detect
+
+        ev = spark.read.parquet(args.edges).select(
+            F.col("user_id").alias("uid"), ts_micros("ts").alias("us")
+        ).select("uid", F.expr("CAST(us div 1000 AS BIGINT)").alias("t"))
+        n_rows = ev.count()
+        t0 = time.time()
+        n = burst_detect(ev).count()
+        secs = time.time() - t0
+        out.update(events=n_rows, keys=n, seconds=round(secs, 3),
+                   rows_per_sec=round(n_rows / secs))
+
     elif args.algo == "closeness":
         from crgp_spark.operators.harmonic import closeness_bounded
 

@@ -685,8 +685,26 @@ def main() -> None:
             ),
     })
 
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.bursts import burst_detect
     from crgp_spark.operators.evalmetrics import roc_auc
     from crgp_spark.operators.sweepcut import sweep_cut
+    from crgp_spark.operators.temporalpr import temporal_pagerank
+
+    sections.update({
+        "Temporal PageRank (2 levels shown): temporal wedge equi-join "
+        "with scan-side t'<t residual + partial-agg edge groupBy":
+            temporal_pagerank(
+                spark, derive_edges(t).select(
+                    "src", "dst", F.col("ts").cast("long").alias("t")),
+                max_len=2, cfg=cfg),
+        "Kleinberg bursts: key-shuffled applyInPandas DP, no cross-key "
+        "state": burst_detect(
+            events.select(
+                F.col("user_id").alias("uid"), ts_micros("ts").alias("us")
+            ).select("uid",
+                     F.expr("CAST(us div 1000 AS BIGINT)").alias("t"))),
+    })
 
     sections.update({
         "Exact midrank ROC-AUC: score-group partial agg + distinct-"
