@@ -1440,6 +1440,55 @@ def _sql_ktruss(k: int = 4, rounds: int = 2) -> str:
     return "\n".join(parts)
 
 
+def _sql_truss_decomp(k_max: int = 5, rounds: int = 2) -> str:
+    """Truss-decomposition twin (ktruss.py::truss_decomposition): the
+    _sql_ktruss support-peel rounds chained across k = 3..k_max with
+    per-phase thresholds; per-round CTEs MATERIALIZED (each edge set
+    is referenced by both the next round and the phase-removal EXCEPT
+    — the CLAUDE.md inlining rule).  Removed-at-k edges emit
+    trussness k-1, final survivors k_max."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "u0 AS MATERIALIZED (SELECT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v\n"
+        "       FROM e WHERE src <> dst GROUP BY 1, 2),",
+    ]
+    r = 0
+    start = {3: "u0"}
+    for k in range(3, k_max + 1):
+        for _ in range(rounds):
+            parts.append(
+                f"b{r} AS (SELECT u, v FROM u{r} "
+                f"UNION ALL SELECT v AS u, u AS v FROM u{r}),"
+            )
+            parts.append(
+                f"s{r + 1} AS MATERIALIZED (SELECT e.u, e.v,"
+                " COUNT(y.v) AS sup\n"
+                f"  FROM u{r} e LEFT JOIN b{r} x ON x.u = e.u\n"
+                f"  LEFT JOIN b{r} y ON y.u = e.v AND y.v = x.v\n"
+                "  GROUP BY e.u, e.v),"
+            )
+            parts.append(
+                f"u{r + 1} AS MATERIALIZED "
+                f"(SELECT u, v FROM s{r + 1} WHERE sup >= {k - 2}),"
+            )
+            r += 1
+        start[k + 1] = f"u{r}"
+    parts[-1] = parts[-1].rstrip(",")
+    sels = []
+    for k in range(3, k_max + 1):
+        sels.append(
+            f"SELECT u, v, CAST({k - 1} AS INT) AS trussness FROM (\n"
+            f"  SELECT u, v FROM {start[k]}\n"
+            f"  EXCEPT SELECT u, v FROM {start[k + 1]})"
+        )
+    sels.append(
+        f"SELECT u, v, CAST({k_max} AS INT) AS trussness "
+        f"FROM {start[k_max + 1]}"
+    )
+    return "\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _sql_ppr() -> str:
     """Personalized PageRank with teleport/dangling mass restricted to
     the conversation originators, 3 iterations unrolled
@@ -3294,6 +3343,20 @@ def q_stream_histq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, work, "event_type", "value",
         [10.0, 25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0],
         [0.25, 0.5, 0.9], max_files_per_trigger=2,
+    )
+
+
+def q_truss_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition under the pinned peel schedule
+    (operators/ktruss.py::truss_decomposition, k = 3..5, 2 rounds per
+    rung) — every undirected edge labeled with its trussness bucket;
+    the oracle chains the _sql_ktruss rounds with per-phase
+    thresholds."""
+    from crgp_spark.operators.ktruss import truss_decomposition
+
+    return truss_decomposition(
+        spark, _edges_vid(spark, sf_dir), k_max=5, rounds_per_k=2,
+        cfg=_graph_cfg(),
     )
 
 
@@ -6340,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pr": q_temporal_pr,
         "stream_calibration": q_stream_calibration,
         "bursts": q_bursts,
+        "truss_decomp": q_truss_decomp,
         "stream_sample": q_stream_sample,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
@@ -6622,6 +6686,8 @@ def oracle_sql() -> dict[str, str]:
         "eigencent": _sql_eigencent(3),
         # ACL sweep cut over the ppr oracle's scores (sweepcut.py)
         "sweep_cut": _sql_sweep_cut(100),
+        # full truss decomposition (ktruss.py), chained pinned peels
+        "truss_decomp": _sql_truss_decomp(5, 2),
         # Kleinberg bursts (bursts.py): the identical integer DP as a
         # recursive step join; same SCALE/LN2/GAMMA constants
         "bursts": """

@@ -113,3 +113,58 @@ def ktruss(
     return sup.filter(F.col("support") >= k - 2).select(
         "u", "v", F.col("support").cast("int").alias("support")
     )
+
+
+def truss_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    k_max: int = 5,
+    rounds_per_k: int = 2,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Truss DECOMPOSITION under a pinned peel schedule: every edge of
+    the simple undirected graph labeled with its trussness bucket —
+    the ladder the single-``k`` :func:`ktruss` climbs one rung of.
+    For k = 3..``k_max`` in turn, ``rounds_per_k`` support-peel rounds
+    run on the surviving edge set; an edge dropped during the ``k``
+    phase gets ``trussness = k - 1``, survivors of the last phase get
+    ``trussness = k_max`` (read: >= k_max).  With the schedule pinned
+    the result is deterministic and SQL-replayable — the same
+    convention as ``ktruss(fixed_rounds=...)``; unbounded
+    ``rounds_per_k`` would converge each rung to the true trussness.
+
+    Scale shape: identical per-round cost to :func:`ktruss`
+    (degeneracy-bounded wedge join + partial-agg groupBy), ×
+    Σ rounds; each phase's removed set is one anti-join against the
+    strictly-shrinking survivor set.  Returns ``(u, v, trussness)``.
+    """
+    if k_max < 3:
+        raise ValueError(f"k_max must be >= 3, got {k_max}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(cfg.shuffle_partitions if cfg else 32, "u")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in range(3, k_max + 1):
+        start = und
+        for _ in range(rounds_per_k):
+            sup = edge_support(und)
+            und = (
+                sup.filter(F.col("support") >= k - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        removed = start.join(und, ["u", "v"], "left_anti").select(
+            "u", "v", F.lit(k - 1).cast("int").alias("trussness")
+        )
+        out = removed if out is None else out.unionByName(removed)
+    out = out.unionByName(
+        und.select("u", "v", F.lit(k_max).cast("int").alias("trussness"))
+    )
+    return out
