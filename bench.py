@@ -545,6 +545,15 @@ def main() -> None:
 
     timed("ktruss_fixpoint", lambda: ktruss_op(spark, e2, k=4, cfg=cfg).count())
 
+    from crgp_spark.operators.ktruss import truss_decomposition
+
+    timed(
+        "truss_decomp",
+        lambda: truss_decomposition(
+            spark, e2, k_max=5, rounds_per_k=2, cfg=cfg
+        ).count(),
+    )
+
     from crgp_spark.operators.salsa import salsa as salsa_op
 
     timed(
