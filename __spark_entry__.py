@@ -5547,6 +5547,38 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the two
+    experiment arms' per-user total-cents distributions
+    (operators/experiment.py::ks_test): BIGINT ECDF gaps via a range-
+    partitioned two-level prefix sum, one division at the end."""
+    from crgp_spark.operators.experiment import ks_test
+
+    return ks_test(_events(spark, sf_dir))
+
+
+def q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank change-point test on the daily value-cents series
+    (operators/cusum.py::pettitt_test): U_t prefix recursion over
+    value-level rank counts, BIGINT end to end — (n, K, cp day)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.cusum import pettitt_test
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            ts_micros("ts").alias("_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .selectExpr("_us div 86400000000 AS t", "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("x"))
+    )
+    return pettitt_test(daily)
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED experiment readout (operators/experiment.py::
     cuped_summary): arms = user_id % 2, covariate = pre-Jan-4 value
@@ -6385,6 +6417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_entry.py still runs the full surface locally.
     return {
         # --- new in round 4 (never gated) ---
+        "ks_test": q_ks_test,
+        "pettitt": q_pettitt,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6645,6 +6679,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # exact two-sample KS (experiment.py::ks_test): BIGINT ECDF
+        # gaps cross-multiplied, one final division at 6dp
+        "ks_test": """
+WITH pu AS (
+  SELECT user_id AS u,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events GROUP BY user_id
+),
+cnt AS (
+  SELECT y,
+         CAST(SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM pu GROUP BY y
+),
+tot AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+  FROM cnt
+),
+cum AS (
+  SELECT y,
+         CAST(SUM(c0) OVER (ORDER BY y) AS BIGINT) AS cum0,
+         CAST(SUM(c1) OVER (ORDER BY y) AS BIGINT) AS cum1
+  FROM cnt
+)
+SELECT n0, n1,
+       CAST(MAX(ABS(cum0 * n1 - cum1 * n0)) AS BIGINT) AS d_num,
+       FLOOR(CAST(MAX(ABS(cum0 * n1 - cum1 * n0)) AS DOUBLE)
+             / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS d_stat
+FROM cum, tot GROUP BY n0, n1""",
+        # Pettitt change-point (cusum.py::pettitt_test): rank-count
+        # increment + prefix sum, earliest argmax day
+        "pettitt": """
+WITH s AS (
+  SELECT EPOCH_US(ts) // 86400000000 AS t,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+cnt AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY x),
+rk AS (
+  SELECT x, c, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS cle
+  FROM cnt
+),
+w AS (
+  SELECT s.t, (rk.cle - rk.c) - (nn.n - rk.cle) AS wv
+  FROM s, rk, nn WHERE s.x = rk.x
+),
+u AS (SELECT t, CAST(SUM(wv) OVER (ORDER BY t) AS BIGINT) AS u FROM w),
+k AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS k_stat FROM u)
+SELECT nn.n AS n, k.k_stat, CAST(MIN(u.t) AS BIGINT) AS cp
+FROM u, k, nn WHERE ABS(u.u) = k.k_stat
+GROUP BY nn.n, k.k_stat""",
         # bipartite 2x2-biclique motif (butterfly.py::butterfly_counts):
         # wedge pairs through the conversation key, BIGINT binomials
         "butterflies": f"WITH {_SQL_TURNS},\n"

@@ -83,3 +83,55 @@ def cusum_alarms(chart: DataFrame, group_cols: list[str]) -> DataFrame:
             F.count(F.lit(1)).alias("n_alarms"),
         )
     )
+
+
+def pettitt_test(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Exact Pettitt (1979) rank-based change-point test over an
+    ordered series ``(t_col, x_col)`` with unique ``t``: one row
+    ``(n, k_stat, cp)`` where
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j),
+        K   = max_t |U_t|,   cp = earliest t attaining K.
+
+    The O(n²) double sum collapses to one rank pass plus one prefix
+    sum via the recursion ``U_t = U_{t−1} + Σ_{s≠t} sgn(x_t − x_s)``,
+    and the per-row increment is ``lt(x_t) − gt(x_t)`` — the counts of
+    strictly-smaller / strictly-larger values over the whole series,
+    read off value-level cumulative counts. BIGINT end to end (no
+    floats at all); the p-value approximation ``2·exp(−6K²/(n³+n²))``
+    needs `exp`, which engines round differently, so it is left to the
+    caller — K and n are the engine-exact sufficient statistics.
+
+    Scale posture: both windows run over the *series grid* (e.g. one
+    row per day), which is orders of magnitude smaller than the event
+    data that produced it; the data-sized stages are the grouped
+    aggregations upstream in the caller. The reference has no
+    monitoring operator (terminal counters only,
+    ``statistics.rs:17-131``); Pettitt is the standard nonparametric
+    "did the level shift, and when" readout on such series."""
+    n1 = series.agg(F.count(F.lit(1)).alias("n"))
+    cnt = series.groupBy(x_col).agg(F.count(F.lit(1)).alias("c"))
+    wx = Window.orderBy(x_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = cnt.select(x_col, "c", F.sum("c").over(wx).alias("cle"))
+    j = series.join(ranks, x_col).join(F.broadcast(n1))
+    incr = (F.col("cle") - F.col("c")) - (F.col("n") - F.col("cle"))
+    wt = j.select(F.col(t_col).alias("_t"), incr.alias("w"))
+    wu = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = wt.select("_t", F.sum("w").over(wu).alias("u"))
+    k = u.agg(F.max(F.abs(F.col("u"))).alias("k_stat"))
+    return (
+        u.join(F.broadcast(k))
+        .where(F.abs(F.col("u")) == F.col("k_stat"))
+        .groupBy("k_stat")
+        .agg(F.min("_t").alias("cp"))
+        .join(F.broadcast(n1))
+        .select("n", "k_stat", "cp")
+    )
