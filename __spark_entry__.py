@@ -5547,6 +5547,27 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ego_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ego-net scan statistic (operators/graphstats.py::
+    scan_statistic): per vertex, deg + triangles = edge count of the
+    induced closed 1-hop neighborhood — the Priebe scan-1 anomaly
+    readout; cost is one degeneracy-oriented triangle pass."""
+    from crgp_spark.operators.graphstats import scan_statistic
+
+    return scan_statistic(spark, _edges_vid(spark, sf_dir))
+
+
+def q_cliques4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K4 counts per vertex (operators/triangles.py::
+    four_cliques): all-forward 4-cliques under the degeneracy
+    orientation — triangle extension + two closing semi-joins, every
+    fan-out degeneracy-bounded."""
+    from crgp_spark.operators.triangles import four_cliques
+
+    _total, pv = four_cliques(spark, _edges_vid(spark, sf_dir))
+    return pv
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov distance between the two
     experiment arms' per-user total-cents distributions
@@ -6419,6 +6440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (never gated) ---
         "ks_test": q_ks_test,
         "pettitt": q_pettitt,
+        "ego_scan": q_ego_scan,
+        "cliques4": q_cliques4,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6679,6 +6702,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # ego-net scan statistic (graphstats.py::scan_statistic):
+        # deg + triangles-through-v = closed-ego-net edge count
+        "ego_scan": f"WITH {_SQL_EVID},\n"
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
+        "deg AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg FROM (\n"
+        "  SELECT a AS vid FROM und UNION ALL SELECT b FROM und\n"
+        ") GROUP BY vid),\n"
+        "tri AS (\n"
+        "  SELECT ab.a AS x, ab.b AS y, bc.b AS z\n"
+        "  FROM und ab JOIN und bc ON bc.a = ab.b"
+        " JOIN und ac ON ac.a = ab.a AND ac.b = bc.b\n"
+        "),\n"
+        "cnt AS (\n"
+        "  SELECT vid, CAST(COUNT(*) AS BIGINT) AS triangles FROM (\n"
+        "    SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri"
+        " UNION ALL SELECT z FROM tri\n"
+        "  ) GROUP BY vid\n"
+        ")\n"
+        "SELECT deg.vid, deg.deg,\n"
+        "       COALESCE(cnt.triangles, 0) AS triangles,\n"
+        "       deg.deg + COALESCE(cnt.triangles, 0) AS scan1\n"
+        "FROM deg LEFT JOIN cnt ON cnt.vid = deg.vid",
+        # exact K4-per-vertex (triangles.py::four_cliques): id-ordered
+        # 6-edge join — orientation-independent count
+        "cliques4": f"WITH {_SQL_EVID},\n"
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a,"
+        " GREATEST(src, dst) AS b FROM e WHERE src <> dst),\n"
+        "k4 AS (\n"
+        "  SELECT ab.a AS va, ab.b AS vb, ac.b AS vc, ad.b AS vd\n"
+        "  FROM und ab\n"
+        "  JOIN und ac ON ac.a = ab.a AND ac.b > ab.b\n"
+        "  JOIN und ad ON ad.a = ab.a AND ad.b > ac.b\n"
+        "  JOIN und bc ON bc.a = ab.b AND bc.b = ac.b\n"
+        "  JOIN und bd ON bd.a = ab.b AND bd.b = ad.b\n"
+        "  JOIN und cd ON cd.a = ac.b AND cd.b = ad.b\n"
+        "),\n"
+        "cnt AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS k4 FROM (\n"
+        "  SELECT va AS vid FROM k4 UNION ALL SELECT vb FROM k4\n"
+        "  UNION ALL SELECT vc FROM k4 UNION ALL SELECT vd FROM k4\n"
+        ") GROUP BY vid),\n"
+        "allv AS (SELECT DISTINCT a AS vid FROM und"
+        " UNION SELECT b FROM und)\n"
+        "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
+        "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
         # exact two-sample KS (experiment.py::ks_test): BIGINT ECDF
         # gaps cross-multiplied, one final division at 6dp
         "ks_test": """

@@ -365,3 +365,42 @@ def sparsify_topk(ej: DataFrame, k: int) -> DataFrame:
         .distinct()
     )
     return ej.join(kept, ["u", "v"], "left_semi")
+
+
+def scan_statistic(spark, edges: DataFrame) -> DataFrame:
+    """Ego-net scan statistic (Priebe et al. 2005 "scan statistics on
+    Enron graphs"): per vertex, the edge count of the induced CLOSED
+    1-hop neighborhood —
+
+        scan1(v) = deg(v) + tri(v)
+
+    since every ego-net edge is either incident to ``v`` (deg) or an
+    edge between two neighbors, i.e. a triangle through ``v``. Returns
+    ``(vid, deg, triangles, scan1)`` for every vertex of the
+    undirected simple graph; large ``scan1`` relative to degree flags
+    locally-dense "chatter" anomalies.
+
+    Cost = one exact triangle pass (degeneracy-oriented wedge join,
+    ``triangles.py``) plus a degree aggregate — no new join shapes, so
+    the 100 TB posture is inherited from the triangle operator.
+    Reference has no ego-net surface; this is the standard anomaly
+    readout users run on its derived influence graphs."""
+    from crgp_spark.operators.triangles import _undirected, triangles
+
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    _total, per_vertex = triangles(spark, edges)
+    return (
+        deg.join(per_vertex.hint("shuffle_hash"), "vid")
+        .select(
+            "vid",
+            "deg",
+            "triangles",
+            (F.col("deg") + F.col("triangles")).alias("scan1"),
+        )
+    )

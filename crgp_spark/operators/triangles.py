@@ -102,3 +102,74 @@ def triangles(
     )
     o.unpersist()
     return total, per_vertex
+
+
+def four_cliques(
+    spark: SparkSession, edges: DataFrame
+) -> tuple[int, DataFrame]:
+    """Exact 4-clique (K4) counting: ``(global_count, per_vertex)``
+    with ``per_vertex(vid, k4)`` over the undirected simple graph.
+
+    Enumeration extends the degeneracy orientation one level: with
+    every edge oriented by ascending ``(degree, id)``, each K4 has a
+    unique all-forward ordering ``u→v→w→x``, found by extending each
+    all-forward triangle ``(u,v,w)`` along ``w``'s out-edges and
+    semi-joining the two closing edges ``(v,x)`` and ``(u,x)``. The
+    orientation bounds every fan-out by the degeneracy (wedges
+    O(E·degeneracy), triangle extensions O(T·degeneracy)) — the same
+    property that makes the triangle pass survive power-law graphs, so
+    no hub ever drives a quadratic blow-up. All joins are
+    shuffle-hash-hinted DataFrame ops; no Python.
+
+    Reference's motif surface stops at triads; K4 density is the
+    standard next motif users compute on its derived graphs (clique-
+    heavy conversations = tightly-coupled participant groups)."""
+    o = oriented_edges(edges).persist()
+
+    e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "u").filter(
+        F.col("v") != F.col("w")
+    )
+    # all-forward triangles u→v→w: wedge (u,v),(u,w) + oriented edge v→w
+    tri = wedges.join(
+        o.hint("shuffle_hash"),
+        (F.col("v") == F.col("lo")) & (F.col("w") == F.col("hi")),
+        "left_semi",
+    )
+    # extend along w's out-edges, then close v→x and u→x
+    ext = tri.join(
+        o.withColumnsRenamed({"lo": "w", "hi": "x"}).hint("shuffle_hash"),
+        "w",
+    )
+    ext = ext.join(
+        o.withColumnsRenamed({"lo": "v", "hi": "x"}).hint("shuffle_hash"),
+        ["v", "x"],
+        "left_semi",
+    )
+    k4 = ext.join(
+        o.withColumnsRenamed({"lo": "u", "hi": "x"}).hint("shuffle_hash"),
+        ["u", "x"],
+        "left_semi",
+    ).persist()
+
+    total = k4.count()
+    per_vertex = (
+        k4.select(F.col("u").alias("vid"))
+        .unionByName(k4.select(F.col("v").alias("vid")))
+        .unionByName(k4.select(F.col("w").alias("vid")))
+        .unionByName(k4.select(F.col("x").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("k4"))
+    )
+    und = _undirected(edges)
+    all_v = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    per_vertex = all_v.join(per_vertex, "vid", "left").select(
+        "vid", F.coalesce("k4", F.lit(0)).alias("k4")
+    )
+    o.unpersist()
+    return total, per_vertex
