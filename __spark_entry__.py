@@ -714,6 +714,64 @@ a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
     )
 
 
+def _sql_domset(rounds: int = 3) -> str:
+    """Unrolled parallel-greedy dominating-set rounds
+    (operators/domset.py): span = |N[v] ∩ U|, winners = strict local
+    maxima of (span, -id), N[winners] covered. Per-round CTEs
+    MATERIALIZED per the MIS CTE-inlining rule (each round references
+    the previous several times)."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e"
+        " WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),",
+        "u0 AS MATERIALIZED (SELECT v FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+nb{r} AS (SELECT s.src AS v, COUNT(*) AS c FROM sym s
+          JOIN u{p} x ON x.v = s.dst GROUP BY s.src),
+sp{r} AS MATERIALIZED (
+  SELECT verts.v,
+         COALESCE(nb{r}.c, 0)
+         + (CASE WHEN verts.v IN (SELECT v FROM u{p})
+                 THEN 1 ELSE 0 END) AS sp
+  FROM verts LEFT JOIN nb{r} ON nb{r}.v = verts.v),
+w{r} AS MATERIALIZED (
+  SELECT a.v FROM sp{r} a
+  WHERE a.sp >= 1 AND NOT EXISTS (
+    SELECT 1 FROM sym s JOIN sp{r} b ON b.v = s.dst
+    WHERE s.src = a.v
+      AND (b.sp > a.sp OR (b.sp = a.sp AND b.v < a.v)))),
+c{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT s.dst AS v FROM sym s JOIN w{r} w ON w.v = s.src
+    UNION SELECT v FROM w{r}
+  ) WHERE v IN (SELECT v FROM u{p})),
+u{r} AS MATERIALIZED (SELECT v FROM u{p} EXCEPT SELECT v FROM c{r})"""
+        )
+    alldom = " UNION ".join(
+        f"SELECT v FROM w{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f",\nalldom AS MATERIALIZED ({alldom})")
+    sel = "\nUNION ALL ".join(
+        f"SELECT v AS vid, 'dom' AS status, CAST({r} AS INT) AS rnd"
+        f" FROM w{r}\n"
+        f"UNION ALL SELECT v, 'covered', CAST({r} AS INT) FROM c{r}\n"
+        f"  WHERE v NOT IN (SELECT v FROM alldom)"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + sel
+        + f"\nUNION ALL SELECT v, 'open', CAST(0 AS INT) FROM u{rounds}"
+    )
+
+
 def _sql_fm_seed(n: str, max_bit: int) -> str:
     """FM seed mask from a non-negative hash column: single bit at
     ``min(trailing_zeros(n), max_bit)`` — pure integer mod ladder,
@@ -5547,6 +5605,17 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-greedy dominating set (operators/domset.py::
+    dominating_set): 3 unrolled rounds of (span, -id) local maxima +
+    closed-neighborhood coverage; deterministic by total priority
+    order, so the unrolled MATERIALIZED-CTE oracle reproduces the set
+    bit-for-bit."""
+    from crgp_spark.operators.domset import dominating_set
+
+    return dominating_set(spark, _edges_vid(spark, sf_dir), rounds=3)
+
+
 def q_ego_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ego-net scan statistic (operators/graphstats.py::
     scan_statistic): per vertex, deg + triangles = edge count of the
@@ -6442,6 +6511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": q_pettitt,
         "ego_scan": q_ego_scan,
         "cliques4": q_cliques4,
+        "domset": q_domset,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6702,6 +6772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        # parallel-greedy dominating set (domset.py): unrolled rounds
+        "domset": _sql_domset(rounds=3),
         # ego-net scan statistic (graphstats.py::scan_statistic):
         # deg + triangles-through-v = closed-ego-net edge count
         "ego_scan": f"WITH {_SQL_EVID},\n"
