@@ -772,6 +772,64 @@ u{r} AS MATERIALIZED (SELECT v FROM u{p} EXCEPT SELECT v FROM c{r})"""
     )
 
 
+def _sql_fiedler(rounds: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled deflated integer power iteration on σI − L
+    (operators/fiedler.py): per round one neighbor-sum fold, one
+    truncated-mean deflation, one max-rescale — every division
+    sign-safe (magnitude // then reapply sign) so DuckDB's floor
+    division matches Spark's truncation. Per-round CTEs MATERIALIZED
+    per the MIS CTE-inlining rule."""
+    h15 = _hex15_num("MD5(CAST(v AS VARCHAR))")
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst\n"
+        "        UNION SELECT dst AS src, src AS dst FROM e"
+        " WHERE src <> dst),",
+        "deg AS MATERIALIZED (SELECT src AS v,"
+        " CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),",
+        "sg AS (SELECT CAST(2 * MAX(deg) AS BIGINT) AS sig FROM deg),",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),",
+        f"h AS (SELECT v, CAST(({h15}) AS BIGINT) % {scale} AS h"
+        " FROM deg),",
+        "x0 AS MATERIALIZED (SELECT v,\n"
+        "  h - (SELECT CAST(SUM(h) AS BIGINT) // (SELECT n FROM nn)"
+        " FROM h) AS x FROM h)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+ms{r} AS (SELECT s.dst AS v, CAST(SUM(x.x) AS BIGINT) AS s
+          FROM sym s JOIN x{p} x ON x.v = s.src GROUP BY s.dst),
+y{r} AS MATERIALIZED (
+  SELECT d.v,
+         ((SELECT sig FROM sg) - d.deg) * x.x + COALESCE(ms.s, 0) AS y
+  FROM deg d JOIN x{p} x ON x.v = d.v
+  LEFT JOIN ms{r} ms ON ms.v = d.v),
+sy{r} AS (SELECT CAST(SUM(y) AS BIGINT) AS sy FROM y{r}),
+mn{r} AS (SELECT CASE WHEN sy < 0
+                 THEN -((-sy) // (SELECT n FROM nn))
+                 ELSE sy // (SELECT n FROM nn) END AS mn FROM sy{r}),
+z{r} AS MATERIALIZED (
+  SELECT v, y - (SELECT mn FROM mn{r}) AS z FROM y{r}),
+mx{r} AS (SELECT CAST(MAX(ABS(z)) AS BIGINT) AS m FROM z{r}),
+x{r} AS MATERIALIZED (
+  SELECT v, CAST(CASE WHEN (SELECT m FROM mx{r}) <= 0 THEN 0
+            WHEN z < 0
+            THEN -((ABS(z) * {scale}) // (SELECT m FROM mx{r}))
+            ELSE (z * {scale}) // (SELECT m FROM mx{r}) END
+            AS BIGINT) AS x
+  FROM z{r})"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+SELECT v AS vid, CAST(x AS BIGINT) AS f_scaled,
+       CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS INT) AS side
+FROM x{rounds}"""
+    )
+
+
 def _sql_fm_seed(n: str, max_bit: int) -> str:
     """FM seed mask from a non-negative hash column: single bit at
     ``min(trailing_zeros(n), max_bit)`` — pure integer mod ladder,
@@ -5605,6 +5663,15 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fiedler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral bisection (operators/fiedler.py::fiedler_vector): 4
+    unrolled rounds of deflated exact-integer power iteration on
+    σI − L with sign-safe divisions; (vid, f_scaled, side)."""
+    from crgp_spark.operators.fiedler import fiedler_vector
+
+    return fiedler_vector(spark, _edges_vid(spark, sf_dir), rounds=4)
+
+
 def q_domset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel-greedy dominating set (operators/domset.py::
     dominating_set): 3 unrolled rounds of (span, -id) local maxima +
@@ -6512,6 +6579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_scan": q_ego_scan,
         "cliques4": q_cliques4,
         "domset": q_domset,
+        "fiedler": q_fiedler,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6774,6 +6842,9 @@ def oracle_sql() -> dict[str, str]:
     d = {
         # parallel-greedy dominating set (domset.py): unrolled rounds
         "domset": _sql_domset(rounds=3),
+        # spectral bisection (fiedler.py): deflated integer power
+        # iteration, sign-safe divisions
+        "fiedler": _sql_fiedler(rounds=4),
         # ego-net scan statistic (graphstats.py::scan_statistic):
         # deg + triangles-through-v = closed-ego-net edge count
         "ego_scan": f"WITH {_SQL_EVID},\n"
