@@ -5663,6 +5663,22 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact two-sample KS under the hard gate
+    (streaming/windows.py::stream_ks_test): per-user cent totals
+    folded in the streaming state store across capped micro-batches —
+    a per-key SUM monoid, so the oracle is the SAME SQL as the batch
+    `ks_test` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_ks_test
+
+    work = "/tmp/crgp_stream_ks"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "user_id").write.parquet(work)
+    return stream_ks_test(spark, work, max_files_per_trigger=2)
+
+
 def q_fiedler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral bisection (operators/fiedler.py::fiedler_vector): 4
     unrolled rounds of deflated exact-integer power iteration on
@@ -6580,6 +6596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliques4": q_cliques4,
         "domset": q_domset,
         "fiedler": q_fiedler,
+        "stream_ks": q_stream_ks,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -9835,6 +9852,9 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # stream==batch: score-group (cnt, pos) SUM monoids
     # (streaming/windows.py::stream_roc_auc) — same oracle as `auc`
     d["stream_auc"] = d["auc"]
+    # stream==batch: per-user SUM-monoid state drains to the same
+    # per-user totals, so the oracle IS the batch KS SQL
+    d["stream_ks"] = d["ks_test"]
     # stream==batch: bucket-count SUM monoids (stream_calibration)
     d["stream_calibration"] = d["calibration"]
     # the count-min grid is a commutative monoid: the grid drained from

@@ -112,7 +112,20 @@ def ks_test(
         events.select(F.col(user_col).alias("u"), cents.alias("c"))
         .groupBy("u")
         .agg(F.sum("c").alias("y"))
-        .withColumn("arm", F.pmod(F.col("u"), F.lit(2)).cast("int"))
+    )
+    return ks_from_user_totals(per_user, partitions=partitions)
+
+
+def ks_from_user_totals(
+    per_user: DataFrame, partitions: int = 32
+) -> DataFrame:
+    """The KS statistic from an already-aggregated ``(u, y)`` per-user
+    totals table — split out so the streaming path
+    (``streaming/windows.py::stream_ks_test``), whose state store
+    maintains exactly this table as a per-key SUM monoid, folds into
+    the identical statistic (stream == batch contract)."""
+    per_user = per_user.withColumn(
+        "arm", F.pmod(F.col("u"), F.lit(2)).cast("int")
     )
     cnt = per_user.groupBy("y").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),

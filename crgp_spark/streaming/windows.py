@@ -553,3 +553,52 @@ def stream_calibration(
             "pos_rate"
         ),
     )
+
+
+def stream_ks_test(
+    spark: SparkSession,
+    in_dir: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming exact two-sample KS — the per-user cent totals of
+    ``operators/experiment.py::ks_test`` maintained in the streaming
+    aggregation state store (a per-key SUM monoid), then folded to the
+    statistic by the shared ``ks_from_user_totals`` tail. The drained
+    per-user table is independent of micro-batch slicing, so the
+    statistic is bit-identical to the batch entry at any trigger
+    cadence: the module's stream==batch contract, certified by the
+    SAME oracle as the batch ``ks_test`` entry.
+
+    State is |users| rows of one BIGINT each — the canonical running-
+    per-key-sum shape (same asymmetry argument as sessionization: an
+    exact streaming rank statistic computed naively would buffer every
+    event; the monoid keeps state linear in keys, not events)."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    grouped = (
+        stream.select(
+            F.col(user_col).alias("u"),
+            F.floor(F.col(value_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("u")
+        .agg(F.sum("c").alias("y"))
+    )
+    name = f"ks_{uuid.uuid4().hex[:8]}"
+    q = (
+        grouped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from crgp_spark.operators.experiment import ks_from_user_totals
+
+    return ks_from_user_totals(spark.table(name))

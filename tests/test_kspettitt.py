@@ -93,3 +93,15 @@ def test_pettitt_with_ties_brute_force(spark):
 def test_ks_rejects_bad_arms(spark):
     with pytest.raises(ValueError):
         ks_test(_events(spark, [(0, 1.0)]), n_arms=3)
+
+
+def test_stream_ks_equals_batch(spark, tmp_path):
+    from crgp_spark.streaming.windows import stream_ks_test
+
+    rows = [(u, ((u * 31) % 13) / 4.0) for u in range(80) for _ in range(2)]
+    df = _events(spark, rows)
+    work = str(tmp_path / "ev")
+    df.repartition(6, "user_id").write.parquet(work)
+    got = stream_ks_test(spark, work, max_files_per_trigger=1).collect()
+    want = ks_test(spark.read.parquet(work)).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
