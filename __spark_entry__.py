@@ -772,6 +772,50 @@ u{r} AS MATERIALIZED (SELECT v FROM u{p} EXCEPT SELECT v FROM c{r})"""
     )
 
 
+def _sql_onion(rounds: int = 4) -> str:
+    """Unrolled onion-peel rounds (operators/coreness.py::
+    onion_decomposition): threshold k ratchets up to the min remaining
+    degree, everything at ≤ k peels simultaneously as one layer.
+    Per-round CTEs MATERIALIZED per the MIS CTE-inlining rule."""
+    parts = [
+        f"WITH {_SQL_EVID},",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM e WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT u, v FROM und"
+        " UNION ALL SELECT v AS u, u AS v FROM und),",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym),",
+        "k0 AS (SELECT CAST(0 AS BIGINT) AS k)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT a.v, COALESCE(dc.c, 0) AS d
+  FROM a{p} a LEFT JOIN (
+    SELECT s.u AS v, CAST(COUNT(*) AS BIGINT) AS c FROM sym s
+    JOIN a{p} x ON x.v = s.u JOIN a{p} y ON y.v = s.v GROUP BY s.u
+  ) dc ON dc.v = a.v),
+k{r} AS (SELECT GREATEST((SELECT k FROM k{p}),
+         (SELECT CAST(MIN(d) AS BIGINT) FROM d{r})) AS k),
+p{r} AS MATERIALIZED (
+  SELECT v FROM d{r} WHERE d <= (SELECT k FROM k{r})),
+a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM p{r})"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT v AS vid, CAST({r} AS INT) AS layer,"
+        f" CAST((SELECT k FROM k{r}) AS INT) AS core FROM p{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + sel
+        + f"\nUNION ALL SELECT v, CAST(0 AS INT), CAST(0 AS INT)"
+        f" FROM a{rounds}"
+    )
+
+
 def _sql_fiedler(rounds: int = 4, scale: int = 1_000_000) -> str:
     """Unrolled deflated integer power iteration on σI − L
     (operators/fiedler.py): per round one neighbor-sum fold, one
@@ -5663,6 +5707,16 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition (operators/coreness.py::
+    onion_decomposition): 4 unrolled simultaneous-peel rounds —
+    (vid, layer, core); the loopy-vs-tree-like mesostructure probe
+    on top of the k-core family."""
+    from crgp_spark.operators.coreness import onion_decomposition
+
+    return onion_decomposition(spark, _edges_vid(spark, sf_dir), rounds=4)
+
+
 def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact two-sample KS under the hard gate
     (streaming/windows.py::stream_ks_test): per-user cent totals
@@ -6597,6 +6651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domset": q_domset,
         "fiedler": q_fiedler,
         "stream_ks": q_stream_ks,
+        "onion": q_onion,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6862,6 +6917,8 @@ def oracle_sql() -> dict[str, str]:
         # spectral bisection (fiedler.py): deflated integer power
         # iteration, sign-safe divisions
         "fiedler": _sql_fiedler(rounds=4),
+        # onion decomposition (coreness.py): ratcheting peel threshold
+        "onion": _sql_onion(rounds=4),
         # ego-net scan statistic (graphstats.py::scan_statistic):
         # deg + triangles-through-v = closed-ego-net edge count
         "ego_scan": f"WITH {_SQL_EVID},\n"

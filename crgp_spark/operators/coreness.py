@@ -96,3 +96,110 @@ def core_decomposition(
                 break
             prev_sum = cur
     return state.select(F.col("u").alias("vid"), F.col("c").alias("core"))
+
+
+def onion_decomposition(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 4,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
+    Rep. 2016): the LAYER structure inside the k-core peeling.
+    ``core_decomposition`` says how deep a vertex sits; the onion layer
+    says how early it falls in the peel — the paper's probe for
+    tree-like vs loopy mesostructure.
+
+    Round ``r`` over the remaining graph: the peel threshold rises to
+    ``k_r = max(k_{r-1}, min remaining degree)`` and EVERY vertex with
+    remaining degree ≤ ``k_r`` is removed simultaneously as layer
+    ``r`` with core number ``k_r`` (the simultaneous-removal rule is
+    what makes the layer a pure function of the input — no peel order
+    to break ties over). Returns ``(vid, layer, core)``; vertices
+    still standing after ``rounds`` report ``(0, 0)`` ('open' — raise
+    ``rounds`` to peel deeper). The assigned ``core`` equals the
+    h-index fixpoint's core number for peeled vertices, which the
+    tests cross-check.
+
+    Per-round plan: one degree aggregate over the semi-join-restricted
+    edge table, two 1-row scalar folds (min-degree, threshold) via
+    broadcast cross-join, one anti-join to shrink the vertex state —
+    all keyed on vertex id under the shared ``state_hint`` policy with
+    per-round ``localCheckpoint``s."""
+    parts = cfg.shuffle_partitions if cfg else 32
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(parts, "u")
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        sym.select(F.col("u").alias("vid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_act = active.count()
+    k_df = spark.range(1).select(F.lit(0).cast("long").alias("_k"))
+    peeled: list[DataFrame] = []
+
+    for r in range(1, rounds + 1):
+        if n_act == 0:
+            break
+        e_act = sym.join(
+            state_hint(active.select(F.col("vid").alias("u")), n_act),
+            "u",
+            "left_semi",
+        ).join(
+            state_hint(active.select(F.col("vid").alias("v")), n_act),
+            "v",
+            "left_semi",
+        )
+        dc = e_act.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        deg = active.join(
+            state_hint(dc.withColumnRenamed("u", "vid"), n_act),
+            "vid",
+            "left",
+        ).select("vid", F.coalesce("_d", F.lit(0)).alias("d"))
+        mind = deg.agg(F.min("d").alias("_md"))
+        k_df = (
+            k_df.crossJoin(F.broadcast(mind))
+            .select(
+                F.greatest(F.col("_k"), F.col("_md"))
+                .cast("long")
+                .alias("_k")
+            )
+            .localCheckpoint(eager=True)
+        )
+        layer = (
+            deg.crossJoin(F.broadcast(k_df))
+            .filter(F.col("d") <= F.col("_k"))
+            .select(
+                "vid",
+                F.lit(r).cast("int").alias("layer"),
+                F.col("_k").cast("int").alias("core"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        peeled.append(layer)
+        active = active.join(
+            layer.select("vid"), "vid", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_act = active.count()
+
+    out = active.select(
+        "vid",
+        F.lit(0).cast("int").alias("layer"),
+        F.lit(0).cast("int").alias("core"),
+    )
+    for p in peeled:
+        out = out.unionByName(p)
+    return out
