@@ -39,6 +39,10 @@ Subcommands per --algo:
   hits        HITS hubs/authorities (exact integer rounds)
   ktruss      k-truss by edge-support peeling
   linkpred    top-100 predicted links (common-neighbor family)
+  domset      parallel-greedy dominating set ((span, -id) local maxima)
+  fiedler     spectral bisection (deflated integer power iteration)
+  onion       onion decomposition (k-core peel layers)
+  cliques4    exact 4-clique count (degeneracy-oriented)
   generate    synthetic transcripts parquet (deterministic, seeded)
 """
 
@@ -489,6 +493,77 @@ def main() -> None:
         secs = time.time() - t0
         out.update(edges=n_edges, seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs), **counts)
+
+    elif args.algo == "domset":
+        from crgp_spark.operators.domset import dominating_set
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = dominating_set(
+            spark, edges, rounds=args.fixed_iterations or 4, cfg=cfg
+        )
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["status"]: r["n"]
+            for r in res.groupBy("status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs), **counts)
+
+    elif args.algo == "fiedler":
+        from crgp_spark.operators.fiedler import fiedler_vector
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = fiedler_vector(
+            spark, edges, rounds=args.fixed_iterations or 4, cfg=cfg
+        )
+        from pyspark.sql import functions as F
+
+        sides = {
+            f"side_{r['side']}": r["n"]
+            for r in res.groupBy("side").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        secs = time.time() - t0
+        out.update(edges=n_edges, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs), **sides)
+
+    elif args.algo == "onion":
+        from crgp_spark.operators.coreness import onion_decomposition
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        res = onion_decomposition(
+            spark, edges, rounds=args.fixed_iterations or 4, cfg=cfg
+        )
+        from pyspark.sql import functions as F
+
+        n_layers = res.agg(F.max("layer")).collect()[0][0]
+        n_open = res.filter(F.col("layer") == 0).count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, layers=n_layers, open_vertices=n_open,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "cliques4":
+        from crgp_spark.operators.triangles import four_cliques
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        total, _pv = four_cliques(spark, edges)
+        secs = time.time() - t0
+        out.update(edges=n_edges, k4=total, seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
 
     elif args.algo == "coloring":
         from crgp_spark.operators.coloring import greedy_coloring
