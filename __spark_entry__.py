@@ -5707,6 +5707,40 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (operators/rankcorr.py::
+    spearman_rho) between each user's event count and total value
+    cents: doubled midranks from value-level counts, BIGINT moments,
+    one pinned-order float expression."""
+    from crgp_spark.operators.rankcorr import spearman_rho
+
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("u"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum("c").alias("y"),
+        )
+    )
+    return spearman_rho(per_user)
+
+
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (operators/experiment.py::
+    chi2_independence) of event_type vs experiment arm: BIGINT
+    contingency counts, 8dp-quantized per-cell terms so the fold is
+    order-free integer addition."""
+    from crgp_spark.operators.experiment import chi2_independence
+
+    return chi2_independence(_events(spark, sf_dir))
+
+
 def q_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onion decomposition (operators/coreness.py::
     onion_decomposition): 4 unrolled simultaneous-peel rounds —
@@ -6652,6 +6686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fiedler": q_fiedler,
         "stream_ks": q_stream_ks,
         "onion": q_onion,
+        "spearman": q_spearman,
+        "chi2": q_chi2,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -6964,6 +7000,87 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # exact Spearman rho (rankcorr.py): doubled midranks, BIGINT
+        # moments, one pinned float expression
+        "spearman": """
+WITH pu AS (
+  SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events GROUP BY user_id
+),
+rx AS (
+  SELECT x,
+         CAST(2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS BIGINT)
+           AS r2x
+  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY x)
+),
+ry AS (
+  SELECT y,
+         CAST(2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS BIGINT)
+           AS r2y
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY y)
+),
+rk AS (
+  SELECT rx.r2x, ry.r2y
+  FROM pu JOIN rx ON rx.x = pu.x JOIN ry ON ry.y = pu.y
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r2x) AS BIGINT) AS sx,
+         CAST(SUM(r2y) AS BIGINT) AS sy,
+         CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+         CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+         CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+  FROM rk
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(n * syy - sy * sy AS BIGINT) AS deny,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS rho
+FROM g""",
+        # chi-square independence (experiment.py::chi2_independence):
+        # 8dp-quantized terms, order-free integer fold
+        "chi2": """
+WITH cells AS (
+  SELECT event_type AS cat, CAST(user_id % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT cat, CAST(SUM(n_obs) AS BIGINT) AS rt
+      FROM cells GROUP BY cat),
+c AS (SELECT arm, CAST(SUM(n_obs) AS BIGINT) AS ct
+      FROM cells GROUP BY arm),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT cat) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT arm) AS BIGINT) AS nc FROM cells),
+terms AS (
+  SELECT cells.cat, cells.arm, cells.n_obs,
+         CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+           / CAST(t.n AS DOUBLE) AS e,
+         t.nr, t.nc
+  FROM cells JOIN r ON r.cat = cells.cat
+  JOIN c ON c.arm = cells.arm, t
+),
+q AS (
+  SELECT cat, arm, n_obs, e, nr, nc,
+         CAST(FLOOR((CAST(n_obs AS DOUBLE) - e)
+              * (CAST(n_obs AS DOUBLE) - e) / e * 100000000.0 + 0.5)
+              AS BIGINT) AS tq
+  FROM terms
+)
+SELECT cat, arm, n_obs,
+       FLOOR(e * 10000.0 + 0.5) / 10000.0 AS expected,
+       FLOOR(CAST((SELECT SUM(tq) FROM q) AS DOUBLE) / 100000000.0
+             * 10000.0 + 0.5) / 10000.0 AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+FROM q ORDER BY cat, arm""",
         # exact two-sample KS (experiment.py::ks_test): BIGINT ECDF
         # gaps cross-multiplied, one final division at 6dp
         "ks_test": """

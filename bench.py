@@ -1384,6 +1384,57 @@ def main() -> None:
         "theil_sen",
         lambda: theil_sen(_daily(), "event_type", "day", "x").count(),
     )
+    from crgp_spark.operators.cusum import pettitt_test
+    from crgp_spark.operators.experiment import chi2_independence, ks_test
+    from crgp_spark.operators.rankcorr import spearman_rho
+
+    timed("ks_test", lambda: ks_test(events).count())
+    timed("chi2", lambda: chi2_independence(events).count())
+
+    def _spearman_cell():
+        per_user = (
+            events.select(
+                F.col("user_id").alias("u"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("x"), F.sum("c").alias("y"))
+        )
+        return spearman_rho(per_user).count()
+
+    timed("spearman", _spearman_cell)
+    timed(
+        "pettitt",
+        lambda: pettitt_test(
+            _daily().groupBy("day").agg(F.sum("x").alias("x")),
+            t_col="day",
+            x_col="x",
+        ).count(),
+    )
+
+    from crgp_spark.operators.coreness import onion_decomposition
+    from crgp_spark.operators.domset import dominating_set
+    from crgp_spark.operators.fiedler import fiedler_vector
+    from crgp_spark.operators.graphstats import scan_statistic
+    from crgp_spark.operators.triangles import four_cliques
+
+    timed("ego_scan", lambda: scan_statistic(spark, e2).count())
+    timed("cliques4", lambda: four_cliques(spark, e2)[1].count())
+    timed(
+        "domset_3r",
+        lambda: dominating_set(spark, e2, rounds=3, cfg=cfg).count(),
+    )
+    timed(
+        "fiedler_4r",
+        lambda: fiedler_vector(spark, e2, rounds=4, cfg=cfg).count(),
+    )
+    timed(
+        "onion_4r",
+        lambda: onion_decomposition(spark, e2, rounds=4, cfg=cfg).count(),
+    )
+
     timed(
         "salted_join",
         lambda: salted_join(

@@ -267,3 +267,70 @@ def cuped_summary(
         mean_adj.alias("mean_adj"),
         decimal_round(F.col("_theta"), 4).alias("theta"),
     ).orderBy("arm")
+
+
+def chi2_independence(
+    events: DataFrame,
+    cat_col: str = "event_type",
+    user_col: str = "user_id",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Chi-square test of independence between a categorical column
+    and the experiment arm (``pmod(user, n_arms)``): per contingency
+    cell ``(cat, arm, n_obs, expected, chi2, dof)`` — ``chi2`` and
+    ``dof`` identical on every row (compare to the critical value
+    downstream; p-values need gamma functions engines disagree on,
+    the ``srm_check`` posture).
+
+    Cross-engine determinism for the R×C-term float sum: float
+    addition is order-dependent (and DuckDB's windowed SUM combines
+    via a segment tree, not a left fold), so each cell's
+    ``(o − e)²/e`` is QUANTIZED to a BIGINT at 8dp first — integer
+    addition is order-free — and the integer total is divided back
+    once at the end. The statistic is therefore "chi-square with
+    8-decimal per-term quantization", bit-identical in any engine and
+    summation order; the 4dp report absorbs the quantization for any
+    realistic table.
+
+    Plan shape: one groupBy(cat, arm) count (map-side combinable),
+    two marginal rollups re-joined by broadcast, one metadata-sized
+    ordered window over the R×C cells."""
+    if n_arms < 2:
+        raise ValueError("n_arms must be >= 2")
+    cells = events.groupBy(
+        F.col(cat_col).alias("cat"),
+        F.pmod(F.col(user_col), F.lit(n_arms)).cast("int").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    rows = cells.groupBy("cat").agg(F.sum("n_obs").alias("_r"))
+    colt = cells.groupBy("arm").agg(F.sum("n_obs").alias("_c"))
+    tot = cells.agg(
+        F.sum("n_obs").alias("_n"),
+        F.count_distinct("cat").alias("_nr"),
+        F.count_distinct("arm").alias("_nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "cat")
+        .join(F.broadcast(colt), "arm")
+        .join(F.broadcast(tot))
+    )
+    e = (
+        F.col("_r").cast("double")
+        * F.col("_c").cast("double")
+        / F.col("_n").cast("double")
+    )
+    dev = F.col("n_obs").cast("double") - e
+    term_q = F.floor(dev * dev / e * F.lit(1e8) + F.lit(0.5)).cast("long")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi2 = F.sum(term_q).over(wall).cast("double") / F.lit(1e8)
+    return j.select(
+        "cat",
+        "arm",
+        "n_obs",
+        decimal_round(e, 4).alias("expected"),
+        decimal_round(chi2, 4).alias("chi2"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1))
+        .cast("long")
+        .alias("dof"),
+    ).orderBy("cat", "arm")

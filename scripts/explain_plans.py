@@ -945,6 +945,52 @@ def main() -> None:
         ),
     })
 
+    from crgp_spark.operators.coreness import onion_decomposition
+    from crgp_spark.operators.cusum import pettitt_test
+    from crgp_spark.operators.domset import dominating_set
+    from crgp_spark.operators.experiment import ks_test
+    from crgp_spark.operators.fiedler import fiedler_vector
+    from crgp_spark.operators.graphstats import scan_statistic
+    from crgp_spark.operators.triangles import four_cliques
+
+    _daily = (
+        events.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("t"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("t")
+        .agg(F.sum("c").alias("x"))
+    )
+    sections.update({
+        "Exact two-sample KS: per-user SUM monoid, value-level counts, "
+        "range-partitioned two-level prefix sum (no single-task window "
+        "on the data path), broadcast offset table, one final max":
+            ks_test(events),
+        "Pettitt change point: value-rank pass + series prefix sum — "
+        "both windows over the day grid, integer end to end":
+            pettitt_test(_daily),
+        "Ego-net scan statistic: degree aggregate + degeneracy-"
+        "oriented triangle pass, shuffle-hash state joins":
+            scan_statistic(spark, e_vid),
+        "4-clique counting: oriented wedge join -> triangle semi-join "
+        "-> extension join + two closing semi-joins, all degeneracy-"
+        "bounded": four_cliques(spark, e_vid)[1],
+        "Dominating set (one round shown): span aggregate over the "
+        "U-semi-joined edges, neighbor-comparison anti-join, coverage "
+        "semi-join": dominating_set(spark, e_vid, rounds=1),
+        "Fiedler bisection (one round shown): one groupBy(dst) "
+        "neighbor fold, two 1-row scalar folds (deflate mean, "
+        "max-rescale) via broadcast cross-join":
+            fiedler_vector(spark, e_vid, rounds=1),
+        "Onion peel (one round shown): degree aggregate over semi-"
+        "join-restricted edges, threshold ratchet as 1-row fold, "
+        "anti-join shrink": onion_decomposition(spark, e_vid, rounds=1),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
