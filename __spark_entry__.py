@@ -714,6 +714,48 @@ a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
     )
 
 
+def _sql_benford() -> str:
+    """Benford audit twin (operators/gini.py::benford_audit): the nine
+    expected probabilities as full-precision double literals (repr
+    round-trips to the identical IEEE double in both engines)."""
+    import math as _math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {_math.log10(1.0 + 1.0 / d)!r}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH px AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM events
+  WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) > 0
+),
+dg AS (SELECT CAST(SUBSTRING(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit
+       FROM px),
+cnt AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM dg GROUP BY digit),
+base AS (SELECT CAST(r.i + 1 AS INT) AS digit FROM RANGE(9) r(i)),
+cells AS (SELECT base.digit, COALESCE(cnt.n_obs, 0) AS n_obs
+          FROM base LEFT JOIN cnt ON cnt.digit = base.digit),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.digit, c.n_obs,
+         CAST(t.n AS DOUBLE) * (CASE c.digit {cases} END) AS e
+  FROM cells c, tot t
+),
+q AS (
+  SELECT digit, n_obs, e,
+         CAST(FLOOR((CAST(n_obs AS DOUBLE) - e)
+              * (CAST(n_obs AS DOUBLE) - e) / e * 100000000.0 + 0.5)
+              AS BIGINT) AS tq
+  FROM terms
+)
+SELECT digit, n_obs,
+       FLOOR(e * 10000.0 + 0.5) / 10000.0 AS expected,
+       FLOOR(CAST((SELECT SUM(tq) FROM q) AS DOUBLE) / 100000000.0
+             * 10000.0 + 0.5) / 10000.0 AS chi2
+FROM q ORDER BY digit"""
+
+
 def _sql_domset(rounds: int = 3) -> str:
     """Unrolled parallel-greedy dominating-set rounds
     (operators/domset.py): span = |N[v] ∩ U|, winners = strict local
@@ -5707,6 +5749,39 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini coefficient (operators/gini.py::
+    gini_coefficient) of per-user spend cents: partitioned rank
+    window, BIGINT moments, tie-order-invariant, one float division."""
+    from crgp_spark.operators.gini import gini_coefficient
+
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("g"),
+            F.col("user_id").alias("u"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("g", "u")
+        .agg(F.sum("c").alias("x"))
+    )
+    return gini_coefficient(per_user)
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/gini.py::benford_audit)
+    of event value cents: hard-coded Benford double literals (no
+    engine log), 8dp-quantized order-free chi-square fold."""
+    from crgp_spark.operators.gini import benford_audit
+
+    cents = _events(spark, sf_dir).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("x")
+    )
+    return benford_audit(cents)
+
+
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation (operators/rankcorr.py::
     spearman_rho) between each user's event count and total value
@@ -6688,6 +6763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion": q_onion,
         "spearman": q_spearman,
         "chi2": q_chi2,
+        "gini": q_gini,
+        "benford": q_benford,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7000,6 +7077,35 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # per-group Gini (gini.py): tie-invariant rank moments
+        "gini": """
+WITH pu AS (
+  SELECT event_type AS g, user_id AS u,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS BIGINT)
+           AS i
+  FROM pu
+),
+a AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(i * x) AS BIGINT) AS s2
+  FROM rk GROUP BY g
+)
+SELECT g, n, total, s2,
+       CASE WHEN total > 0 AND n > 0
+            THEN FLOOR(CAST(2 * s2 - (n + 1) * total AS DOUBLE)
+                 / CAST(n * total AS DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS gini
+FROM a ORDER BY g""",
+        # Benford first-digit audit (gini.py): literal expectations
+        "benford": _sql_benford(),
         # exact Spearman rho (rankcorr.py): doubled midranks, BIGINT
         # moments, one pinned float expression
         "spearman": """
