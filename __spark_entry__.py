@@ -5749,6 +5749,55 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules (operators/assoc.py::
+    association_rules) over user event-type baskets: BIGINT
+    support/item counts from a basket-local self-join, pinned float
+    ratios at 6dp."""
+    from crgp_spark.operators.assoc import association_rules
+
+    return association_rules(_events(spark, sf_dir))
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (operators/regress.py::mann_kendall)
+    on the daily value-cents series: exact S from the grid pair fold,
+    tie-corrected var18, continuity-corrected z — theil_sen's
+    significance companion."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.regress import mann_kendall
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            ts_micros("ts").alias("_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .selectExpr("_us div 86400000000 AS t", "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("x"))
+    )
+    return mann_kendall(daily)
+
+
+def q_stream_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi-square independence under the hard gate
+    (streaming/windows.py::stream_chi2_test): contingency cells
+    folded in the streaming state store across capped micro-batches —
+    a per-key SUM monoid, so the oracle is the SAME SQL as the batch
+    `chi2` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_chi2_test
+
+    work = "/tmp/crgp_stream_chi2"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "user_id").write.parquet(work)
+    return stream_chi2_test(spark, work, max_files_per_trigger=2)
+
+
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Gini coefficient (operators/gini.py::
     gini_coefficient) of per-user spend cents: partitioned rank
@@ -6765,6 +6814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2": q_chi2,
         "gini": q_gini,
         "benford": q_benford,
+        "assoc": q_assoc,
+        "mann_kendall": q_mann_kendall,
+        "stream_chi2": q_stream_chi2,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7077,6 +7129,68 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # pairwise association rules (assoc.py): basket self-join
+        "assoc": """
+WITH bk AS (SELECT DISTINCT user_id AS u, event_type AS item
+            FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM bk),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+       FROM bk GROUP BY item),
+p AS (
+  SELECT l.item AS a, r.item AS b2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM bk l JOIN bk r ON l.u = r.u AND l.item < r.item
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b2 AS b, p.n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       FLOOR(CAST(n_ab AS DOUBLE) / CAST(nu.n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS support,
+       FLOOR(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS conf_ab,
+       FLOOR(CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS conf_ba,
+       FLOOR(CAST(nu.n AS DOUBLE) * CAST(n_ab AS DOUBLE)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM p JOIN ic ia ON ia.item = p.a JOIN ic ib ON ib.item = p.b2, nu
+ORDER BY a, b""",
+        # Mann-Kendall trend test (regress.py): grid pair fold
+        "mann_kendall": """
+WITH s AS (
+  SELECT EPOCH_US(ts) // 86400000000 AS t,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM events GROUP BY 1
+),
+sv AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s
+  FROM s a JOIN s b ON a.t < b.t
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+ti AS (
+  SELECT CAST(COALESCE(SUM(g * (g - 1) * (2 * g + 5)), 0) AS BIGINT)
+           AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM s GROUP BY x)
+),
+j AS (
+  SELECT nn.n, sv.s,
+         CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ti.tie18 AS BIGINT)
+           AS var18
+  FROM nn, sv, ti
+)
+SELECT n, s, var18,
+       CASE WHEN var18 > 0 AND s > 0
+            THEN FLOOR(CAST(s - 1 AS DOUBLE)
+                 / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                 * 1000000.0 + 0.5) / 1000000.0
+            WHEN var18 > 0 AND s < 0
+            THEN FLOOR(CAST(s + 1 AS DOUBLE)
+                 / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS z
+FROM j""",
         # per-group Gini (gini.py): tie-invariant rank moments
         "gini": """
 WITH pu AS (
@@ -10135,6 +10249,8 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     # stream==batch: per-user SUM-monoid state drains to the same
     # per-user totals, so the oracle IS the batch KS SQL
     d["stream_ks"] = d["ks_test"]
+    # stream==batch: contingency-cell SUM monoid — batch chi2 SQL
+    d["stream_chi2"] = d["chi2"]
     # stream==batch: bucket-count SUM monoids (stream_calibration)
     d["stream_calibration"] = d["calibration"]
     # the count-min grid is a commutative monoid: the grid drained from

@@ -301,6 +301,15 @@ def chi2_independence(
         F.col(cat_col).alias("cat"),
         F.pmod(F.col(user_col), F.lit(n_arms)).cast("int").alias("arm"),
     ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return chi2_from_cells(cells)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """The statistic from an already-counted ``(cat, arm, n_obs)``
+    contingency table — split out so the streaming path
+    (``streaming/windows.py::stream_chi2_test``), whose state store
+    maintains exactly these cell counts as a per-key SUM monoid,
+    folds into the identical statistic (stream == batch contract)."""
     rows = cells.groupBy("cat").agg(F.sum("n_obs").alias("_r"))
     colt = cells.groupBy("arm").agg(F.sum("n_obs").alias("_c"))
     tot = cells.agg(

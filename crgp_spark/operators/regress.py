@@ -229,3 +229,78 @@ def theil_sen(
             F.col("med_resid").alias("intercept"),
         )
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall trend test over an ordered series with unique
+    ``t_col``: one row ``(n, s, var18, z)`` where
+
+        S     = Σ_{i<j} sgn(x_j − x_i)                     (BIGINT)
+        var18 = n(n−1)(2n+5) − Σ_ties g(g−1)(2g+5)         (BIGINT;
+                Var(S) = var18/18, the Kendall tie correction)
+        z     = (S∓1)/sqrt(var18/18)  (continuity-corrected, 0 at S=0)
+
+    — the nonparametric "is there a monotone trend" companion to
+    ``theil_sen`` (which estimates the slope this test scores). S is
+    an exact pair fold over the series GRID (one self-join with
+    ``t_i < t_j``): quadratic in grid length, which is the metadata-
+    sized daily/hourly axis, never event volume — the same posture as
+    ``theil_sen``'s pair median. The only float math is the one pinned
+    sqrt/division expression at 6dp."""
+    a = series.select(
+        F.col(t_col).alias("_ta"), F.col(x_col).alias("_xa")
+    )
+    b = series.select(
+        F.col(t_col).alias("_tb"), F.col(x_col).alias("_xb")
+    )
+    s_df = (
+        a.join(b, F.col("_ta") < F.col("_tb"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("_xb") - F.col("_xa")).cast("double")
+                ).cast("long")
+            ).alias("s")
+        )
+        .select(F.coalesce("s", F.lit(0)).alias("s"))
+    )
+    nn = series.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        series.groupBy(x_col)
+        .agg(F.count(F.lit(1)).alias("g"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("g")
+                    * (F.col("g") - 1)
+                    * (2 * F.col("g") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie18")
+        )
+    )
+    j = nn.join(F.broadcast(s_df)).join(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie18")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    from crgp_spark.functions import decimal_round
+
+    return j.select(
+        "n",
+        "s",
+        var18.alias("var18"),
+        decimal_round(
+            F.when(var18 > 0, z).otherwise(F.lit(0.0)), 6
+        ).alias("z"),
+    )

@@ -602,3 +602,50 @@ def stream_ks_test(
     from crgp_spark.operators.experiment import ks_from_user_totals
 
     return ks_from_user_totals(spark.table(name))
+
+
+def stream_chi2_test(
+    spark: SparkSession,
+    in_dir: str,
+    cat_col: str = "event_type",
+    user_col: str = "user_id",
+    n_arms: int = 2,
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming chi-square independence test — the ``(cat, arm)``
+    contingency cell counts of ``operators/experiment.py::
+    chi2_independence`` maintained in the streaming aggregation state
+    store (a per-key SUM monoid, R×C rows of state — constant in
+    stream length), then folded to the statistic by the shared
+    ``chi2_from_cells`` tail. Drained cells are independent of
+    micro-batch slicing, so the statistic is bit-identical to batch at
+    any trigger cadence: the module's stream==batch contract,
+    certified by the SAME oracle as the batch ``chi2`` entry."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    grouped = stream.groupBy(
+        F.col(cat_col).alias("cat"),
+        F.pmod(F.col(user_col), F.lit(n_arms)).cast("int").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    name = f"chi2_{uuid.uuid4().hex[:8]}"
+    q = (
+        grouped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from crgp_spark.operators.experiment import chi2_from_cells
+
+    # chi2_from_cells self-joins its input (marginals x cells); the
+    # memory-sink view trips Spark's conflicting-reference resolution
+    # under that shape, so rehydrate the R x C cell table with fresh
+    # lineage — it is vocabulary-sized state (the k-means O(k·dim)
+    # driver-state posture), never data-sized
+    drained = spark.table(name)
+    cells = spark.createDataFrame(drained.collect(), drained.schema)
+    return chi2_from_cells(cells)
