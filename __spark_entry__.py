@@ -714,6 +714,97 @@ a{r} AS MATERIALIZED (SELECT v FROM a{p} EXCEPT SELECT v FROM w{r}
     )
 
 
+def _sql_lnq(expr: str) -> str:
+    """SQL twin of ``textstats._lnq``: ln quantized to BIGINT
+    micro-nats."""
+    return (
+        f"CAST(FLOOR(LN(CAST({expr} AS DOUBLE)) * 1000000 + 0.5)"
+        " AS BIGINT)"
+    )
+
+
+def _sql_mutual_info() -> str:
+    """Quantized-ln MI + NMI twin (operators/infotheory.py)."""
+    return f"""
+WITH cells AS (
+  SELECT event_type AS x, CAST(user_id % 2 AS INT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+g AS (
+  SELECT MAX(t.n) AS n,
+         CAST(SUM(c.nxy * ({_sql_lnq('t.n * c.nxy')}
+              - {_sql_lnq('mx.nx * my.ny')})) AS BIGINT) AS mi_scaled
+  FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y, t
+),
+hx AS (
+  SELECT CAST(MAX(t.n * {_sql_lnq('t.n')})
+         - SUM(nx * {_sql_lnq('nx')}) AS BIGINT) AS hx_scaled
+  FROM mx, t
+),
+hy AS (
+  SELECT CAST(MAX(t.n * {_sql_lnq('t.n')})
+         - SUM(ny * {_sql_lnq('ny')}) AS BIGINT) AS hy_scaled
+  FROM my, t
+)
+SELECT g.n, g.mi_scaled, hx.hx_scaled, hy.hy_scaled,
+       FLOOR(CAST(g.mi_scaled AS DOUBLE)
+             / (CAST(g.n AS DOUBLE) * 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS mi,
+       CASE WHEN hx.hx_scaled > 0 AND hy.hy_scaled > 0
+            THEN FLOOR(CAST(g.mi_scaled AS DOUBLE)
+                 / SQRT(CAST(hx.hx_scaled AS DOUBLE)
+                        * CAST(hy.hy_scaled AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS nmi
+FROM g, hx, hy"""
+
+
+def _sql_jsd() -> str:
+    """Quantized-ln Jensen-Shannon twin (operators/infotheory.py)."""
+    return f"""WITH {_SQL_SHINGLES},
+tok AS (SELECT t.doc_id, UNNEST(t.tk) AS term FROM tk t
+        WHERE LEN(t.tk) > 0),
+sided AS (
+  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS side, tok.term
+  FROM tok JOIN documents d ON d.doc_id = tok.doc_id
+),
+tf AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS b
+  FROM sided GROUP BY term
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb FROM tf),
+g AS (
+  SELECT t.na, t.nb,
+         CAST(SUM(CASE WHEN a > 0
+              THEN a * ({_sql_lnq('2 * a * t.nb')}
+                   - {_sql_lnq('a * t.nb + b * t.na')})
+              ELSE 0 END) AS BIGINT) AS sa_scaled,
+         CAST(SUM(CASE WHEN b > 0
+              THEN b * ({_sql_lnq('2 * b * t.na')}
+                   - {_sql_lnq('a * t.nb + b * t.na')})
+              ELSE 0 END) AS BIGINT) AS sb_scaled
+  FROM tf, t GROUP BY t.na, t.nb
+)
+SELECT na AS n_a, nb AS n_b, sa_scaled, sb_scaled,
+       CASE WHEN na > 0 AND nb > 0
+            THEN FLOOR((CAST(sa_scaled AS DOUBLE)
+                 / (2000000.0 * CAST(na AS DOUBLE))
+                 + CAST(sb_scaled AS DOUBLE)
+                 / (2000000.0 * CAST(nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS jsd
+FROM g"""
+
+
 def _sql_benford() -> str:
     """Benford audit twin (operators/gini.py::benford_audit): the nine
     expected probabilities as full-precision double literals (repr
@@ -5749,6 +5840,30 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + NMI (operators/infotheory.py::
+    mutual_information) between event_type and experiment arm:
+    quantized-ln BIGINT folds, two pinned float expressions — the
+    effect-size companion to the chi2 entry."""
+    from crgp_spark.operators.infotheory import mutual_information
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+    )
+    return mutual_information(ev, "event_type", "arm")
+
+
+def q_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (infotheory.py::js_divergence)
+    between the en and non-en corpora's unigram distributions:
+    all-integer lnq arguments via the 2aB/(aB+bA) identity, three
+    pinned float ops."""
+    from crgp_spark.operators.infotheory import js_divergence
+
+    return js_divergence(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 def q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules (operators/assoc.py::
     association_rules) over user event-type baskets: BIGINT
@@ -6817,6 +6932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc": q_assoc,
         "mann_kendall": q_mann_kendall,
         "stream_chi2": q_stream_chi2,
+        "mutual_info": q_mutual_info,
+        "jsd": q_jsd,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7129,6 +7246,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # quantized-ln MI + NMI (infotheory.py)
+        "mutual_info": _sql_mutual_info(),
+        # quantized-ln Jensen-Shannon divergence (infotheory.py)
+        "jsd": _sql_jsd(),
         # pairwise association rules (assoc.py): basket self-join
         "assoc": """
 WITH bk AS (SELECT DISTINCT user_id AS u, event_type AS item
