@@ -5840,6 +5840,37 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (infotheory.py::psi) of the value-
+    cent bucket (500-cent bins) distribution, pre vs post Jan-4:
+    all-integer lnq folds, +1 smoothing, two pinned divisions."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.infotheory import psi
+
+    b = (
+        _events(spark, sf_dir)
+        .select(
+            ts_micros("ts").alias("_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .selectExpr("_us div 86400000000 AS day", "c div 500 AS bucket")
+    )
+    return psi(
+        b.filter(F.col("day") < 19726),
+        b.filter(F.col("day") >= 19726),
+    )
+
+
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (experiment.py::did_estimate) at the
+    Jan-4 split: four exact cent-sum cells, five pinned divisions."""
+    from crgp_spark.operators.experiment import did_estimate
+
+    return did_estimate(_events(spark, sf_dir), split_day=19726)
+
+
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information + NMI (operators/infotheory.py::
     mutual_information) between event_type and experiment arm:
@@ -6934,6 +6965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_chi2": q_stream_chi2,
         "mutual_info": q_mutual_info,
         "jsd": q_jsd,
+        "psi": q_psi,
+        "did": q_did,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7246,6 +7279,80 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # quantized-ln PSI (infotheory.py): +1-smoothed buckets
+        "psi": f"""
+WITH b AS (
+  SELECT EPOCH_US(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 500 AS bucket
+  FROM events
+),
+ba AS (SELECT bucket AS k, CAST(COUNT(*) AS BIGINT) AS a0
+       FROM b WHERE day < 19726 GROUP BY bucket),
+bc AS (SELECT bucket AS k, CAST(COUNT(*) AS BIGINT) AS b0
+       FROM b WHERE day >= 19726 GROUP BY bucket),
+cells AS (
+  SELECT COALESCE(ba.k, bc.k) AS k,
+         CAST(COALESCE(ba.a0, 0) + 1 AS BIGINT) AS a,
+         CAST(COALESCE(bc.b0, 0) + 1 AS BIGINT) AS b
+  FROM ba FULL OUTER JOIN bc ON bc.k = ba.k
+),
+t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb FROM cells),
+g AS (
+  SELECT t.na, t.nb,
+         CAST(SUM(a * ({_sql_lnq('a * t.nb')}
+              - {_sql_lnq('b * t.na')})) AS BIGINT) AS sa_scaled,
+         CAST(SUM(b * ({_sql_lnq('a * t.nb')}
+              - {_sql_lnq('b * t.na')})) AS BIGINT) AS sb_scaled
+  FROM cells, t GROUP BY t.na, t.nb
+)
+SELECT na AS n_base, nb AS n_cur, sa_scaled, sb_scaled,
+       FLOOR((CAST(sa_scaled AS DOUBLE)
+              / (1000000.0 * CAST(na AS DOUBLE))
+              - CAST(sb_scaled AS DOUBLE)
+              / (1000000.0 * CAST(nb AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM g""",
+        # difference-in-differences (experiment.py::did_estimate)
+        "did": """
+WITH b AS (
+  SELECT user_id AS u, EPOCH_US(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+pa AS (
+  SELECT CAST(u % 2 AS INT) AS arm,
+         CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN day < 19726 THEN c ELSE 0 END) AS BIGINT)
+           AS pre_c,
+         CAST(SUM(CASE WHEN day >= 19726 THEN c ELSE 0 END) AS BIGINT)
+           AS post_c
+  FROM b GROUP BY 1
+),
+j AS (
+  SELECT (SELECT n_users FROM pa WHERE arm = 0) AS n0,
+         (SELECT pre_c FROM pa WHERE arm = 0) AS pre0_c,
+         (SELECT post_c FROM pa WHERE arm = 0) AS post0_c,
+         (SELECT n_users FROM pa WHERE arm = 1) AS n1,
+         (SELECT pre_c FROM pa WHERE arm = 1) AS pre1_c,
+         (SELECT post_c FROM pa WHERE arm = 1) AS post1_c
+)
+SELECT n0, n1,
+       FLOOR(CAST(pre0_c AS DOUBLE) / (100.0 * CAST(n0 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS pre0,
+       FLOOR(CAST(post0_c AS DOUBLE) / (100.0 * CAST(n0 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS post0,
+       FLOOR(CAST(pre1_c AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS pre1,
+       FLOOR(CAST(post1_c AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS post1,
+       FLOOR(((CAST(post1_c AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE))
+               - CAST(pre1_c AS DOUBLE) / (100.0 * CAST(n1 AS DOUBLE)))
+              - (CAST(post0_c AS DOUBLE) / (100.0 * CAST(n0 AS DOUBLE))
+                 - CAST(pre0_c AS DOUBLE)
+                   / (100.0 * CAST(n0 AS DOUBLE))))
+             * 10000.0 + 0.5) / 10000.0 AS did
+FROM j""",
         # quantized-ln MI + NMI (infotheory.py)
         "mutual_info": _sql_mutual_info(),
         # quantized-ln Jensen-Shannon divergence (infotheory.py)

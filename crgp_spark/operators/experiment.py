@@ -343,3 +343,71 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dof"),
     ).orderBy("cat", "arm")
+
+
+def did_estimate(
+    events: DataFrame,
+    split_day: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences readout: arm 1 = treated, arm 0 =
+    control (``pmod(user, 2)``), periods split at epoch-day
+    ``split_day``. One row
+
+        (n0, n1, pre0, post0, pre1, post1, did)
+
+    with the four cell means in dollars at 4dp and
+
+        did = (post1 − pre1) − (post0 − pre0)
+
+    computed from exact integer cent sums and distinct-user counts;
+    the five float expressions are pinned-order divisions of exact
+    integers (the ``cuped_summary`` contract). The classic
+    quasi-experimental estimate when assignment isn't random."""
+    from crgp_spark.functions import ts_micros
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        ts_micros(ts_col).alias("_us"),
+        cents.alias("c"),
+    ).selectExpr("u", f"_us div {_DAY_US} AS day", "c")
+    per_arm = base.groupBy(
+        F.pmod(F.col("u"), F.lit(2)).cast("int").alias("arm")
+    ).agg(
+        F.count_distinct("u").alias("n_users"),
+        F.sum(
+            F.when(F.col("day") < split_day, F.col("c")).otherwise(0)
+        ).alias("pre_c"),
+        F.sum(
+            F.when(F.col("day") >= split_day, F.col("c")).otherwise(0)
+        ).alias("post_c"),
+    )
+    a0 = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"),
+        F.col("pre_c").alias("pre0_c"),
+        F.col("post_c").alias("post0_c"),
+    )
+    a1 = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"),
+        F.col("pre_c").alias("pre1_c"),
+        F.col("post_c").alias("post1_c"),
+    )
+    j = a0.join(F.broadcast(a1))
+    mean = lambda c, n: F.col(c).cast("double") / (  # noqa: E731
+        F.lit(100.0) * F.col(n).cast("double")
+    )
+    did = (mean("post1_c", "n1") - mean("pre1_c", "n1")) - (
+        mean("post0_c", "n0") - mean("pre0_c", "n0")
+    )
+    return j.select(
+        "n0",
+        "n1",
+        decimal_round(mean("pre0_c", "n0"), 4).alias("pre0"),
+        decimal_round(mean("post0_c", "n0"), 4).alias("post0"),
+        decimal_round(mean("pre1_c", "n1"), 4).alias("pre1"),
+        decimal_round(mean("post1_c", "n1"), 4).alias("post1"),
+        decimal_round(did, 4).alias("did"),
+    )

@@ -181,3 +181,62 @@ def js_divergence(
             6,
         ).alias("jsd"),
     )
+
+
+def psi(
+    base: DataFrame,
+    current: DataFrame,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Population stability index between a baseline and a current
+    bucketed distribution — the model-monitoring drift alarm
+    (PSI < 0.1 stable, > 0.25 shifted):
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    With integer bucket counts ``a_i`` (base, total A) and ``b_i``
+    (current, total B): ``ln(p/q) = ln(a·B) − ln(b·A)`` — all-integer
+    lnq arguments — and the weighted sum splits into two exact BIGINT
+    folds ``Σ a·Δlnq`` and ``Σ b·Δlnq`` combined with two pinned
+    divisions. Buckets missing on either side get the standard +1
+    count smoothing (documented, part of the definition here — PSI is
+    undefined at zero mass). Returns one row
+    ``(n_base, n_cur, sa_scaled, sb_scaled, psi)``."""
+    a = base.groupBy(F.col(bucket_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("a0")
+    )
+    b = current.groupBy(F.col(bucket_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("b0")
+    )
+    cells = (
+        a.join(b, "k", "full")
+        .select(
+            "k",
+            (F.coalesce("a0", F.lit(0)) + F.lit(1)).alias("a"),
+            (F.coalesce("b0", F.lit(0)) + F.lit(1)).alias("b"),
+        )
+    )
+    tot = cells.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    j = cells.join(F.broadcast(tot))
+    dln = _lnq(F.col("a") * F.col("nb")) - _lnq(
+        F.col("b") * F.col("na")
+    )
+    g = j.agg(
+        F.max("na").alias("n_base"),
+        F.max("nb").alias("n_cur"),
+        F.sum(F.col("a") * dln).cast("long").alias("sa_scaled"),
+        F.sum(F.col("b") * dln).cast("long").alias("sb_scaled"),
+    )
+    val = (
+        F.col("sa_scaled").cast("double")
+        / (F.lit(1e6) * F.col("n_base").cast("double"))
+        - F.col("sb_scaled").cast("double")
+        / (F.lit(1e6) * F.col("n_cur").cast("double"))
+    )
+    return g.select(
+        "n_base",
+        "n_cur",
+        "sa_scaled",
+        "sb_scaled",
+        decimal_round(val, 6).alias("psi"),
+    )
