@@ -5840,6 +5840,35 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (operators/survival.py::
+    kaplan_meier): per-user activity span as duration, censored when
+    still active within 2 days of the window end; integer-exact on
+    the quantized-log scale (exp left to the caller)."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.survival import kaplan_meier
+
+    days = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("u"), ts_micros("ts").alias("_us")
+        )
+        .selectExpr("u", "_us div 86400000000 AS day")
+    )
+    pu = days.groupBy("u").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    gm = pu.agg(F.max("ld").alias("gmax"))
+    subj = pu.join(F.broadcast(gm)).select(
+        (F.col("ld") - F.col("fd") + 1).cast("long").alias("dur"),
+        F.when(F.col("ld") >= F.col("gmax") - 2, 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("ev"),
+    )
+    return kaplan_meier(subj)
+
+
 def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stability index (infotheory.py::psi) of the value-
     cent bucket (500-cent bins) distribution, pre vs post Jan-4:
@@ -6967,6 +6996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd": q_jsd,
         "psi": q_psi,
         "did": q_did,
+        "kaplan_meier": q_kaplan_meier,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7279,6 +7309,46 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # Kaplan-Meier on the quantized-log scale (survival.py)
+        "kaplan_meier": f"""
+WITH b AS (
+  SELECT user_id AS u, EPOCH_US(ts) // 86400000000 AS day FROM events
+),
+pu AS (SELECT u, MIN(day) AS fd, MAX(day) AS ld FROM b GROUP BY u),
+gm AS (SELECT MAX(ld) AS gmax FROM pu),
+subj AS (
+  SELECT CAST(ld - fd + 1 AS BIGINT) AS dur,
+         CASE WHEN ld >= gm.gmax - 2 THEN 0 ELSE 1 END AS ev
+  FROM pu, gm
+),
+durs AS (
+  SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj GROUP BY dur
+),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM durs),
+risk AS (
+  SELECT t, d_events, c_censored,
+         CAST(tot.n - COALESCE(SUM(m) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM durs, tot
+),
+curve AS (
+  SELECT t, n_risk, d_events, c_censored,
+         CAST(SUM(CASE WHEN d_events > 0 AND n_risk > d_events
+              THEN {_sql_lnq('n_risk - d_events')}
+                   - {_sql_lnq('n_risk')}
+              ELSE 0 END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS lns,
+         MAX(CASE WHEN n_risk <= d_events THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS z
+  FROM risk
+)
+SELECT t, n_risk, d_events, c_censored,
+       CASE WHEN z = 1 THEN NULL ELSE lns END AS lns_scaled
+FROM curve ORDER BY t""",
         # quantized-ln PSI (infotheory.py): +1-smoothed buckets
         "psi": f"""
 WITH b AS (
