@@ -5840,6 +5840,15 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent MLE (graphstats.py::powerlaw_alpha) of the
+    influence graph's degree tail (deg >= 2): quantized-ln BIGINT
+    denominator, one pinned float expression."""
+    from crgp_spark.operators.graphstats import powerlaw_alpha
+
+    return powerlaw_alpha(_edges_vid(spark, sf_dir), d_min=2)
+
+
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention curve (operators/survival.py::
     kaplan_meier): per-user activity span as duration, censored when
@@ -6997,6 +7006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi": q_psi,
         "did": q_did,
         "kaplan_meier": q_kaplan_meier,
+        "powerlaw": q_powerlaw,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7309,6 +7319,30 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # degree-tail power-law MLE (graphstats.py::powerlaw_alpha)
+        "powerlaw": f"""
+WITH {_SQL_EVID},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (
+  SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS vid FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY vid
+),
+tail AS (SELECT deg FROM deg WHERE deg >= 2),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+         CAST(COALESCE(SUM({_sql_lnq('deg')}
+              - {_sql_lnq('2')}), 0) AS BIGINT) AS denom_scaled
+  FROM tail
+)
+SELECT n_tail, CAST(2 AS BIGINT) AS d_min, denom_scaled,
+       CASE WHEN denom_scaled > 0
+            THEN FLOOR((1.0 + CAST(n_tail AS DOUBLE) * 1000000.0
+                 / CAST(denom_scaled AS DOUBLE)) * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS alpha
+FROM g""",
         # Kaplan-Meier on the quantized-log scale (survival.py)
         "kaplan_meier": f"""
 WITH b AS (

@@ -1391,6 +1391,111 @@ def main() -> None:
     timed("ks_test", lambda: ks_test(events).count())
     timed("chi2", lambda: chi2_independence(events).count())
 
+    from crgp_spark.operators.assoc import association_rules
+    from crgp_spark.operators.experiment import did_estimate
+    from crgp_spark.operators.gini import benford_audit, gini_coefficient
+    from crgp_spark.operators.infotheory import (
+        js_divergence,
+        mutual_information,
+        psi,
+    )
+    from crgp_spark.operators.regress import mann_kendall
+    from crgp_spark.operators.survival import kaplan_meier
+
+    timed("assoc", lambda: association_rules(events).count())
+    timed("did", lambda: did_estimate(events, split_day=19726).count())
+
+    def _gini_cell():
+        per_user = (
+            events.select(
+                F.col("event_type").alias("g"),
+                F.col("user_id").alias("u"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("g", "u")
+            .agg(F.sum("c").alias("x"))
+        )
+        return gini_coefficient(per_user).count()
+
+    timed("gini", _gini_cell)
+    timed(
+        "benford",
+        lambda: benford_audit(
+            events.select(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("x")
+            )
+        ).count(),
+    )
+    timed(
+        "mutual_info",
+        lambda: mutual_information(
+            events.select(
+                "event_type",
+                F.pmod(F.col("user_id"), F.lit(2))
+                .cast("int")
+                .alias("arm"),
+            ),
+            "event_type",
+            "arm",
+        ).count(),
+    )
+    timed(
+        "jsd",
+        lambda: js_divergence(docs, F.col("lang") == "en").count(),
+    )
+
+    def _psi_cell():
+        b = (
+            events.select(
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP))"
+                    " div 86400000000"
+                ).alias("day"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .selectExpr("day", "c div 500 AS bucket")
+        )
+        return psi(
+            b.filter(F.col("day") < 19726),
+            b.filter(F.col("day") >= 19726),
+        ).count()
+
+    timed("psi", _psi_cell)
+
+    def _mk_cell():
+        d = _daily().groupBy("day").agg(F.sum("x").alias("x"))
+        return mann_kendall(d, t_col="day", x_col="x").count()
+
+    timed("mann_kendall", _mk_cell)
+
+    def _km_cell():
+        days = events.select(
+            F.col("user_id").alias("u"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        pu = days.groupBy("u").agg(
+            F.min("day").alias("fd"), F.max("day").alias("ld")
+        )
+        gm = pu.agg(F.max("ld").alias("gmax"))
+        subj = pu.join(F.broadcast(gm)).select(
+            (F.col("ld") - F.col("fd") + 1).cast("long").alias("dur"),
+            F.when(F.col("ld") >= F.col("gmax") - 2, 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("ev"),
+        )
+        return kaplan_meier(subj).count()
+
+    timed("kaplan_meier", _km_cell)
+
     def _spearman_cell():
         per_user = (
             events.select(

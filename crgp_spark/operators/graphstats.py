@@ -404,3 +404,72 @@ def scan_statistic(spark, edges: DataFrame) -> DataFrame:
             (F.col("deg") + F.col("triangles")).alias("scan1"),
         )
     )
+
+
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """Discrete power-law exponent MLE (Clauset-Shalizi-Newman 2009 /
+    Hill estimator) over the symmetrized degree distribution's tail
+    ``deg ≥ d_min``:
+
+        alpha = 1 + n_tail / Σ ln(deg_i / d_min)
+
+    On the quantized-ln contract: ``denom_scaled = Σ (lnq(deg) −
+    lnq(d_min))`` is an exact BIGINT, and ``alpha`` is one pinned
+    float expression — the "is this graph scale-free, and how heavy is
+    the hub tail" readout that decides whether the salted-hub
+    machinery (``pack.py``, ``cascade.py`` replicas) is load-bearing
+    for a given edge table. Returns one row ``(n_tail, d_min,
+    denom_scaled, alpha)``; ``alpha`` 0.0 when the tail is empty or
+    degenerate (every tail degree equals ``d_min``)."""
+    from crgp_spark.operators.textstats import _lnq
+
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    und = _undirected_pairs(edges)
+    deg = (
+        und.select(F.col("a").alias("vid"))
+        .unionByName(und.select(F.col("b").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= d_min)
+    )
+    g = deg.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(_lnq(F.col("deg")) - F.lit(_lnq_int(d_min)))
+        .cast("long")
+        .alias("denom_scaled"),
+    )
+    alpha = F.when(
+        F.col("denom_scaled") > 0,
+        F.lit(1.0)
+        + F.col("n_tail").cast("double")
+        * F.lit(1e6)
+        / F.col("denom_scaled").cast("double"),
+    ).otherwise(F.lit(0.0))
+    from crgp_spark.functions import decimal_round
+
+    return g.select(
+        F.coalesce("n_tail", F.lit(0)).alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.coalesce("denom_scaled", F.lit(0)).alias("denom_scaled"),
+        decimal_round(alpha, 6).alias("alpha"),
+    )
+
+
+def _lnq_int(x: int, scale: int = 1_000_000) -> int:
+    """Python-side ``_lnq`` of a constant (embedded as a literal so
+    the oracle can embed the identical integer)."""
+    import math
+
+    return math.floor(math.log(x) * scale + 0.5)
+
+
+def _undirected_pairs(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )

@@ -991,6 +991,60 @@ def main() -> None:
         "anti-join shrink": onion_decomposition(spark, e_vid, rounds=1),
     })
 
+    from crgp_spark.operators.assoc import association_rules
+    from crgp_spark.operators.experiment import chi2_independence
+    from crgp_spark.operators.gini import gini_coefficient
+    from crgp_spark.operators.infotheory import js_divergence
+    from crgp_spark.operators.rankcorr import spearman_rho
+    from crgp_spark.operators.survival import kaplan_meier
+
+    _per_user_xy = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("c").alias("y"))
+    )
+    _subj = (
+        events.select(
+            F.col("user_id").alias("u"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("u")
+        .agg(F.min("day").alias("fd"), F.max("day").alias("ld"))
+        .select(
+            (F.col("ld") - F.col("fd") + 1).cast("long").alias("dur"),
+            F.lit(1).cast("int").alias("ev"),
+        )
+    )
+    sections.update({
+        "Spearman rho: two value-level rank passes (range-partitioned "
+        "prefix sums), one six-moment BIGINT aggregate":
+            spearman_rho(_per_user_xy),
+        "Chi-square independence: one cell groupBy, broadcast "
+        "marginals, 8dp-quantized order-free integer fold":
+            chi2_independence(events),
+        "Per-group Gini: partitioned rank window + BIGINT moment "
+        "aggregate, no global sort": gini_coefficient(
+            _per_user_xy.select(
+                F.lit("all").alias("g"), F.col("y").alias("x")
+            )
+        ),
+        "Association rules: basket-local self-join bounded by "
+        "vocabulary size, broadcast item counts":
+            association_rules(events),
+        "Jensen-Shannon divergence: one vocabulary groupBy, "
+        "quantized-ln BIGINT folds, 1-row combine":
+            js_divergence(docs, F.col("lang") == "en"),
+        "Kaplan-Meier: per-subject aggregate then duration-grid "
+        "windows only": kaplan_meier(_subj),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
