@@ -5840,6 +5840,19 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness (operators/components.py::
+    bipartite_check): exact components + undirected BFS parity + one
+    conflict-edge join; odd_edges counts how far from 2-colorable.
+    Oracle roots at the per-conversation minimum — the identity the
+    hash-green components oracle certifies for this input."""
+    from crgp_spark.operators.components import bipartite_check
+
+    return bipartite_check(
+        spark, _edges_vid(spark, sf_dir), _graph_cfg(), max_iterations=100
+    )
+
+
 def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-law exponent MLE (graphstats.py::powerlaw_alpha) of the
     influence graph's degree tail (deg >= 2): quantized-ln BIGINT
@@ -7007,6 +7020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did": q_did,
         "kaplan_meier": q_kaplan_meier,
         "powerlaw": q_powerlaw,
+        "bipartite": q_bipartite,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7319,6 +7333,44 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # per-component bipartiteness (components.py::bipartite_check)
+        "bipartite": f"""WITH RECURSIVE {_SQL_EVID},
+verts AS (SELECT DISTINCT vid FROM
+          (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+       GREATEST(src, dst) AS v FROM e WHERE src <> dst),
+sym AS MATERIALIZED (SELECT u, v FROM und
+       UNION ALL SELECT v AS u, u AS v FROM und),
+comp AS (SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000)
+           AS component FROM verts),
+roots AS (SELECT DISTINCT component AS vid FROM comp),
+bfs AS (
+  SELECT vid, 0 AS d FROM roots
+  UNION
+  SELECT s.v AS vid, b.d + 1 AS d FROM bfs b
+  JOIN sym s ON s.u = b.vid WHERE b.d < 100
+),
+dist AS (SELECT vid, CAST(MIN(d) AS BIGINT) AS dist
+         FROM bfs GROUP BY vid),
+ed AS (
+  SELECT c.component,
+         CASE WHEN (da.dist + db.dist) % 2 = 0 THEN 1 ELSE 0 END
+           AS odd
+  FROM und JOIN dist da ON da.vid = und.u
+  JOIN dist db ON db.vid = und.v
+  JOIN comp c ON c.vid = und.u
+),
+er AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(SUM(odd) AS BIGINT) AS odd_edges
+       FROM ed GROUP BY component),
+vr AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       FROM comp GROUP BY component)
+SELECT vr.component, vr.n_vertices,
+       COALESCE(er.n_edges, 0) AS n_edges,
+       COALESCE(er.odd_edges, 0) AS odd_edges,
+       COALESCE(er.odd_edges, 0) = 0 AS bipartite
+FROM vr LEFT JOIN er ON er.component = vr.component
+ORDER BY vr.component""",
         # degree-tail power-law MLE (graphstats.py::powerlaw_alpha)
         "powerlaw": f"""
 WITH {_SQL_EVID},

@@ -176,3 +176,81 @@ def connected_components(
         F.min("component").alias("component")
     )
     return out
+
+
+def bipartite_check(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Per-component bipartiteness: ``(component, n_vertices, n_edges,
+    odd_edges, bipartite)`` over the undirected simple graph.
+
+    A component is bipartite iff a 2-coloring exists iff NO edge joins
+    two vertices at the same BFS-parity from any fixed root — so the
+    test is: exact min-vid components (this module), one undirected
+    multi-source BFS from each component's root (``bfs.py``; the
+    frontier empties within the diameter, ``max_iterations`` is the
+    same safety cap as the gated ``bfs`` entry), then one edge-level
+    parity join. ``odd_edges`` counts the conflict edges (each one
+    closes an odd cycle through the BFS tree), so the report says not
+    just "no" but "how far from bipartite" — the graph-quality probe
+    for "is this interaction graph two-sided" (user↔item,
+    asker↔answerer) before running bipartite-only operators
+    (``butterfly.py``, ``project.py``).
+
+    Plan shape: everything reuses audited kernels; the new work is one
+    parity join keyed on vertex id and a component rollup."""
+    und = _canon(edges)
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # checkpoint both reused states: comp feeds three downstream
+    # branches and dist two — without truncation each branch would
+    # re-execute the whole fixpoint lineage
+    comp = connected_components(spark, edges, cfg).localCheckpoint(
+        eager=True
+    )
+    roots = comp.groupBy("component").agg(F.min("vid").alias("vid"))
+    from crgp_spark.operators.bfs import bfs_hops
+
+    dist = bfs_hops(
+        spark, sym, roots.select("vid"), cfg, max_iterations
+    ).localCheckpoint(eager=True)
+    da = dist.withColumnsRenamed({"vid": "u", "dist": "da"})
+    db = dist.withColumnsRenamed({"vid": "v", "dist": "db"})
+    ed = (
+        und.join(da.hint("shuffle_hash"), "u")
+        .join(db.hint("shuffle_hash"), "v")
+        .join(
+            comp.withColumnsRenamed({"vid": "u"}).hint("shuffle_hash"),
+            "u",
+        )
+    )
+    per_edge = ed.select(
+        "component",
+        F.when(
+            F.pmod(F.col("da") + F.col("db"), F.lit(2)) == 0, 1
+        )
+        .otherwise(0)
+        .alias("odd"),
+    )
+    edge_roll = per_edge.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("odd").cast("long").alias("odd_edges"),
+    )
+    vert_roll = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+    return (
+        vert_roll.join(edge_roll.hint("shuffle_hash"), "component", "left")
+        .select(
+            "component",
+            "n_vertices",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("odd_edges", F.lit(0)).alias("odd_edges"),
+            (F.coalesce("odd_edges", F.lit(0)) == 0).alias("bipartite"),
+        )
+        .orderBy("component")
+    )
