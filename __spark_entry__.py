@@ -5840,6 +5840,43 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best depth-1 Gini split (operators/stump.py::stump_train) of
+    'is it a purchase' over three integer features (cent bucket, hour
+    of day, user mod 10): BIGINT purity moments, one IEEE division
+    per candidate, pinned (score desc, feature, threshold) argmax."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.stump import stump_train
+
+    feats = (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+            ts_micros("ts").alias("_us"),
+            "user_id",
+            "event_type",
+        )
+        .selectExpr(
+            "c div 200 AS f_bucket",
+            "(_us div 3600000000) % 24 AS f_hour",
+            "user_id % 10 AS f_user",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+        )
+    )
+    return stump_train(feats, ["f_bucket", "f_hour", "f_user"], "y")
+
+
+def q_prop_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (experiment.py::prop_test) on per-user
+    purchase conversion between the arms: exact BIGINT counts, pinned
+    float z on the 1-row combine."""
+    from crgp_spark.operators.experiment import prop_test
+
+    return prop_test(_events(spark, sf_dir))
+
+
 def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-component bipartiteness (operators/components.py::
     bipartite_check): exact components + undirected BFS parity + one
@@ -7021,6 +7058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "powerlaw": q_powerlaw,
         "bipartite": q_bipartite,
+        "stump": q_stump,
+        "prop_test": q_prop_test,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7333,6 +7372,90 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # best depth-1 Gini split (stump.py::stump_train)
+        "stump": """
+WITH b AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 200 AS f_bucket,
+         (EPOCH_US(ts) // 3600000000) % 24 AS f_hour,
+         user_id % 10 AS f_user,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+m AS (
+  SELECT 'f_bucket' AS feature, f_bucket AS v, y FROM b
+  UNION ALL SELECT 'f_hour', f_hour, y FROM b
+  UNION ALL SELECT 'f_user', f_user, y FROM b
+),
+cells AS (SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(y) AS BIGINT) AS x
+          FROM m GROUP BY 1, 2),
+cum AS (
+  SELECT feature, v AS threshold,
+         CAST(SUM(c) OVER (PARTITION BY feature ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(SUM(x) OVER (PARTITION BY feature ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xl,
+         CAST(SUM(c) OVER (PARTITION BY feature) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY feature) AS BIGINT) AS x
+  FROM cells
+),
+split AS (
+  SELECT feature, threshold, nl AS n_left, xl AS pos_left,
+         n - nl AS n_right, x - xl AS pos_right
+  FROM cum WHERE nl > 0 AND n - nl > 0
+),
+sc AS (
+  SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+         CAST((pos_left * pos_left
+               + (n_left - pos_left) * (n_left - pos_left)) * n_right
+              + (pos_right * pos_right
+                 + (n_right - pos_right) * (n_right - pos_right))
+                * n_left AS DOUBLE)
+         / CAST(n_left * n_right AS DOUBLE) AS score
+  FROM split
+)
+SELECT feature, threshold, score,
+       n_left, pos_left, n_right, pos_right
+FROM sc ORDER BY score DESC, feature, threshold LIMIT 1""",
+        # two-proportion z-test (experiment.py::prop_test)
+        "prop_test": """
+WITH pu AS (
+  SELECT user_id AS u,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CAST(u % 2 AS INT) AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM pu GROUP BY 1
+),
+j AS (
+  SELECT (SELECT n FROM arms WHERE arm = 0) AS n0,
+         (SELECT x FROM arms WHERE arm = 0) AS x0,
+         (SELECT n FROM arms WHERE arm = 1) AS n1,
+         (SELECT x FROM arms WHERE arm = 1) AS x1
+)
+SELECT n0, x0, n1, x1,
+       FLOOR(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS p0,
+       FLOOR(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS p1,
+       CASE WHEN n0 > 0 AND n1 > 0 AND x0 + x1 > 0
+                 AND x0 + x1 < n0 + n1
+            THEN FLOOR((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / SQRT(((CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE))
+                         / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                        * (1.0 - (CAST(x0 AS DOUBLE)
+                                  + CAST(x1 AS DOUBLE))
+                           / (CAST(n0 AS DOUBLE)
+                              + CAST(n1 AS DOUBLE)))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS z
+FROM j""",
         # per-component bipartiteness (components.py::bipartite_check)
         "bipartite": f"""WITH RECURSIVE {_SQL_EVID},
 verts AS (SELECT DISTINCT vid FROM

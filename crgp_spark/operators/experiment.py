@@ -411,3 +411,65 @@ def did_estimate(
         decimal_round(mean("post1_c", "n1"), 4).alias("post1"),
         decimal_round(did, 4).alias("did"),
     )
+
+
+def prop_test(
+    events: DataFrame,
+    success_expr: Column | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test on per-user conversion between the two
+    arms (``pmod(user, 2)``): one row
+
+        (n0, x0, n1, x1, p0, p1, z)
+
+    where ``x_a`` counts converted users (any event satisfying
+    ``success_expr``), ``p_a`` the conversion rates at 6dp, and
+
+        z = (p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1)),  p̂ pooled
+
+    — the standard conversion-rate readout next to ``srm_check`` /
+    ``chi2_independence``. Counts are exact BIGINTs from one grouped
+    aggregate; the z expression is pinned-order float on the 1-row
+    combine (0.0 when degenerate: empty arm or p̂ ∈ {0, 1})."""
+    if success_expr is None:
+        success_expr = F.col("event_type") == "purchase"
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(F.when(success_expr, 1).otherwise(0)).alias("conv")
+    )
+    arms = per_user.groupBy(
+        F.pmod(F.col("u"), F.lit(2)).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    j = a0.join(F.broadcast(a1))
+    fd = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = fd("x0") / fd("n0")
+    p1 = fd("x1") / fd("n1")
+    pp = (fd("x0") + fd("x1")) / (fd("n0") + fd("n1"))
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / fd("n0") + F.lit(1.0) / fd("n1"))
+    )
+    z = F.when(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("x0") + F.col("x1") > 0)
+        & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
+        (p1 - p0) / se,
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        decimal_round(p0, 6).alias("p0"),
+        decimal_round(p1, 6).alias("p1"),
+        decimal_round(z, 6).alias("z"),
+    )
