@@ -5840,6 +5840,18 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (dedup.py::hard_negatives):
+    single-hash LSH bands for mid-similarity recall, exact integer
+    Jaccard band [0.1, 0.6), per-anchor top-5 by the deterministic
+    (sim desc, neg) order."""
+    from crgp_spark.operators.dedup import hard_negatives
+
+    return hard_negatives(
+        _docs(spark, sf_dir), n_hashes=4, band_size=1, per_anchor=5
+    )
+
+
 def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best depth-1 Gini split (operators/stump.py::stump_train) of
     'is it a purchase' over three integer features (cent bucket, hour
@@ -7060,6 +7072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite": q_bipartite,
         "stump": q_stump,
         "prop_test": q_prop_test,
+        "hard_negatives": q_hard_negatives,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7372,6 +7385,52 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # contrastive hard negatives (dedup.py::hard_negatives)
+        "hard_negatives": f"WITH {_SQL_MINHASH},\n"
+        "bands AS (\n"
+        "  SELECT doc_id, 0 AS band, sig_0 AS key FROM sig\n"
+        "  UNION ALL SELECT doc_id, 1, sig_1 FROM sig\n"
+        "  UNION ALL SELECT doc_id, 2, sig_2 FROM sig\n"
+        "  UNION ALL SELECT doc_id, 3, sig_3 FROM sig\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+        "  FROM bands l JOIN bands r\n"
+        "    ON l.band = r.band AND l.key = r.key\n"
+        "  WHERE l.doc_id < r.doc_id\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh"
+        " GROUP BY doc_id),\n"
+        "inter AS (\n"
+        "  SELECT c.a, c.b, COUNT(*) AS i\n"
+        "  FROM cand c JOIN sh x ON x.doc_id = c.a\n"
+        "  JOIN sh y ON y.doc_id = c.b AND y.s = x.s\n"
+        "  GROUP BY c.a, c.b\n"
+        "),\n"
+        "pairs AS (\n"
+        "  SELECT c.a, c.b, COALESCE(i.i, 0) AS inter,\n"
+        "         sa.n + sb.n - COALESCE(i.i, 0) AS uni\n"
+        "  FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b\n"
+        "  JOIN sizes sa ON sa.doc_id = c.a\n"
+        "  JOIN sizes sb ON sb.doc_id = c.b\n"
+        "),\n"
+        "mid AS (SELECT * FROM pairs\n"
+        "        WHERE inter * 10 >= 1 * uni AND inter * 10 < 6 * uni),\n"
+        "bothp AS (\n"
+        "  SELECT a AS anchor, b AS neg, inter, uni FROM mid\n"
+        "  UNION ALL SELECT b, a, inter, uni FROM mid\n"
+        "),\n"
+        "rk AS (\n"
+        "  SELECT anchor, neg, inter, uni,\n"
+        "         CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS sim,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY\n"
+        "           CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) DESC,\n"
+        "           neg) AS rn\n"
+        "  FROM bothp\n"
+        ")\n"
+        "SELECT anchor, neg, CAST(inter AS INT) AS inter,\n"
+        "       CAST(uni AS INT) AS uni, sim\n"
+        "FROM rk WHERE rn <= 5",
         # best depth-1 Gini split (stump.py::stump_train)
         "stump": """
 WITH b AS (

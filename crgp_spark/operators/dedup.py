@@ -533,3 +533,83 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 2,
+    k: int = 3,
+    lo: tuple[int, int] = (1, 10),
+    hi: tuple[int, int] = (6, 10),
+    per_anchor: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining — the training-pair step
+    between dedup and packing: for each anchor document, up to
+    ``per_anchor`` documents that are SIMILAR BUT NOT DUPLICATES,
+    i.e. exact shingle-Jaccard in ``[lo, hi)`` (rational bounds,
+    compared cross-multiplied in integers — never a float threshold).
+    Easy negatives are useless and near-duplicates are false
+    negatives; this band is where contrastive gradients live
+    (SimCSE/DPR practice).
+
+    Candidates come from the MinHash-LSH band join (bounded buckets,
+    never all-pairs — the ``minhash_dedup`` scale posture), verified
+    with exact integer (inter, uni) shingle counts; both orientations
+    of each surviving pair are anchored and ranked by the
+    deterministic (sim desc, neg asc) order, where ``sim`` is the one
+    IEEE division inter/uni (identical operands ⇒ identical double in
+    both engines). Returns ``(anchor, neg, inter, uni, sim)``.
+
+    The LSH recall caveat is inherited and measured elsewhere
+    (``lsh_recall`` entry): pairs below the band-collision curve are
+    missed by design — acceptable for negatives, which only need to
+    be plentiful and hard, not exhaustive."""
+    lo_n, lo_d = lo
+    hi_n, hi_d = hi
+    cand = lsh_candidate_pairs(docs, text_col, n_hashes, band_size, k)
+    sh = docs.select(
+        F.col("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        cand.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+        .filter(
+            (F.col("inter") * lo_d >= F.lit(lo_n) * F.col("uni"))
+            & (F.col("inter") * hi_d < F.lit(hi_n) * F.col("uni"))
+        )
+    )
+    both = pairs.select(
+        F.col("a").alias("anchor"),
+        F.col("b").alias("neg"),
+        "inter",
+        "uni",
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("anchor"),
+            F.col("a").alias("neg"),
+            "inter",
+            "uni",
+        )
+    )
+    sim = F.col("inter").cast("double") / F.col("uni").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("sim"), F.asc("neg")
+    )
+    return (
+        both.withColumn("sim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_anchor)
+        .select("anchor", "neg", "inter", "uni", "sim")
+    )
