@@ -1496,6 +1496,51 @@ def main() -> None:
 
     timed("kaplan_meier", _km_cell)
 
+    from crgp_spark.operators.components import bipartite_check
+    from crgp_spark.operators.dedup import hard_negatives
+    from crgp_spark.operators.experiment import prop_test
+    from crgp_spark.operators.graphstats import powerlaw_alpha
+    from crgp_spark.operators.stump import stump_train
+
+    timed("prop_test", lambda: prop_test(events).count())
+    timed("powerlaw", lambda: powerlaw_alpha(e2, d_min=2).count())
+    timed(
+        "bipartite",
+        lambda: bipartite_check(spark, e2, cfg, max_iterations=100).count(),
+    )
+    timed(
+        "hard_negatives",
+        lambda: hard_negatives(
+            docs, n_hashes=4, band_size=1, per_anchor=5
+        ).count(),
+    )
+
+    def _stump_cell():
+        feats = (
+            events.select(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP))"
+                ).alias("_us"),
+                "user_id",
+                "event_type",
+            )
+            .selectExpr(
+                "c div 200 AS f_bucket",
+                "(_us div 3600000000) % 24 AS f_hour",
+                "user_id % 10 AS f_user",
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+                " AS y",
+            )
+        )
+        return stump_train(
+            feats, ["f_bucket", "f_hour", "f_user"], "y"
+        ).count()
+
+    timed("stump", _stump_cell)
+
     def _spearman_cell():
         per_user = (
             events.select(

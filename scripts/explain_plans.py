@@ -1045,6 +1045,32 @@ def main() -> None:
         "windows only": kaplan_meier(_subj),
     })
 
+    from crgp_spark.operators.dedup import hard_negatives
+    from crgp_spark.operators.experiment import prop_test
+    from crgp_spark.operators.graphstats import powerlaw_alpha
+    from crgp_spark.operators.stump import stump_train
+
+    sections.update({
+        "Two-proportion z-test: per-user conversion aggregate, 2-row "
+        "arm rollup, 1-row pinned-float combine": prop_test(events),
+        "Degree-tail power-law MLE: degree aggregate + quantized-ln "
+        "BIGINT fold": powerlaw_alpha(e_vid, d_min=2),
+        "Decision stump: per-feature melt (scan reuse), value-grid "
+        "windows, one IEEE division per candidate, "
+        "TakeOrderedAndProject argmax": stump_train(
+            events.selectExpr(
+                "user_id % 10 AS f_user",
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+                " AS y",
+            ),
+            ["f_user"],
+            "y",
+        ),
+        "Hard-negative mining: LSH band join -> candidate-only exact "
+        "Jaccard -> per-anchor WindowGroupLimit top-k":
+            hard_negatives(docs, n_hashes=4, band_size=1, per_anchor=5),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
