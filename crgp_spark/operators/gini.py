@@ -98,6 +98,15 @@ def benford_audit(
         .alias("digit")
     )
     cnt = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    return benford_from_counts(cnt)
+
+
+def benford_from_counts(cnt: DataFrame) -> DataFrame:
+    """The audit from already-counted ``(digit, n_obs)`` rows — split
+    out so the streaming path (``streaming/windows.py::
+    stream_benford``), whose state store maintains exactly these nine
+    counts as a SUM monoid, folds into the identical report (stream ==
+    batch contract)."""
     # keep all nine digits even when absent
     base = cnt.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("digit")

@@ -304,3 +304,69 @@ def mann_kendall(
             F.when(var18 > 0, z).otherwise(F.lit(0.0)), 6
         ).alias("z"),
     )
+
+
+def kendall_tau(
+    series: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Kendall tau-b between two aligned series over the same grid:
+    one row ``(n, nc, nd, tx, ty, tau)`` with concordant/discordant
+    pair counts and the tie terms
+
+        tau_b = (nc − nd) / sqrt((n0 − tx)·(n0 − ty)),  n0 = n(n−1)/2
+
+    — all BIGINTs from ONE pair fold over the grid self-join
+    (``mann_kendall``'s posture: quadratic in the metadata-sized grid,
+    never in event volume), one pinned sqrt/division at 6dp.
+    Completes the correlation family: Pearson (``grouped_trend``
+    moments), Spearman (``rankcorr``), tau-b here."""
+    a = series.select(
+        F.col(t_col).alias("_ta"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    b = series.select(
+        F.col(t_col).alias("_tb"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    sx = F.signum((F.col("_xb") - F.col("_xa")).cast("double"))
+    sy = F.signum((F.col("_yb") - F.col("_ya")).cast("double"))
+    p = a.join(b, F.col("_ta") < F.col("_tb")).select(
+        (sx * sy).cast("long").alias("prod"),
+        (sx == 0).cast("long").alias("tiex"),
+        (sy == 0).cast("long").alias("tiey"),
+    )
+    g = p.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("prod") > 0, 1).otherwise(0)), F.lit(0)
+        ).alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("prod") < 0, 1).otherwise(0)), F.lit(0)
+        ).alias("nd"),
+        F.coalesce(F.sum("tiex"), F.lit(0)).alias("tx"),
+        F.coalesce(F.sum("tiey"), F.lit(0)).alias("ty"),
+    )
+    nn = series.agg(F.count(F.lit(1)).alias("n"))
+    j = nn.join(F.broadcast(g))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    denx = (n0 - F.col("tx")).cast("double")
+    deny = (n0 - F.col("ty")).cast("double")
+    tau = F.when(
+        (denx > 0) & (deny > 0),
+        (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(denx * deny),
+    ).otherwise(F.lit(0.0))
+    from crgp_spark.functions import decimal_round
+
+    return j.select(
+        "n",
+        "nc",
+        "nd",
+        "tx",
+        "ty",
+        decimal_round(tau, 6).alias("tau"),
+    )

@@ -121,3 +121,49 @@ def weighted_sample(
             ).alias("est"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    label_expr: F.Column | None = None,
+) -> DataFrame:
+    """Deterministic k-fold assignment report: every row gets fold
+    ``md5_u32(key) % k`` (a pure function of the key — reproducible on
+    retry, stable across engines, and GROUP-safe: all rows of one key
+    land in one fold, the property random splits silently violate and
+    the #1 source of train/test leakage). Returns the per-fold audit
+    ``(fold, n_rows, n_keys, n_pos, pos_rate)`` — the balance check
+    run before training; the assignment itself is the same expression
+    applied to the full table.
+
+    One grouped aggregate with map-side combine; ``pos_rate`` is one
+    IEEE division per fold row at 6dp."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    lbl = label_expr if label_expr is not None else F.lit(0)
+    rows = df.select(
+        (_md5_u32(F.col(key_col)) % k).cast("int").alias("fold"),
+        F.col(key_col).alias("_k"),
+        F.when(lbl == 1, 1).otherwise(0).alias("_y")
+        if label_expr is not None
+        else lbl.alias("_y"),
+    )
+    out = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("_k").alias("n_keys"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    from crgp_spark.functions import decimal_round
+
+    return out.select(
+        "fold",
+        "n_rows",
+        "n_keys",
+        "n_pos",
+        decimal_round(
+            F.col("n_pos").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("pos_rate"),
+    ).orderBy("fold")

@@ -413,3 +413,63 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
         )
     )
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps-law fit V = K·n^beta over the corpus: log-log OLS of
+    per-document (n_tokens, n_distinct) on the quantized-ln contract —
+    one row ``(n_docs, beta, logk_unats)`` where ``beta`` is the
+    vocabulary-growth exponent (English prose ~0.4-0.6; beta near 1 =
+    no reuse, near-random tokens — a corpus-quality smell) and
+    ``logk_unats`` the intercept in micro-nats.
+
+    x = lnq(n_tokens), y = lnq(n_distinct) are BIGINT micro-nats, the
+    five OLS moments are exact integer sums (one combinable
+    aggregate), and beta / logK are two pinned float expressions.
+    Overflow envelope: Σx² ≤ n_docs·(lnq max_tokens)² — int64-safe to
+    ~2·10⁴ docs of 10⁹ tokens or ~10⁶ docs of 10⁴ tokens; both
+    engines fail loudly beyond (coarsen the lnq scale above it).
+    Plan: the ``token_entropy`` explode + two groupBys, then a 1-row
+    fold."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    per_doc = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+    )
+    pts = per_doc.select(
+        _lnq(F.col("n_tokens")).alias("x"),
+        _lnq(F.col("n_distinct")).alias("y"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    beta = F.when(den != 0, num / den).otherwise(F.lit(0.0))
+    logk = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    from crgp_spark.functions import decimal_round
+
+    return g.select(
+        F.col("n").alias("n_docs"),
+        decimal_round(beta, 6).alias("beta"),
+        decimal_round(logk, 2).alias("logk_unats"),
+    )

@@ -649,3 +649,53 @@ def stream_chi2_test(
     drained = spark.table(name)
     cells = spark.createDataFrame(drained.collect(), drained.schema)
     return chi2_from_cells(cells)
+
+
+def stream_benford(
+    spark: SparkSession,
+    in_dir: str,
+    value_col: str = "value",
+    max_files_per_trigger: int | None = 2,
+) -> DataFrame:
+    """Streaming Benford first-digit audit — the nine digit counts of
+    ``operators/gini.py::benford_audit`` maintained in the streaming
+    aggregation state store (a 9-row SUM monoid, constant state), then
+    folded to the deviation statistic by the shared batch tail. The
+    drained counts are independent of micro-batch slicing, so the
+    audit is bit-identical to batch at any trigger cadence: the
+    module's stream==batch contract, certified by the SAME oracle as
+    the batch ``benford`` entry."""
+    schema = spark.read.parquet(in_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
+    digits = (
+        stream.select(
+            F.floor(F.col(value_col) * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_x")
+        )
+        .filter(F.col("_x") > 0)
+        .select(
+            F.substring(F.col("_x").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    name = f"benford_{uuid.uuid4().hex[:8]}"
+    q = (
+        digits.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from crgp_spark.operators.gini import benford_from_counts
+
+    drained = spark.table(name)
+    cells = spark.createDataFrame(drained.collect(), drained.schema)
+    return benford_from_counts(cells)
