@@ -5840,6 +5840,66 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-safe k-fold audit (sample.py::
+    kfold_assign): fold = md5_u32(user) % 5, per-fold row/key/label
+    balance — the leakage-safe split every training pipeline needs."""
+    from crgp_spark.operators.sample import kfold_assign
+
+    return kfold_assign(
+        _events(spark, sf_dir),
+        "user_id",
+        k=5,
+        label_expr=(F.col("event_type") == "purchase").cast("int"),
+    )
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (regress.py::kendall_tau) between daily value
+    cents and daily event counts: concordant/discordant/tie BIGINTs
+    from one grid pair fold, one pinned sqrt/division."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.operators.regress import kendall_tau
+
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            ts_micros("ts").alias("_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .selectExpr("_us div 86400000000 AS t", "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("x"), F.count(F.lit(1)).alias("y"))
+    )
+    return kendall_tau(daily)
+
+
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit (textstats.py::heaps_fit): log-log OLS of
+    per-doc (tokens, distinct) on the quantized-ln contract — the
+    vocabulary-growth exponent as a corpus-quality readout."""
+    from crgp_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_docs(spark, sf_dir))
+
+
+def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford audit under the hard gate
+    (streaming/windows.py::stream_benford): nine digit counts as SUM-
+    monoid streaming state, folded by the shared batch tail — oracle
+    is the SAME SQL as the batch `benford` entry."""
+    import shutil
+
+    from crgp_spark.streaming.windows import stream_benford
+
+    work = "/tmp/crgp_stream_benford"
+    shutil.rmtree(work, ignore_errors=True)
+    _events(spark, sf_dir).repartition(8, "event_id").write.parquet(work)
+    return stream_benford(spark, work, max_files_per_trigger=2)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (dedup.py::hard_negatives):
     single-hash LSH bands for mid-similarity recall, exact integer
@@ -7073,6 +7133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump": q_stump,
         "prop_test": q_prop_test,
         "hard_negatives": q_hard_negatives,
+        "kfold": q_kfold,
+        "kendall_tau": q_kendall_tau,
+        "heaps": q_heaps,
+        "stream_benford": q_stream_benford,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7385,6 +7449,93 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # group-safe k-fold audit (sample.py::kfold_assign)
+        "kfold": f"""
+WITH hh AS (
+  SELECT user_id AS k, MD5(CAST(user_id AS VARCHAR)) AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+r AS (
+  SELECT CAST(({_MD5_U32}) % 5 AS INT) AS fold, k, y FROM hh
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       FLOOR(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS pos_rate
+FROM r GROUP BY fold ORDER BY fold""",
+        # Kendall tau-b on the daily grid (regress.py::kendall_tau)
+        "kendall_tau": """
+WITH s AS (
+  SELECT EPOCH_US(ts) // 86400000000 AS t,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+           * CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                  ELSE 0 END AS prod,
+         CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tiex,
+         CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS tiey
+  FROM s a JOIN s b ON a.t < b.t
+),
+g AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nc,
+         CAST(COALESCE(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nd,
+         CAST(COALESCE(SUM(tiex), 0) AS BIGINT) AS tx,
+         CAST(COALESCE(SUM(tiey), 0) AS BIGINT) AS ty
+  FROM p
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+SELECT nn.n, g.nc, g.nd, g.tx, g.ty,
+       CASE WHEN nn.n * (nn.n - 1) // 2 - g.tx > 0
+                 AND nn.n * (nn.n - 1) // 2 - g.ty > 0
+            THEN FLOOR(CAST(g.nc - g.nd AS DOUBLE)
+                 / SQRT(CAST(nn.n * (nn.n - 1) // 2 - g.tx AS DOUBLE)
+                        * CAST(nn.n * (nn.n - 1) // 2 - g.ty
+                               AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS tau
+FROM nn, g""",
+        # Heaps-law fit (textstats.py::heaps_fit)
+        "heaps": f"""WITH {_SQL_SHINGLES},
+tok AS (SELECT t.doc_id, UNNEST(t.tk) AS term FROM tk t
+        WHERE LEN(t.tk) > 0),
+pd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+  GROUP BY doc_id HAVING SUM(c) >= 1
+),
+pts AS (
+  SELECT {_sql_lnq('n_tokens')} AS x,
+         {_sql_lnq('n_distinct')} AS y
+  FROM pd
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_docs,
+       FLOOR(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       FLOOR((CAST(sy AS DOUBLE)
+              - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                 ELSE 0.0 END) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 100.0 + 0.5) / 100.0 AS logk_unats
+FROM g""",
         # contrastive hard negatives (dedup.py::hard_negatives)
         "hard_negatives": f"WITH {_SQL_MINHASH},\n"
         "bands AS (\n"
@@ -10817,6 +10968,8 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)""",
     d["stream_ks"] = d["ks_test"]
     # stream==batch: contingency-cell SUM monoid — batch chi2 SQL
     d["stream_chi2"] = d["chi2"]
+    # stream==batch: nine digit counts are a SUM monoid — batch SQL
+    d["stream_benford"] = d["benford"]
     # stream==batch: bucket-count SUM monoids (stream_calibration)
     d["stream_calibration"] = d["calibration"]
     # the count-min grid is a commutative monoid: the grid drained from

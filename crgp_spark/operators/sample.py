@@ -144,7 +144,9 @@ def kfold_assign(
         raise ValueError("k must be >= 2")
     lbl = label_expr if label_expr is not None else F.lit(0)
     rows = df.select(
-        (_md5_u32(F.col(key_col)) % k).cast("int").alias("fold"),
+        (_md5_u32(F.col(key_col).cast("string")) % k)
+        .cast("int")
+        .alias("fold"),
         F.col(key_col).alias("_k"),
         F.when(lbl == 1, 1).otherwise(0).alias("_y")
         if label_expr is not None
