@@ -1541,6 +1541,29 @@ def main() -> None:
 
     timed("stump", _stump_cell)
 
+    from crgp_spark.operators.regress import kendall_tau
+    from crgp_spark.operators.sample import kfold_assign
+    from crgp_spark.operators.textstats import heaps_fit
+
+    timed(
+        "kfold",
+        lambda: kfold_assign(
+            events,
+            "user_id",
+            k=5,
+            label_expr=(F.col("event_type") == "purchase").cast("int"),
+        ).count(),
+    )
+
+    def _tau_cell():
+        d = _daily().groupBy("day").agg(
+            F.sum("x").alias("x"), F.count(F.lit(1)).alias("y")
+        )
+        return kendall_tau(d, t_col="day").count()
+
+    timed("kendall_tau", _tau_cell)
+    timed("heaps", lambda: heaps_fit(docs).count())
+
     def _spearman_cell():
         per_user = (
             events.select(

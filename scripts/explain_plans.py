@@ -1071,6 +1071,19 @@ def main() -> None:
             hard_negatives(docs, n_hashes=4, band_size=1, per_anchor=5),
     })
 
+    from crgp_spark.operators.sample import kfold_assign
+    from crgp_spark.operators.textstats import heaps_fit
+
+    sections.update({
+        "k-fold audit: one hash expression, one grouped aggregate "
+        "with map-side combine": kfold_assign(
+            events, "user_id", k=5,
+            label_expr=(F.col("event_type") == "purchase").cast("int"),
+        ),
+        "Heaps-law fit: token explode, two groupBys, quantized-ln "
+        "moment fold": heaps_fit(docs),
+    })
+
     out = ["# EXPLAIN — physical plans of the key pipelines\n"]
     out.append(
         "Generated by `python scripts/explain_plans.py` at "
