@@ -5840,6 +5840,35 @@ def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (experiment.py::cramers_v) for the
+    event_type × arm contingency — the bounded companion to chi2,
+    computed from the same 8dp-quantized fold."""
+    from crgp_spark.operators.experiment import cramers_v
+
+    return cramers_v(_events(spark, sf_dir))
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion odds ratio with Woolf CI (experiment.py::
+    odds_ratio): exact 2×2 BIGINT cells, pinned ln/exp pair at 6dp."""
+    from crgp_spark.operators.experiment import odds_ratio
+
+    return odds_ratio(_events(spark, sf_dir))
+
+
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion report (evalmetrics.py::
+    confusion_report): n_chars >= 1000 predicting lang='en' — exact
+    BIGINT cells, pinned precision/recall/F1/MCC at 6dp; the
+    operating-point companion to the auc entry."""
+    from crgp_spark.operators.evalmetrics import confusion_report
+
+    return confusion_report(
+        _docs(spark, sf_dir), "n_chars", F.col("lang") == "en", 1000
+    )
+
+
 def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic group-safe k-fold audit (sample.py::
     kfold_assign): fold = md5_u32(user) % 5, per-fold row/key/label
@@ -7137,6 +7166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "heaps": q_heaps,
         "stream_benford": q_stream_benford,
+        "cramers_v": q_cramers_v,
+        "odds_ratio": q_odds_ratio,
+        "confusion": q_confusion,
         "butterflies": q_butterflies,
         "butterflies_conv": q_butterflies_conv,
         "closeness": q_closeness,
@@ -7449,6 +7481,130 @@ def oracle_sql() -> dict[str, str]:
         " UNION SELECT b FROM und)\n"
         "SELECT allv.vid, COALESCE(cnt.k4, 0) AS k4\n"
         "FROM allv LEFT JOIN cnt ON cnt.vid = allv.vid",
+        # Cramér's V from the quantized chi2 fold (experiment.py)
+        "cramers_v": """
+WITH cells AS (
+  SELECT event_type AS cat, CAST(user_id % 2 AS INT) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT cat, CAST(SUM(n_obs) AS BIGINT) AS rt
+      FROM cells GROUP BY cat),
+c AS (SELECT arm, CAST(SUM(n_obs) AS BIGINT) AS ct
+      FROM cells GROUP BY arm),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT cat) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT arm) AS BIGINT) AS nc FROM cells),
+terms AS (
+  SELECT cells.n_obs,
+         CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+           / CAST(t.n AS DOUBLE) AS e
+  FROM cells JOIN r ON r.cat = cells.cat
+  JOIN c ON c.arm = cells.arm, t
+),
+q AS (
+  SELECT CAST(FLOOR((CAST(n_obs AS DOUBLE) - e)
+              * (CAST(n_obs AS DOUBLE) - e) / e * 100000000.0 + 0.5)
+              AS BIGINT) AS tq
+  FROM terms
+),
+x AS (
+  SELECT t.n,
+         FLOOR(CAST((SELECT SUM(tq) FROM q) AS DOUBLE) / 100000000.0
+               * 10000.0 + 0.5) / 10000.0 AS chi2,
+         CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+         LEAST(t.nr - 1, t.nc - 1) AS mindof
+  FROM t
+)
+SELECT n, chi2, dof,
+       CASE WHEN n > 0 AND mindof > 0 AND chi2 >= 0
+            THEN FLOOR(SQRT(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(mindof AS DOUBLE))) * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS v
+FROM x""",
+        # conversion odds ratio + Woolf CI (experiment.py)
+        "odds_ratio": """
+WITH pu AS (
+  SELECT user_id AS u,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN u % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN u % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN u % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN u % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM pu
+)
+SELECT a, b, c, d,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN FLOOR((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS or_val,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN FLOOR(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 - 1.96 * SQRT(1.0 / CAST(a AS DOUBLE)
+                   + 1.0 / CAST(b AS DOUBLE)
+                   + 1.0 / CAST(c AS DOUBLE)
+                   + 1.0 / CAST(d AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS lo,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN FLOOR(EXP(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 + 1.96 * SQRT(1.0 / CAST(a AS DOUBLE)
+                   + 1.0 / CAST(b AS DOUBLE)
+                   + 1.0 / CAST(c AS DOUBLE)
+                   + 1.0 / CAST(d AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS hi
+FROM g""",
+        # thresholded confusion report (evalmetrics.py)
+        "confusion": """
+WITH g AS (
+  SELECT
+    CAST(SUM(CASE WHEN n_chars >= 1000 AND lang = 'en'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN n_chars >= 1000 AND lang <> 'en'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN n_chars < 1000 AND lang = 'en'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN n_chars < 1000 AND lang <> 'en'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM documents
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN FLOOR(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
+         AS precision,
+       CASE WHEN tp + fn > 0
+            THEN FLOOR(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
+         AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN FLOOR(2.0 * CAST(tp AS DOUBLE)
+                 / CAST(2 * tp + fp + fn AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS f1,
+       CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+                 AND tn + fn > 0
+            THEN FLOOR(CAST(tp * tn - fp * fn AS DOUBLE)
+                 / SQRT(CAST(tp + fp AS DOUBLE)
+                        * CAST(tp + fn AS DOUBLE)
+                        * CAST(tn + fp AS DOUBLE)
+                        * CAST(tn + fn AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS mcc
+FROM g""",
         # group-safe k-fold audit (sample.py::kfold_assign)
         "kfold": f"""
 WITH hh AS (

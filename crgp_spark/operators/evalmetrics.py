@@ -136,3 +136,79 @@ def calibration_curve(
             ),
         )
     )
+
+
+def confusion_report(
+    scored: DataFrame,
+    score_col: str,
+    label_expr,
+    threshold: int,
+) -> DataFrame:
+    """Thresholded classifier confusion report: one row ``(tp, fp,
+    fn, tn, precision, recall, f1, mcc)`` over integer scores with
+    prediction = ``score >= threshold`` — the operating-point
+    companion to the threshold-free ``roc_auc`` / reliability curves.
+
+    The four cells are exact BIGINTs from ONE conditional-sum
+    aggregate (map-side combinable). Precision/recall/F1 are pinned
+    divisions;
+
+        MCC = (tp·tn − fp·fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    is computed with the four marginal factors multiplied as DOUBLES
+    (each marginal is an exact ≤2⁶³ integer cast once; their product
+    would overflow int64 at n ≳ 56 k rows, so the multiplication
+    lives in float — identical operand sequence in both engines).
+    Degenerate marginals report 0 (the Matthews convention)."""
+    y = F.when(label_expr, 1).otherwise(0)
+    p = F.when(F.col(score_col) >= threshold, 1).otherwise(0)
+    g = scored.agg(
+        F.sum(F.when((p == 1) & (y == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((p == 1) & (y == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((p == 0) & (y == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((p == 0) & (y == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    fd = lambda c: F.col(c).cast("double")  # noqa: E731
+    prec_den = F.col("tp") + F.col("fp")
+    rec_den = F.col("tp") + F.col("fn")
+    prec = F.when(prec_den > 0, fd("tp") / prec_den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(rec_den > 0, fd("tp") / rec_den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    f1_den = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    f1 = F.when(
+        f1_den > 0, (F.lit(2.0) * fd("tp")) / f1_den.cast("double")
+    ).otherwise(F.lit(0.0))
+    m1 = (F.col("tp") + F.col("fp")).cast("double")
+    m2 = (F.col("tp") + F.col("fn")).cast("double")
+    m3 = (F.col("tn") + F.col("fp")).cast("double")
+    m4 = (F.col("tn") + F.col("fn")).cast("double")
+    mcc_num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast(
+        "double"
+    )
+    mcc = F.when(
+        (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0),
+        mcc_num / F.sqrt(m1 * m2 * m3 * m4),
+    ).otherwise(F.lit(0.0))
+    from crgp_spark.functions import decimal_round
+
+    return g.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        decimal_round(prec, 6).alias("precision"),
+        decimal_round(rec, 6).alias("recall"),
+        decimal_round(f1, 6).alias("f1"),
+        decimal_round(mcc, 6).alias("mcc"),
+    )

@@ -473,3 +473,126 @@ def prop_test(
         decimal_round(p1, 6).alias("p1"),
         decimal_round(z, 6).alias("z"),
     )
+
+
+def cramers_v(
+    events: DataFrame,
+    cat_col: str = "event_type",
+    user_col: str = "user_id",
+    n_arms: int = 2,
+) -> DataFrame:
+    """Cramér's V effect size for the ``chi2_independence``
+    contingency: one row ``(n, chi2, dof, v)`` where
+
+        V = sqrt( chi2 / (n · min(R−1, C−1)) )
+
+    — the bounded-[0,1] "how strong is the dependence" companion to
+    the chi2 statistic (which grows with n). ``chi2`` is the same
+    8dp-quantized order-free integer fold as the chi2 entry; ``v`` is
+    one pinned sqrt/division at 6dp."""
+    cells = chi2_independence(events, cat_col, user_col, n_arms)
+    one = cells.limit(1).select("chi2", "dof")
+    tot = events.agg(F.count(F.lit(1)).alias("n"))
+    j = tot.join(F.broadcast(one))
+    # dof = (R-1)(C-1); with C = n_arms, min(R-1, C-1) =
+    # min(dof / (C-1), C-1)
+    r_minus_1 = (F.col("dof") / F.lit(n_arms - 1)).cast("long")
+    mindof = F.least(r_minus_1, F.lit(n_arms - 1).cast("long"))
+    v = F.when(
+        (F.col("n") > 0) & (mindof > 0) & (F.col("chi2") >= 0),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n").cast("double") * mindof.cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n",
+        "chi2",
+        "dof",
+        decimal_round(v, 6).alias("v"),
+    )
+
+
+def odds_ratio(
+    events: DataFrame,
+    success_expr: Column | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Odds ratio of per-user conversion between the arms with the
+    Woolf log CI: one row ``(a, b, c, d, or_val, lo, hi)`` where the
+    2×2 table is (a = arm1 converted, b = arm1 not, c = arm0
+    converted, d = arm0 not), ``or_val = (a·d)/(b·c)`` and
+
+        CI = exp( ln OR ± 1.96·sqrt(1/a + 1/b + 1/c + 1/d) )
+
+    All four cells are exact BIGINTs; the five float expressions
+    (ratio, ln, se, two exps) are pinned-order on the 1-row combine —
+    ln/exp appear ONCE each side with no cross-engine summation, and
+    the 6dp report absorbs last-ulp libm differences (the documented
+    ``_lnq`` margin argument). Zero cells report (0, 0, 0) for the
+    ratio columns — add the Haldane 0.5 upstream if needed."""
+    if success_expr is None:
+        success_expr = F.col("event_type") == "purchase"
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(F.when(success_expr, 1).otherwise(0)).alias("conv")
+    )
+    g = per_user.agg(
+        F.sum(
+            F.when(
+                (F.pmod(F.col("u"), F.lit(2)) == 1) & (F.col("conv") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.when(
+                (F.pmod(F.col("u"), F.lit(2)) == 1) & (F.col("conv") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.pmod(F.col("u"), F.lit(2)) == 0) & (F.col("conv") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.pmod(F.col("u"), F.lit(2)) == 0) & (F.col("conv") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    fd = lambda c: F.col(c).cast("double")  # noqa: E731
+    orv = (fd("a") * fd("d")) / (fd("b") * fd("c"))
+    se = F.sqrt(
+        F.lit(1.0) / fd("a")
+        + F.lit(1.0) / fd("b")
+        + F.lit(1.0) / fd("c")
+        + F.lit(1.0) / fd("d")
+    )
+    lo = F.exp(F.log(orv) - F.lit(1.96) * se)
+    hi = F.exp(F.log(orv) + F.lit(1.96) * se)
+    z = F.lit(0.0)
+    return g.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        decimal_round(F.when(ok, orv).otherwise(z), 6).alias("or_val"),
+        decimal_round(F.when(ok, lo).otherwise(z), 6).alias("lo"),
+        decimal_round(F.when(ok, hi).otherwise(z), 6).alias("hi"),
+    )
