@@ -1564,6 +1564,18 @@ def main() -> None:
     timed("kendall_tau", _tau_cell)
     timed("heaps", lambda: heaps_fit(docs).count())
 
+    from crgp_spark.operators.evalmetrics import confusion_report
+    from crgp_spark.operators.experiment import cramers_v, odds_ratio
+
+    timed("cramers_v", lambda: cramers_v(events).count())
+    timed("odds_ratio", lambda: odds_ratio(events).count())
+    timed(
+        "confusion",
+        lambda: confusion_report(
+            docs_tbl, "n_chars", F.col("lang") == "en", 1000
+        ).count(),
+    )
+
     def _spearman_cell():
         per_user = (
             events.select(
