@@ -6813,9 +6813,10 @@ def q_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bridges of the influence graph (operators/bridges.py): the
     influence links with no redundant path — exact, deterministic
-    (BFS forest from component minima + ancestor closure + LCA
-    crossing counts; no hashing). The oracle replays the identical
-    pipeline with recursive CTEs."""
+    (BFS forest from component minima + Euler-tour interval labels +
+    the low-link escape test; no hashing). The oracle replays the
+    equivalent closure-based pipeline with recursive CTEs — the
+    bridge set is spanning-tree- and formulation-independent."""
     from crgp_spark.operators.bridges import bridges
 
     return bridges(spark, _edges_vid(spark, sf_dir), _graph_cfg())
@@ -7128,14 +7129,35 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
 
 
+#: Round-5 driver-gate window: 50 entries never officially gated in
+#: r01–r04 (the connectivity family, MSF, Louvain, hierarchy, BPE,
+#: logistic training, the late-r4 streaming paths — the VERDICT r4 ask)
+#: plus this round's new operators. `queries()` moves these to the
+#: front of the dict; the driver gates the FIRST 50.
+_R5_GATE_FRONT = [
+    "bridges", "ecc2", "blocks", "articulation", "block_cut_tree",
+    "bridges_cascade", "msf", "louvain", "louvain_coarse", "hierarchy",
+    "bpe_train", "bpe_encode", "train_logistic", "stream_funnel",
+    "stream_merge", "stream_components", "stream_triangles", "stream_wl",
+    "scc", "condensation", "dag_layers", "temporal_reach", "anf",
+    "anf_vertex", "hll", "densest", "coreness", "betweenness", "harmonic",
+    "katz", "motifs", "triads", "truss_decomp", "walks", "mis", "matching",
+    "semdedup", "dup_spans", "inference", "kmeans", "kcenter", "ann_recall",
+    "stratified_sample", "merge_upsert", "merge_delete",
+    "table_maintenance", "ivm",
+    # round-5 additions
+    "stream_late", "leiden", "diameter",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is a rotation policy, not alphabetical: the driver's
     # correctness gate executes the FIRST 50 entries of this dict, so each
     # round the entries without an official CORRECTNESS_r*.json row yet are
-    # moved to the front (round 4: the 76 entries never gated in r01-r03,
-    # plus this round's new operators). Previously-gated entries follow.
+    # moved to the front (`_R5_GATE_FRONT` this round). Previously-gated
+    # entries follow in their prior order.
     # scripts/check_entry.py still runs the full surface locally.
-    return {
+    d = {
         # --- new in round 4 (never gated) ---
         "ks_test": q_ks_test,
         "pettitt": q_pettitt,
@@ -7425,6 +7447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": q_tpch_rollup,
         "tpch_custdist": q_tpch_custdist,
     }
+    out = {k: d[k] for k in _R5_GATE_FRONT if k in d}
+    for k, v in d.items():
+        if k not in out:
+            out[k] = v
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7510,6 +7537,8 @@ q AS (
 ),
 x AS (
   SELECT t.n,
+         CAST((SELECT SUM(tq) FROM q) AS DOUBLE) / 100000000.0
+           AS chi2_raw,
          FLOOR(CAST((SELECT SUM(tq) FROM q) AS DOUBLE) / 100000000.0
                * 10000.0 + 0.5) / 10000.0 AS chi2,
          CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
@@ -7517,8 +7546,8 @@ x AS (
   FROM t
 )
 SELECT n, chi2, dof,
-       CASE WHEN n > 0 AND mindof > 0 AND chi2 >= 0
-            THEN FLOOR(SQRT(chi2 / (CAST(n AS DOUBLE)
+       CASE WHEN n > 0 AND mindof > 0 AND chi2_raw >= 0
+            THEN FLOOR(SQRT(chi2_raw / (CAST(n AS DOUBLE)
                  * CAST(mindof AS DOUBLE))) * 1000000.0 + 0.5)
                  / 1000000.0
             ELSE 0.0 END AS v
@@ -7853,12 +7882,26 @@ er AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_edges,
               CAST(SUM(odd) AS BIGINT) AS odd_edges
        FROM ed GROUP BY component),
 vr AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices
-       FROM comp GROUP BY component)
+       FROM comp GROUP BY component),
+-- guard (ADVICE r4): this oracle derives components as the per-
+-- conversation minimum and BFS-walks from that single root, which is
+-- only the engine's semantics when every conversation subgraph is
+-- connected.  If a BFS misses a vertex, fail loudly instead of
+-- silently dropping its edges from the parity counts.
+chk AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM dist)
+                 = (SELECT COUNT(*) FROM verts) THEN 1
+         ELSE error('bipartite oracle: block-root BFS did not reach '
+                    || 'every vertex - conversation subgraph '
+                    || 'disconnected; oracle assumption violated')
+         END AS ok
+)
 SELECT vr.component, vr.n_vertices,
        COALESCE(er.n_edges, 0) AS n_edges,
        COALESCE(er.odd_edges, 0) AS odd_edges,
        COALESCE(er.odd_edges, 0) = 0 AS bipartite
-FROM vr LEFT JOIN er ON er.component = vr.component
+FROM vr LEFT JOIN er ON er.component = vr.component, chk
+WHERE chk.ok = 1
 ORDER BY vr.component""",
         # degree-tail power-law MLE (graphstats.py::powerlaw_alpha)
         "powerlaw": f"""

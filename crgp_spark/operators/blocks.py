@@ -1,35 +1,46 @@
 """Biconnected components (blocks) and articulation points — the
 vertex-connectivity siblings of `bridges.py` (same BFS-forest +
-ancestor-closure substrate).
+Euler-interval substrate).
 
-Classical reduction (the parallel-biconnectivity family, Tarjan &
-Vishkin 1985 and the fundamental-cycle lemma it rests on): with ANY
-spanning forest, the fundamental cycle of a non-tree edge ``{u, v}``
-is the edge plus the tree path u..v; two edges of ``G`` lie in the
-same block iff they are linked by a chain of fundamental cycles that
-pairwise share an edge.  So:
+Tarjan–Vishkin 1985 auxiliary-graph reduction, in interval units
+(`euler.interval_substrate` supplies ``tin/tout/size/low/high``):
 
 1. tree edges are identified by their CHILD vertex (a bijection —
    no synthetic edge ids, no pairing-function overflow);
-2. a non-tree edge ``{u, v}`` covers exactly the tree edges above the
-   children ``c`` with exactly one of u, v in subtree(c) — i.e.
-   ``c ∈ closure(u) XOR c ∈ closure(v)`` (the same crossing predicate
-   `bridges.py` counts);
-3. each non-tree edge STARS its covered children together (min child
-   as hub — a star generates the same connectivity as the clique);
-4. blocks = `connected_components` over those stars; uncovered tree
-   edges are the bridges and stay singleton blocks; a non-tree edge
-   inherits the block of its cycle's minimum child.
+2. auxiliary graph G' on the tree edges, with O(V + E) edges total:
+   - **rule A** — for each non-tree edge ``{u, v}`` whose endpoints
+     root DISJOINT subtrees (``tout(u) < tin(v)`` or vice versa):
+     link tree-edge(u) — tree-edge(v) (both endpoints are non-roots:
+     a root is an ancestor of its whole component);
+   - **rule B** — for each tree edge (w, parent v) with v itself a
+     non-root: link tree-edge(w) — tree-edge(v) iff some non-tree
+     edge escapes subtree(v) from within subtree(w):
+     ``low(w) < tin(v)`` or ``high(w) > tout(v)``.
+   Non-tree edges with nested endpoints need no rule of their own:
+   the fundamental-cycle path links up through rule B (every path
+   vertex's subtree contains the descendant endpoint, whose reach
+   includes the ancestor endpoint — the escape condition holds at
+   each step).
+3. blocks = `connected_components` over G'; two tree edges are in the
+   same block iff connected (the Tarjan–Vishkin theorem).  Uncovered
+   tree edges are the bridges and stay singleton blocks; a non-tree
+   edge inherits the block of the tree edge above its deeper (larger
+   ``tin``) endpoint — a member of its fundamental cycle.
+
+This replaces the former fundamental-cycle cover construction, whose
+cover table was O(E · tree depth) rows (fine at the measured depth-2
+small-world workload, quadratic on deep graphs).  G' is O(V + E)
+regardless of depth, and the substrate itself is O(log n) supersteps
+on deep forests.
 
 Block labels are the minimum tree-edge child vid in the block —
 deterministic and oracle-checkable.  Articulation point = a vertex
 incident to ≥ 2 distinct blocks (the block-cut-tree definition; leaf
 and isolated vertices are incident to ≤ 1).
 
-Scale: the cover table is O(E · tree depth) rows (the `hierarchy.py`
-closure cost model — shallow for the small-world graphs this engine
-targets); the star edges are |cover| rows; everything else is the
-audited `connected_components`.  Every join keys on a vertex id.
+Scale: every join keys on a vertex id; G' edge generation is two
+scan-speed filters over O(E) + O(V) rows; everything else is the
+audited `connected_components`.
 """
 
 from __future__ import annotations
@@ -38,12 +49,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
-from crgp_spark.operators.bridges import (
-    _ancestor_closure,
-    _canonical,
-    bfs_forest,
-)
+from crgp_spark.operators.bridges import _canonical
 from crgp_spark.operators.components import connected_components
+from crgp_spark.operators.euler import connectivity_substrate
 
 __all__ = ["blocks", "articulation_points", "block_cut_tree"]
 
@@ -58,12 +66,8 @@ def blocks(
     tree-edge child vid of the block."""
     cfg = cfg or EngineConfig()
     und = _canonical(edges).persist()
-    forest = bfs_forest(
-        spark,
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-        cfg,
-    )
-    tree = forest.filter(F.col("parent").isNotNull()).select(
+    sub = connectivity_substrate(spark, und, cfg)
+    tree = sub.filter(F.col("parent").isNotNull()).select(
         "vid", "parent",
         F.least("vid", "parent").alias("u"),
         F.greatest("vid", "parent").alias("v"),
@@ -71,30 +75,38 @@ def blocks(
     nontree = und.join(
         tree.select("u", "v"), ["u", "v"], "left_anti"
     ).localCheckpoint(eager=True)
-    clos = _ancestor_closure(forest).localCheckpoint(eager=True)
 
-    # cover(c; u,v): c in closure(u) XOR c in closure(v)
-    cu = clos.select(F.col("vid").alias("u"), F.col("anc"))
-    cv = clos.select(F.col("vid").alias("v"), F.col("anc"))
-    cov = (
-        nontree.join(cu, "u")
-        .join(cv, ["v", "anc"], "left_anti")
-        .unionByName(
-            nontree.join(cv, "v").join(cu, ["u", "anc"], "left_anti")
-            .select("u", "v", "anc")
-        )
-        .select("u", "v", F.col("anc").alias("ch"))
-        .localCheckpoint(eager=True)
+    # rule A: non-tree edges between disjoint subtrees
+    su = sub.select(
+        F.col("vid").alias("u"),
+        F.col("tin").alias("_tu"), F.col("tout").alias("_ou"),
     )
+    sv = sub.select(
+        F.col("vid").alias("v"),
+        F.col("tin").alias("_tv"), F.col("tout").alias("_ov"),
+    )
+    nt = nontree.join(su, "u").join(sv, "v").localCheckpoint(eager=True)
+    rule_a = nt.filter(
+        (F.col("_ou") < F.col("_tv")) | (F.col("_ov") < F.col("_tu"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
 
-    # star each fundamental cycle's children on its minimum child
-    hub = cov.groupBy("u", "v").agg(F.min("ch").alias("hub"))
-    stars = (
-        cov.join(hub, ["u", "v"])
-        .filter(F.col("ch") != F.col("hub"))
-        .select(F.col("hub").alias("src"), F.col("ch").alias("dst"))
+    # rule B: tree edge (w, v) with v non-root, some non-tree edge
+    # escaping subtree(v) from within subtree(w)
+    wrows = sub.filter(F.col("parent").isNotNull()).select(
+        F.col("vid").alias("w"), "parent", "low", "high"
     )
-    comp = connected_components(spark, stars, cfg, algo_name="blocks_cc")
+    vrows = sub.filter(F.col("parent").isNotNull()).select(
+        F.col("vid").alias("parent"),
+        F.col("tin").alias("_tp"), F.col("tout").alias("_op"),
+    )
+    rule_b = (
+        wrows.join(vrows, "parent")
+        .filter((F.col("low") < F.col("_tp")) | (F.col("high") > F.col("_op")))
+        .select(F.col("w").alias("src"), F.col("parent").alias("dst"))
+    )
+    comp = connected_components(
+        spark, rule_a.unionByName(rule_b), cfg, algo_name="blocks_cc"
+    )
 
     # tree edges: covered ones take their component label, bridges stay
     # singleton blocks labeled by their own child vid
@@ -106,12 +118,17 @@ def blocks(
             F.coalesce("component", tree.vid).alias("block"),
         )
     )
-    # non-tree edges inherit their cycle hub's block
+    # non-tree edges inherit the block of the tree edge above their
+    # deeper endpoint (a member of their fundamental cycle — always
+    # labeled: a simple graph's fundamental cycle has ≥ 2 tree edges)
+    deeper = nt.withColumn(
+        "_d", F.when(F.col("_tu") >= F.col("_tv"), F.col("u")).otherwise(F.col("v"))
+    )
     nt_blocks = (
-        hub.join(lab, hub.hub == lab.ch, "left")
+        deeper.join(lab, deeper._d == lab.ch, "left")
         .select(
             "u", "v",
-            F.coalesce("component", F.col("hub")).alias("block"),
+            F.coalesce("component", F.col("_d")).alias("block"),
         )
     )
     out = tree_blocks.unionByName(nt_blocks).localCheckpoint(eager=True)

@@ -20,18 +20,16 @@ bit-reproducible and oracle-checkable):
    multi-source `bfs.bfs_hops`; parent(v) = the MINIMUM neighbor one
    hop closer.  Deterministic, and BFS depth = source eccentricity —
    shallow for the small-world graphs this engine targets.
-2. **Ancestor closure.** (vid, anc, anc_dist) pairs by walking parent
-   pointers — O(V · depth) rows, the `hierarchy.py` cost model; for
-   pathologically deep graphs the documented alternative is
-   Euler-tour interval labeling.
-3. **Exact subtree crossing counts.** A tree edge above child ``c`` is
-   a bridge iff NO non-tree edge has exactly one endpoint inside
-   subtree(c).  Counting form (integer-exact):
-   ``crossing(c) = S1(c) - 2 * S2(c)`` where S1 counts non-tree edge
-   ENDPOINTS in subtree(c) (closure join) and S2 counts non-tree edges
-   whose LCA lies in subtree(c) (both endpoints inside ⟺ their LCA is
-   a descendant-or-self of c).  LCA per non-tree edge = the deepest
-   common ancestor — one closure self-join + ``max_by``.
+2. **Euler-tour interval labels + low/high** via
+   `euler.interval_substrate` — O(V) label rows (replacing the former
+   O(V · depth) ancestor closure, which was a genuine 100×-scale soft
+   spot on deep graphs; deep forests now take O(log n) list-ranking
+   supersteps instead of O(depth)).
+3. **Low-link bridge test.** A tree edge above child ``c`` is a
+   bridge iff NO non-tree edge crosses the subtree(c) boundary ⟺
+   every single-hop non-tree reach from subtree(c) stays inside
+   ``[tin(c), tout(c)]``: ``low(c) ≥ tin(c) AND high(c) ≤ tout(c)``
+   (the Tarjan low-link criterion in interval units — integer-exact).
 4. **2ECC** = `connected_components` over the non-bridge edges,
    isolated survivors self-labeled.
 
@@ -39,9 +37,8 @@ Semantics: bridges of the SIMPLE graph underlying the edge table
 (parallel edges collapse; a true multi-edge is never a bridge, so
 callers with multiplicity semantics should pre-filter count==1 pairs).
 
-Scale: every join keys on a vertex id; the non-tree endpoint/LCA
-aggregations are map-side-combinable counts; loop state joins follow
-the `state_hint` policy and every superstep localCheckpoints (CLAUDE.md
+Scale: every join keys on a vertex id; loop state joins follow the
+`state_hint` policy and every superstep localCheckpoints (CLAUDE.md
 rules).  The budget caps raise loudly (`scc.py` precedent).
 """
 
@@ -53,7 +50,10 @@ from pyspark.sql import functions as F
 from crgp_spark.config import EngineConfig
 from crgp_spark.operators.bfs import bfs_hops
 from crgp_spark.operators.components import connected_components
-from crgp_spark.plans.superstep import state_hint
+from crgp_spark.operators.euler import (
+    connectivity_substrate,
+    interval_substrate,
+)
 
 __all__ = ["bfs_forest", "bridges", "two_edge_components"]
 
@@ -119,41 +119,6 @@ def bfs_forest(
     return out
 
 
-def _ancestor_closure(
-    forest: DataFrame, max_depth: int = 256
-) -> DataFrame:
-    """``(vid, anc, anc_dist)`` for every ancestor-or-self ``anc`` of
-    ``vid`` — parent-pointer walk, one superstep per tree level
-    (frontier = deepest open pairs only; O(V · depth) total rows)."""
-    par = forest.select(
-        F.col("vid").alias("child"), "parent"
-    ).filter(F.col("parent").isNotNull()).localCheckpoint(eager=True)
-    n_par = par.count()
-
-    closure = forest.select("vid", F.col("vid").alias("anc")).localCheckpoint(
-        eager=True
-    )
-    frontier = closure
-    for _ in range(max_depth):
-        nxt = (
-            frontier.join(
-                state_hint(par, n_par), frontier.anc == par.child
-            )
-            .select("vid", F.col("parent").alias("anc"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        closure = closure.unionByName(nxt)
-        frontier = nxt
-    else:
-        raise RuntimeError(
-            f"ancestor closure did not terminate within {max_depth} levels"
-        )
-    depth = forest.select(F.col("vid").alias("anc"), F.col("dist").alias("anc_dist"))
-    return closure.join(depth, "anc").select("vid", "anc", "anc_dist")
-
-
 def bridges(
     spark: SparkSession,
     edges: DataFrame,
@@ -165,56 +130,24 @@ def bridges(
     share it with `two_edge_components`."""
     cfg = cfg or EngineConfig()
     und = _canonical(edges).persist()
-    if forest is None:
-        forest = bfs_forest(spark, und.select(
-            F.col("u").alias("src"), F.col("v").alias("dst")
-        ), cfg)
-    tree = forest.filter(F.col("parent").isNotNull()).select(
-        F.least("vid", "parent").alias("u"),
-        F.greatest("vid", "parent").alias("v"),
-    )
-    nontree = und.join(tree, ["u", "v"], "left_anti").localCheckpoint(
-        eager=True
-    )
-    clos = _ancestor_closure(forest).localCheckpoint(eager=True)
-
-    # LCA of each non-tree edge: deepest common ancestor (a chain —
-    # depths are distinct, so max_by is unambiguous)
-    cu = clos.select(
-        F.col("vid").alias("u"), F.col("anc"), F.col("anc_dist")
-    )
-    cv = clos.select(F.col("vid").alias("v"), F.col("anc"))
-    lca = (
-        nontree.join(cu, "u")
-        .join(cv, ["v", "anc"])
-        .groupBy("u", "v")
-        .agg(F.max_by("anc", "anc_dist").alias("l"))
-    )
-    # S1: non-tree endpoints inside subtree(anc)
-    endpoints = nontree.select(F.col("u").alias("x")).unionAll(
-        nontree.select(F.col("v").alias("x"))
-    )
-    s1 = (
-        endpoints.join(clos, clos.vid == F.col("x"))
-        .groupBy("anc")
-        .agg(F.count(F.lit(1)).alias("s1"))
-    )
-    # S2: non-tree edges fully inside subtree(anc) ⟺ LCA inside
-    s2 = (
-        lca.join(clos, clos.vid == lca.l)
-        .groupBy("anc")
-        .agg(F.count(F.lit(1)).alias("n_in"))
-    )
-    children = forest.filter(F.col("parent").isNotNull()).select(
-        "vid", "parent"
-    )
+    if forest is not None:
+        # caller-supplied rooted forest (shallow regime by contract)
+        tree = forest.filter(F.col("parent").isNotNull()).select(
+            F.least("vid", "parent").alias("u"),
+            F.greatest("vid", "parent").alias("v"),
+        )
+        nontree = und.join(tree, ["u", "v"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        sub = interval_substrate(spark, forest, nontree, cfg)
+    else:
+        sub = connectivity_substrate(spark, und, cfg)
+    # tree edge above c is a bridge ⟺ no non-tree edge escapes
+    # subtree(c): every single-hop reach stays inside [tin, tout]
     out = (
-        children.join(s1.withColumnRenamed("anc", "vid"), "vid", "left")
-        .join(s2.withColumnRenamed("anc", "vid"), "vid", "left")
+        sub.filter(F.col("parent").isNotNull())
         .filter(
-            F.coalesce(F.col("s1"), F.lit(0))
-            - 2 * F.coalesce(F.col("n_in"), F.lit(0))
-            == 0
+            (F.col("low") >= F.col("tin")) & (F.col("high") <= F.col("tout"))
         )
         .select(
             F.least("vid", "parent").alias("u"),
@@ -236,14 +169,10 @@ def two_edge_components(
     the graph minus its bridges, bridge-stranded vertices self-labeled."""
     cfg = cfg or EngineConfig()
     und = _canonical(edges).persist()
-    forest = bfs_forest(spark, und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ), cfg)
     br = bridges(
         spark,
         und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
         cfg,
-        forest=forest,
     )
     keep = und.join(br, ["u", "v"], "left_anti")
     labeled = connected_components(
@@ -252,9 +181,13 @@ def two_edge_components(
         cfg,
         algo_name="ecc2_cc",
     ).select("vid", F.col("component").alias("ecc2"))
+    verts = (
+        und.select(F.col("u").alias("vid"))
+        .unionByName(und.select(F.col("v").alias("vid")))
+        .distinct()
+    )
     singletons = (
-        forest.select("vid")
-        .join(labeled.select("vid"), "vid", "left_anti")
+        verts.join(labeled.select("vid"), "vid", "left_anti")
         .select("vid", F.col("vid").alias("ecc2"))
     )
     out = labeled.unionByName(singletons)

@@ -304,12 +304,12 @@ def chi2_independence(
     return chi2_from_cells(cells)
 
 
-def chi2_from_cells(cells: DataFrame) -> DataFrame:
-    """The statistic from an already-counted ``(cat, arm, n_obs)``
-    contingency table — split out so the streaming path
-    (``streaming/windows.py::stream_chi2_test``), whose state store
-    maintains exactly these cell counts as a per-key SUM monoid,
-    folds into the identical statistic (stream == batch contract)."""
+def _chi2_term_cells(cells: DataFrame) -> DataFrame:
+    """Per-cell contingency frame with the 8dp-quantized chi-square
+    term ``_tq`` (BIGINT) plus marginals ``_r/_c/_n/_nr/_nc`` and the
+    float expected value ``_e`` — the single quantization contract
+    shared by `chi2_from_cells` and `cramers_v` (ADVICE r4: V must
+    fold the same integer sum, not the 4dp-rounded report)."""
     rows = cells.groupBy("cat").agg(F.sum("n_obs").alias("_r"))
     colt = cells.groupBy("arm").agg(F.sum("n_obs").alias("_c"))
     tot = cells.agg(
@@ -329,10 +329,21 @@ def chi2_from_cells(cells: DataFrame) -> DataFrame:
     )
     dev = F.col("n_obs").cast("double") - e
     term_q = F.floor(dev * dev / e * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return j.withColumn("_e", e).withColumn("_tq", term_q)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """The statistic from an already-counted ``(cat, arm, n_obs)``
+    contingency table — split out so the streaming path
+    (``streaming/windows.py::stream_chi2_test``), whose state store
+    maintains exactly these cell counts as a per-key SUM monoid,
+    folds into the identical statistic (stream == batch contract)."""
+    j = _chi2_term_cells(cells)
+    e = F.col("_e")
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    chi2 = F.sum(term_q).over(wall).cast("double") / F.lit(1e8)
+    chi2 = F.sum("_tq").over(wall).cast("double") / F.lit(1e8)
     return j.select(
         "cat",
         "arm",
@@ -488,10 +499,26 @@ def cramers_v(
 
     — the bounded-[0,1] "how strong is the dependence" companion to
     the chi2 statistic (which grows with n). ``chi2`` is the same
-    8dp-quantized order-free integer fold as the chi2 entry; ``v`` is
-    one pinned sqrt/division at 6dp."""
-    cells = chi2_independence(events, cat_col, user_col, n_arms)
-    one = cells.limit(1).select("chi2", "dof")
+    8dp-quantized order-free integer fold as the chi2 entry
+    (`_chi2_term_cells` — V folds the raw quantized integer sum, not
+    the 4dp-rounded report, so no extra rounding step enters the
+    sqrt; the reported ``chi2`` column keeps the 4dp contract); ``v``
+    is one pinned sqrt/division at 6dp."""
+    counted = events.groupBy(
+        F.col(cat_col).alias("cat"),
+        F.pmod(F.col(user_col), F.lit(n_arms)).cast("int").alias("arm"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    one = _chi2_term_cells(counted).agg(
+        F.sum("_tq").alias("_chi2_q"),
+        F.first("_nr").alias("_nr"),
+        F.first("_nc").alias("_nc"),
+    ).select(
+        (F.col("_chi2_q").cast("double") / F.lit(1e8)).alias("_chi2_raw"),
+        decimal_round(F.col("_chi2_q").cast("double") / F.lit(1e8), 4).alias(
+            "chi2"
+        ),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+    )
     tot = events.agg(F.count(F.lit(1)).alias("n"))
     j = tot.join(F.broadcast(one))
     # dof = (R-1)(C-1); with C = n_arms, min(R-1, C-1) =
@@ -499,9 +526,9 @@ def cramers_v(
     r_minus_1 = (F.col("dof") / F.lit(n_arms - 1)).cast("long")
     mindof = F.least(r_minus_1, F.lit(n_arms - 1).cast("long"))
     v = F.when(
-        (F.col("n") > 0) & (mindof > 0) & (F.col("chi2") >= 0),
+        (F.col("n") > 0) & (mindof > 0) & (F.col("_chi2_raw") >= 0),
         F.sqrt(
-            F.col("chi2")
+            F.col("_chi2_raw")
             / (F.col("n").cast("double") * mindof.cast("double"))
         ),
     ).otherwise(F.lit(0.0))

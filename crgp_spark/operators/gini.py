@@ -20,9 +20,10 @@ probabilities are hard-coded double LITERALS (not engine ``log`` calls,
 which round differently); the deviation statistic is the 8dp-quantized
 chi-square fold of ``chi2_independence`` — order-free integer sums.
 
-Plan shape: one groupBy(unit) to build amounts, one partitioned window
-(rank within group — group-sized, never global), one map-side-
-combinable moment aggregate per group. The reference has no
+Plan shape: one groupBy(unit) to build amounts, one groupBy(group,
+value) count, a two-level range-partitioned cumulative count (local
+windows bounded by the range partition, never a whole group in one
+task), one map-side-combinable moment aggregate per group. The reference has no
 distribution-shape surface (terminal counters, ``statistics.rs:
 17-131``); these are the standard audits its users run downstream.
 """
@@ -47,16 +48,52 @@ def gini_coefficient(
     """Per group: ``(group_col, n, total, s2, gini)`` over integer
     ``value_col`` amounts — ``s2 = Σ rank·x`` (BIGINT), ``gini`` at
     6dp. Requires non-negative amounts (negative spend makes the
-    Lorenz construction meaningless; validate upstream)."""
-    w = Window.partitionBy(group_col).orderBy("_x")
-    ranked = amounts.select(
-        group_col,
-        F.col(value_col).cast("long").alias("_x"),
-    ).withColumn("_i", F.row_number().over(w).cast("long"))
-    g = ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("total"),
-        F.sum(F.col("_i") * F.col("_x")).alias("s2"),
+    Lorenz construction meaningless; validate upstream).
+
+    Rank sums come from per-(group, value) counts and a two-level
+    range-partitioned cumulative count (the `rankcorr` prefix-sum
+    idiom) — no per-group single-task window, so a group of any size
+    distributes (ADVICE r4).  A value run of count ``c`` starting at
+    rank ``s`` contributes ``x·(c·s + c(c−1)/2)``, which is
+    tie-order-invariant — identical to the row_number formulation."""
+    cnt = (
+        amounts.select(
+            group_col, F.col(value_col).cast("long").alias("_x")
+        )
+        .groupBy(group_col, "_x")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    parts = max(amounts.sparkSession.sparkContext.defaultParallelism, 4)
+    ranged = cnt.repartitionByRange(parts, group_col, "_x").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lc", F.sum("_c").over(wloc))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid", group_col)
+        .agg(F.sum("_c").alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(woff), F.lit(0)))
+        .select("_pid", group_col, "_off")
+    )
+    j = local.join(offsets, ["_pid", group_col])
+    # cum_le inclusive; run of _c equal values starts at rank s
+    s = F.col("_lc") + F.col("_off") - F.col("_c") + 1
+    run_rank_sum = F.col("_c") * s + F.shiftright(
+        F.col("_c") * (F.col("_c") - 1), 1
+    )
+    g = j.groupBy(group_col).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_x") * F.col("_c")).alias("total"),
+        F.sum(F.col("_x") * run_rank_sum).alias("s2"),
     )
     gini = F.when(
         (F.col("total") > 0) & (F.col("n") > 0),

@@ -97,9 +97,12 @@ def triangles(
         .unionByName(und.select(F.col("b").alias("vid")))
         .distinct()
     )
+    # materialize before releasing tri's cached blocks (ADVICE r4: long
+    # driver-gate sessions leak accumulated caches otherwise)
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
-    )
+    ).localCheckpoint(eager=True)
+    tri.unpersist()
     o.unpersist()
     return total, per_vertex
 
@@ -168,8 +171,11 @@ def four_cliques(
         .unionByName(und.select(F.col("b").alias("vid")))
         .distinct()
     )
+    # materialize before releasing k4's cached blocks: long driver-gate
+    # sessions run many queries, and leaked caches accumulate (ADVICE r4)
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("k4", F.lit(0)).alias("k4")
-    )
+    ).localCheckpoint(eager=True)
+    k4.unpersist()
     o.unpersist()
     return total, per_vertex

@@ -25,7 +25,22 @@ def test_cramers_v_consistency(spark):
     chi2 = chi2_independence(df).collect()[0].chi2
     r = cramers_v(df).collect()[0]
     n = len(rows)
-    want = math.floor(math.sqrt(chi2 / (n * 1)) * 1e6 + 0.5) / 1e6
+    # V folds the RAW 8dp-quantized chi2 (ADVICE r4), not the
+    # 4dp-rounded report — replicate the quantized integer fold
+    counts = {}
+    for u, et in rows:
+        counts[(et, u % 2)] = counts.get((et, u % 2), 0) + 1
+    rt = {}
+    ct = {}
+    for (cat, arm), c in counts.items():
+        rt[cat] = rt.get(cat, 0) + c
+        ct[arm] = ct.get(arm, 0) + c
+    tq = 0
+    for (cat, arm), c in counts.items():
+        e = rt[cat] * ct[arm] / n
+        tq += math.floor((c - e) * (c - e) / e * 1e8 + 0.5)
+    chi2_raw = tq / 1e8
+    want = math.floor(math.sqrt(chi2_raw / (n * 1)) * 1e6 + 0.5) / 1e6
     assert r.n == n and r.chi2 == chi2 and r.v == want
 
 
