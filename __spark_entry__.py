@@ -2516,7 +2516,8 @@ SELECT n_name, COUNT(*) AS n_custs,
        CAST(CAST(SUM(bal_cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
 FROM cust, pos
 WHERE bal_cents * pos_cnt > pos_sum
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey
+                  AND o.o_totalprice > 400000.0)
 GROUP BY n_name""",
     # Q20 analog: per-group dominance threshold + semi-join chain
     "tpch_dominant": """
@@ -2531,7 +2532,7 @@ per_p AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS q_p
           FROM li GROUP BY 1),
 dom AS (SELECT DISTINCT s.l_suppkey
         FROM per_sp s JOIN per_p p ON p.l_partkey = s.l_partkey
-        WHERE s.q_sp * 2 > p.q_p)
+        WHERE s.q_sp * 8 > p.q_p)
 SELECT s.s_suppkey, s.s_name
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = 'NATION_5'
@@ -4628,11 +4629,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION (bucketed) branch: pairs generated only within
-    8-bit LSH buckets — the plan that survives 100 TB. Oracle-checked
+    4-bit LSH buckets — the plan that survives 100 TB. Oracle-checked
     against the same buckets recomputed in SQL (VERDICT r1 asked for the
-    scale branch to be driver-exercised)."""
+    scale branch to be driver-exercised; 8 bits at threshold 0.4 had
+    zero colliding pairs on the synthetic vectors — a vacuous hash
+    match, VERDICT r4 fix-it #1 — 4 bits at 0.35 returns real rows
+    while keeping the bucketed shape)."""
     return embedding_neardup_pairs(
-        _embs(spark, sf_dir), threshold=0.4, prefilter_bits=8, dim=64
+        _embs(spark, sf_dir), threshold=0.35, prefilter_bits=4, dim=64
     )
 
 
@@ -5932,12 +5936,17 @@ def q_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (dedup.py::hard_negatives):
     single-hash LSH bands for mid-similarity recall, exact integer
-    Jaccard band [0.1, 0.6), per-anchor top-5 by the deterministic
-    (sim desc, neg) order."""
+    Jaccard band [0.01, 0.5), per-anchor top-5 by the deterministic
+    (sim desc, neg) order. The synthetic corpus is bimodal — planted
+    near-dups at sim ≈ 0.99, everything else at ≈ 0.01–0.1 — so the
+    default [0.1, 0.6) band was vacuously empty (VERDICT r4 fix-it
+    #1); the hard-negative band for THIS corpus sits just above the
+    background mode."""
     from crgp_spark.operators.dedup import hard_negatives
 
     return hard_negatives(
-        _docs(spark, sf_dir), n_hashes=4, band_size=1, per_anchor=5
+        _docs(spark, sf_dir), n_hashes=4, band_size=1, per_anchor=5,
+        lo=(1, 100), hi=(1, 2),
     )
 
 
@@ -6690,26 +6699,34 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20 analog: suppliers dominating a part's shipped quantity
-    (relational.py::dominant_part_suppliers)."""
+    """Q20 analog: suppliers leading a part's shipped quantity
+    (relational.py::dominant_part_suppliers, share_den=8 — more than
+    an eighth of the part's total; the classic majority threshold is
+    vacuously empty on the evenly-spread synthetic data, VERDICT r4
+    fix-it #1)."""
     from crgp_spark.operators.relational import dominant_part_suppliers
 
     return dominant_part_suppliers(
         _tbl(spark, sf_dir, "lineitem"),
         _tbl(spark, sf_dir, "supplier"),
         _tbl(spark, sf_dir, "nation"),
+        share_den=8,
     )
 
 
 def q_tpch_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22 analog: above-average-balance customers with no orders
-    (relational.py::prospect_customers)."""
+    """Q22 analog: above-average-balance customers who never placed a
+    single LARGE order (relational.py::prospect_customers,
+    big_order_min=400000 — every synthetic customer has some order, so
+    the classic no-orders NOT EXISTS is vacuously empty, VERDICT r4
+    fix-it #1)."""
     from crgp_spark.operators.relational import prospect_customers
 
     return prospect_customers(
         _tbl(spark, sf_dir, "customer"),
         _tbl(spark, sf_dir, "orders"),
         _tbl(spark, sf_dir, "nation"),
+        big_order_min=400000.0,
     )
 
 
@@ -7047,6 +7064,43 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_layers(spark, g, _graph_cfg())
 
 
+#: stream_late epoch plan: 6 rank-sliced time chunks replayed in this
+#: arrival order (slice -> file position), 1-hour windows, 144-hour
+#: watermark delay — chosen so the gate exercises every behavior class:
+#: full accepts via the one-batch watermark lag, intra-batch partial
+#: drops (the watermark lands inside slices 1 and 3), full drops, and
+#: final-watermark emit truncation.
+_LATE_ORDER = [2, 0, 4, 1, 5, 3]
+_LATE_DELAY_MS = 144 * 3_600_000
+
+
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order/late-data streaming under the hard gate
+    (streaming/late.py): the events table sliced into 6 time chunks
+    replayed in a SHUFFLED order through an append-mode watermarked
+    1-hour window aggregation (144 h delay, one file per micro-batch).
+    The oracle replays Spark's measured watermark semantics as a pure
+    batch filter: per-batch ms-floored running max (one-batch lag) for
+    the strict-inequality late filter, final watermark for the emit
+    cut — acceptance-set equality makes the integer-cent totals
+    bit-for-bit equal."""
+    from crgp_spark.functions import ts_micros
+    from crgp_spark.streaming.late import (
+        stream_late_counts,
+        write_shuffled_chunks,
+    )
+
+    work = "/tmp/crgp_stream_late"
+    feed = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value", "ts",
+        ts_micros("ts").alias("us"),
+    )
+    write_shuffled_chunks(feed, work, _LATE_ORDER)
+    return stream_late_counts(
+        spark, work, window="1 hour", delay="144 hours"
+    )
+
+
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed MERGE INTO under the hard gate (streaming/merge.py):
     the customer snapshot kept current against the time-chunked CDC
@@ -7275,6 +7329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "stream_ivm": q_stream_ivm,
         "stream_merge": q_stream_merge,
+        "stream_late": q_stream_late,
         "bridges": q_bridges,
         "ecc2": q_ecc2,
         "blocks": q_blocks,
@@ -7751,7 +7806,7 @@ FROM g""",
         "  JOIN sizes sb ON sb.doc_id = c.b\n"
         "),\n"
         "mid AS (SELECT * FROM pairs\n"
-        "        WHERE inter * 10 >= 1 * uni AND inter * 10 < 6 * uni),\n"
+        "        WHERE inter * 100 >= 1 * uni AND inter * 2 < 1 * uni),\n"
         "bothp AS (\n"
         "  SELECT a AS anchor, b AS neg, inter, uni FROM mid\n"
         "  UNION ALL SELECT b, a, inter, uni FROM mid\n"
@@ -11045,7 +11100,7 @@ SELECT query_id, rank, neighbor_id, score FROM (
         "  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank\n"
         "  FROM scored\n"
         ") WHERE rank <= 5",
-        "embedding_neardup_lsh": f"WITH {_sql_lsh_buckets(1, 8)},\n{_SQL_EMB},\n"
+        "embedding_neardup_lsh": f"WITH {_sql_lsh_buckets(1, 4)},\n{_SQL_EMB},\n"
         "pairs AS (\n"
         "  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b\n"
         "  FROM buckets l JOIN buckets r ON r.bucket = l.bucket\n"
@@ -11059,7 +11114,7 @@ SELECT query_id, rank, neighbor_id, score FROM (
         ")\n"
         "SELECT a, b, FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 AS sim\n"
         "FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b\n"
-        "WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 > 0.4",
+        "WHERE FLOOR(dot / (na.nrm * nb.nrm) * 1000000.0 + 0.5) / 1000000.0 > 0.35",
         "embedding_neardup": f"WITH {_SQL_EMB},\n"
         "dots AS (\n"
         "  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS dot\n"
@@ -11629,6 +11684,53 @@ FROM r, nf GROUP BY nf.n_from"""
     # streamed per-epoch MERGE INTO == the one-shot batch apply: same
     # oracle verbatim (streaming/merge.py)
     d["stream_merge"] = d["cdc_apply"]
+    # out-of-order late data (streaming/late.py): Spark's measured
+    # watermark semantics as a pure batch filter — per-arrival-batch
+    # ms-floored running max with a ONE-BATCH lag for the strict late
+    # filter (rows with window end <= that watermark drop), final
+    # watermark for the append-mode emit cut. Slicing/permutation
+    # mirror _LATE_ORDER / write_shuffled_chunks exactly.
+    d["stream_late"] = """
+WITH f AS (
+  SELECT event_type, value, EPOCH_US(ts) AS us, event_id,
+         ROW_NUMBER() OVER (ORDER BY EPOCH_US(ts), event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+),
+s AS (
+  SELECT event_type, value, us,
+         (rn - 1) // ((n + 5) // 6) AS slice
+  FROM f
+),
+a AS (
+  SELECT event_type, value, us,
+         CASE slice WHEN 2 THEN 0 WHEN 0 THEN 1 WHEN 4 THEN 2
+                    WHEN 1 THEN 3 WHEN 5 THEN 4 WHEN 3 THEN 5 END AS b
+  FROM s
+),
+bm AS (SELECT b, MAX(us) // 1000 AS bmax_ms FROM a GROUP BY b),
+wm AS (
+  SELECT b,
+         (MAX(bmax_ms) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+          - 518400000) * 1000 AS wm_us
+  FROM bm
+),
+fw AS (SELECT (MAX(bmax_ms) - 518400000) * 1000 AS final_wm FROM bm),
+acc AS (
+  SELECT a.event_type, a.value,
+         a.us - a.us % 3600000000 AS ws
+  FROM a JOIN wm ON wm.b = a.b, fw
+  WHERE (wm.wm_us IS NULL
+         OR a.us - a.us % 3600000000 + 3600000000 > wm.wm_us)
+    AND a.us - a.us % 3600000000 + 3600000000 <= fw.final_wm
+)
+SELECT CAST(ws // 1000000 AS BIGINT) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM acc
+GROUP BY 1, 2"""
     # bridges / 2ECC: the exact recursive-CTE twin of
     # operators/bridges.py (BFS forest, closure, LCA crossing counts)
     d["bridges"] = _sql_bridges()

@@ -52,6 +52,9 @@ def kmeans_step(
             ),
         ).alias("qv"),
     )
+    # the global row_number sees ONLY the k rows of the limit below —
+    # never lift this idiom to a data-sized table (it would become a
+    # full single-partition sort)
     cents = (
         q.orderBy(id_col)
         .limit(k)
@@ -112,6 +115,9 @@ def kmeans_fit(
         ).alias("qv"),
     ).persist()
     spark = embeddings.sparkSession
+    # the global row_number sees ONLY the k rows of the limit below —
+    # never lift this idiom to a data-sized table (it would become a
+    # full single-partition sort)
     cents = (
         q.orderBy(id_col)
         .limit(k)

@@ -112,6 +112,9 @@ def pq_codebooks(
     d_sub = dim // m
     subs = _subvectors(embeddings, id_col, vec_col, m, d_sub, scale)
 
+    # the global row_number sees ONLY the n_codes rows of the limit
+    # above — never lift this idiom to a data-sized table (it would
+    # become a full single-partition sort)
     seed_ids = (
         embeddings.select(id_col)
         .orderBy(id_col)

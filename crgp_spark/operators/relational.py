@@ -909,13 +909,19 @@ def prospect_customers(
         "NATION_18",
         "NATION_23",
     ),
+    big_order_min: float | None = None,
 ) -> DataFrame:
     """TPC-H Q22 shape: scalar-avg subquery threshold + NOT EXISTS.
 
     Per nation, count (and total the balances of) customers from a
     target nation set whose account balance exceeds the average
     positive balance of that set AND who have never placed an order —
-    the "global sales opportunity" query.
+    the "global sales opportunity" query.  With ``big_order_min`` set
+    the NOT EXISTS is restricted to orders above that total price
+    ("never placed a single large order"): on the synthetic data every
+    customer has SOME order, so the classic no-orders predicate is
+    vacuously empty (VERDICT r4 fix-it #1) — the driver entry passes
+    400000.0, which keeps the anti-join shape and returns real rows.
 
     Plan: the nation filter broadcasts into the customer scan; the
     positive-balance average is a 1-row aggregate broadcast-cross-
@@ -935,11 +941,14 @@ def prospect_customers(
         F.sum("bal_cents").alias("pos_sum"),
         F.count(F.lit(1)).alias("pos_cnt"),
     )
+    anti = orders
+    if big_order_min is not None:
+        anti = anti.filter(F.col("o_totalprice") > F.lit(big_order_min))
     return (
         cust.crossJoin(F.broadcast(pos))
         .filter(F.col("bal_cents") * F.col("pos_cnt") > F.col("pos_sum"))
         .join(
-            orders.select("o_custkey"),
+            anti.select("o_custkey"),
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
@@ -1037,15 +1046,21 @@ def dominant_part_suppliers(
     supplier: DataFrame,
     nation: DataFrame,
     n_name: str = "NATION_5",
+    share_den: int = 2,
 ) -> DataFrame:
     """TPC-H Q20 shape: per-group threshold subquery feeding a
     semi-join chain.
 
-    Suppliers from one nation who DOMINATE at least one part — shipped
-    more than half of that part's total quantity (the "excess stock"
-    candidate list; the schema has no partsupp, so shipped quantity
-    stands in for stock).  The threshold compares ``2·qty_supplier >
-    qty_part`` in BIGINT quantity-cents — exact on boundaries.
+    Suppliers from one nation who LEAD at least one part — shipped
+    more than ``1/share_den`` of that part's total quantity (the
+    "excess stock" candidate list; the schema has no partsupp, so
+    shipped quantity stands in for stock).  The threshold compares
+    ``share_den·qty_supplier > qty_part`` in BIGINT quantity-cents —
+    exact on boundaries.  ``share_den=2`` is the classic strict
+    majority; the driver entry uses 8 because the synthetic data
+    spreads parts evenly across suppliers (max single-supplier share
+    measured 0.245 at sf0.01 — a majority threshold is vacuously
+    empty, VERDICT r4 fix-it #1).
 
     Plan: two partial-agg groupBys over the SAME scan-projected
     lineitem slice (Catalyst reuses the exchange), a shuffle join on
@@ -1059,7 +1074,7 @@ def dominant_part_suppliers(
     per_p = li.groupBy("l_partkey").agg(F.sum("qc").alias("q_p"))
     dominant = (
         per_sp.join(per_p, "l_partkey")
-        .filter(F.col("q_sp") * 2 > F.col("q_p"))
+        .filter(F.col("q_sp") * share_den > F.col("q_p"))
         .select("l_suppkey")
         .distinct()
     )
