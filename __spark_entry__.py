@@ -3448,6 +3448,40 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", "comm")
 
 
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden community detection, level 1 (operators/louvain.py::
+    refine_partition): the Louvain move phase (2 rotating-priority
+    independent-set rounds) followed by Traag et al. 2019's
+    connectivity refinement — every community split into its connected
+    parts (min-vid labels), so no community is ever internally
+    disconnected. The oracle replays the louvain chain plus a
+    recursive min-label pass over intra-community edges."""
+    from crgp_spark.operators.louvain import (
+        louvain_moves,
+        refine_partition,
+    )
+
+    e = _edges_vid(spark, sf_dir)
+    cfg = _graph_cfg()
+    res = louvain_moves(spark, e, cfg, rounds=2)
+    return refine_partition(
+        spark, e, res.state.select("vid", "comm"), cfg
+    )
+
+
+def q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-component diameter of the influence graph
+    (operators/diameter.py): double-sweep lower bounds + the batched
+    iFUB descent — every component's eccentricity question answered
+    exactly with a handful of grouped BFS waves (ecc2's radius-2 bound
+    could not say how far influence travels end to end). Oracle: the
+    recursive all-pairs-BFS max per recursive-min-label component —
+    exact at gate scale because conversations are shallow."""
+    from crgp_spark.operators.diameter import component_diameters
+
+    return component_diameters(spark, _edges_vid(spark, sf_dir), _graph_cfg())
+
+
 def q_louvain_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Louvain on the WEIGHTED actor-succession graph (2 move rounds)
     followed by the Blondel phase-2 contraction
@@ -7446,6 +7480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "labelprop": q_labelprop,
         "louvain": q_louvain,
+        "leiden": q_leiden,
+        "diameter": q_diameter,
         "louvain_coarse": q_louvain_coarse,
         "triangles": q_triangles,
         "pagerank_cascade": q_pagerank_cascade,
@@ -9248,8 +9284,53 @@ SELECT doc_id, source FROM ranked WHERE rk <= 10""",
         "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e))\n"
         "SELECT vid, MIN(vid) OVER (PARTITION BY vid // 100000) AS component FROM verts",
         "labelprop": _sql_labelprop(),
+        # exact per-component diameter: all-pairs recursive BFS (gate
+        # scale: conversations are shallow, cap 30 hops) + max ecc per
+        # recursive-min-label component
+        "diameter": f"""WITH RECURSIVE {_SQL_EVID},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst),
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+verts AS MATERIALIZED (SELECT DISTINCT a AS vid FROM adj),
+lab AS (
+  SELECT vid, vid AS lab FROM verts
+  UNION
+  SELECT a.b AS vid, l.lab FROM lab l JOIN adj a ON a.a = l.vid),
+comp AS MATERIALIZED (SELECT vid, MIN(lab) AS comp FROM lab GROUP BY vid),
+r AS (
+  SELECT vid AS src, vid AS dst, 0 AS d FROM verts
+  UNION
+  SELECT r.src, a.b, r.d + 1 FROM r JOIN adj a ON a.a = r.dst
+  WHERE r.d < 30),
+dist AS MATERIALIZED (SELECT src, dst, MIN(d) AS d FROM r GROUP BY 1, 2),
+ecc AS MATERIALIZED (SELECT src, MAX(d) AS e FROM dist GROUP BY src)
+SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MAX(ecc.e) AS BIGINT) AS diameter
+FROM ecc JOIN comp c ON c.vid = ecc.src
+GROUP BY c.comp""",
         # rotating-priority IS Louvain moves, 2 rounds unrolled
         "louvain": _sql_louvain(),
+        # Louvain moves + Traag connectivity refinement: recursive
+        # min-label components of the intra-community subgraph
+        "leiden": _sql_louvain().replace(
+            "\nSELECT vid, CAST(comm AS BIGINT) AS comm FROM lc2",
+            """,
+iadj AS MATERIALIZED (
+  SELECT l.u AS a, l.v AS b FROM lund l
+  JOIN lc2 s1 ON s1.vid = l.u JOIN lc2 s2 ON s2.vid = l.v
+  WHERE s1.comm = s2.comm
+  UNION ALL
+  SELECT l.v, l.u FROM lund l
+  JOIN lc2 s1 ON s1.vid = l.u JOIN lc2 s2 ON s2.vid = l.v
+  WHERE s1.comm = s2.comm),
+rlab AS (
+  SELECT vid, vid AS lab FROM lvx
+  UNION
+  SELECT i.b AS vid, l.lab FROM rlab l JOIN iadj i ON i.a = l.vid)
+SELECT vid, CAST(MIN(lab) AS BIGINT) AS comm FROM rlab GROUP BY vid""",
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
         # weighted Louvain moves + Blondel phase-2 contraction
         "louvain_coarse": _sql_louvain_coarse(),
         "triangles": f"WITH {_SQL_EVID},\n"

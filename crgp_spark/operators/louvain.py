@@ -402,3 +402,96 @@ def louvain(
             g = contract_communities(g, comm, weight_col=wc)
             wc = "weight"
     return assign
+
+
+def refine_partition(
+    spark: SparkSession,
+    edges: DataFrame,
+    assign: DataFrame,
+    cfg: EngineConfig | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Leiden refinement (Traag, Waltman & van Eck 2019): split every
+    community of ``assign (vid, comm)`` into its CONNECTED parts —
+    components of the community-induced subgraph, labeled by their
+    minimum vid.
+
+    Louvain can leave a community internally disconnected (its
+    documented pathology: a bridge vertex moves away and strands the
+    two sides, Traag et al. Fig. 2); Leiden's refinement phase is the
+    fix, and the guarantee its paper proves — every community is
+    connected — comes exactly from never letting a refined community
+    span a disconnection.  This engine's refinement is the
+    DETERMINISTIC core of Traag's: a pure connectivity split (their
+    randomized gain-proportional singleton re-merge only redistributes
+    quality among already-connected splits, so skipping it preserves
+    the connectedness theorem and keeps the engine bit-reproducible —
+    the same determinism trade as the rotating-priority move
+    schedule).
+
+    One intra-community edge filter + the audited
+    `connected_components`; vertices isolated within their community
+    keep their own vid as label."""
+    from crgp_spark.operators.components import connected_components
+
+    cfg = cfg or EngineConfig()
+    und, _selfs = _normalize(edges, weight_col)
+    cu = assign.select(F.col("vid").alias("u"), F.col("comm").alias("cu"))
+    cv = assign.select(F.col("vid").alias("v"), F.col("comm").alias("cv"))
+    intra = (
+        und.join(cu, "u")
+        .join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    comp = connected_components(
+        spark, intra, cfg, algo_name="leiden_refine"
+    )
+    return (
+        assign.select("vid")
+        .join(comp, "vid", "left")
+        .select(
+            "vid", F.coalesce("component", F.col("vid")).alias("comm")
+        )
+    )
+
+
+def leiden(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    levels: int = 2,
+    rounds: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-level Leiden: Louvain move phase, connectivity
+    refinement, aggregate on the REFINED partition (Traag's loop
+    structure), repeat.  Returns the original-vertex assignment
+    ``(vid, comm)`` with every community guaranteed internally
+    connected — the property plain `louvain` cannot promise."""
+    cfg = cfg or EngineConfig()
+    g, wc = edges, weight_col
+    assign: DataFrame | None = None
+    for lv in range(levels):
+        res = louvain_moves(
+            spark, g, cfg, rounds=rounds, weight_col=wc,
+            algo_name=f"leiden_l{lv}",
+        )
+        ref = refine_partition(
+            spark, g, res.state.select("vid", "comm"), cfg, weight_col=wc
+        ).localCheckpoint(eager=True)
+        if assign is None:
+            assign = ref
+        else:
+            nxt = ref.select(
+                F.col("vid").alias("pcomm"), F.col("comm").alias("ncomm")
+            )
+            assign = (
+                assign.join(nxt, assign["comm"] == nxt["pcomm"])
+                .select("vid", F.col("ncomm").alias("comm"))
+                .localCheckpoint(eager=True)
+            )
+        if lv + 1 < levels:
+            g = contract_communities(g, ref, weight_col=wc)
+            wc = "weight"
+    return assign
