@@ -1055,6 +1055,20 @@ def main() -> None:
         "articulation", lambda: articulation_points(spark, e2, cfg).count()
     )
 
+    from crgp_spark.operators.diameter import component_diameters
+
+    timed(
+        "diameter",
+        lambda: component_diameters(spark, e2, cfg).count(),
+    )
+
+    from crgp_spark.operators.louvain import leiden as leiden_op
+
+    timed(
+        "leiden",
+        lambda: leiden_op(spark, e2, cfg, levels=1, rounds=2).count(),
+    )
+
     from crgp_spark.operators.wl import wl_refine
 
     timed("wl_2r", lambda: wl_refine(spark, e2, rounds=2, cfg=cfg).count())

@@ -434,6 +434,47 @@ def main() -> None:
                    seconds=round(secs, 3),
                    edges_per_sec=round(n_edges / secs))
 
+    elif args.algo == "leiden":
+        from crgp_spark.operators.louvain import leiden
+
+        raw = spark.read.parquet(args.edges)
+        wcol = "weight" if "weight" in raw.columns else None
+        edges = raw.select(
+            "src", "dst", *(["weight"] if wcol else [])
+        )
+        n_edges = edges.count()
+        t0 = time.time()
+        assign = leiden(
+            spark, edges, cfg,
+            levels=2,
+            rounds=args.fixed_iterations or 4,
+            weight_col=wcol,
+        )
+        n_comms = assign.select("comm").distinct().count()
+        secs = time.time() - t0
+        out.update(edges=n_edges, communities=n_comms,
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
+    elif args.algo == "diameter":
+        from crgp_spark.operators.diameter import component_diameters
+
+        edges = spark.read.parquet(args.edges).select("src", "dst")
+        n_edges = edges.count()
+        t0 = time.time()
+        d = component_diameters(spark, edges, cfg)
+        from pyspark.sql import functions as F
+
+        row = d.agg(
+            F.count(F.lit(1)).alias("n_comps"),
+            F.max("diameter").alias("max_diameter"),
+        ).first()
+        secs = time.time() - t0
+        out.update(edges=n_edges, components=int(row["n_comps"]),
+                   max_diameter=int(row["max_diameter"] or 0),
+                   seconds=round(secs, 3),
+                   edges_per_sec=round(n_edges / secs))
+
     elif args.algo == "kcore":
         from crgp_spark.operators.kcore import kcore
 

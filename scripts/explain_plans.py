@@ -722,10 +722,10 @@ def main() -> None:
     })
 
     from crgp_spark.operators.bridges import (
-        _ancestor_closure,
         _canonical as _bridge_canon,
         bfs_forest,
     )
+    from crgp_spark.operators.euler import interval_substrate
 
     _bf = bfs_forest(spark, e_vid, cfg)
     _bund = _bridge_canon(e_vid)
@@ -734,17 +734,36 @@ def main() -> None:
         F.greatest("vid", "parent").alias("v"),
     )
     _bnt = _bund.join(_btree, ["u", "v"], "left_anti")
-    _bclos = _ancestor_closure(_bf)
+    _bsub = interval_substrate(spark, _bf, _bnt, cfg)
     sections.update({
-        "Bridges crossing-count stage (S1): non-tree endpoints x "
-        "ancestor closure — anti-join forest residue, one vid-keyed "
-        "join, map-side-combinable count per subtree root": _bnt.select(
-            F.col("u").alias("x")
-        )
-        .unionAll(_bnt.select(F.col("v").alias("x")))
-        .join(_bclos, _bclos.vid == F.col("x"))
-        .groupBy("anc")
-        .agg(F.count(F.lit(1)).alias("s1")),
+        "Bridges low-link test over the Euler interval substrate: O(V) "
+        "label rows (replacing the O(V*depth) ancestor closure), one "
+        "scan-speed filter — bridge iff no non-tree reach escapes "
+        "[tin, tout]": _bsub.filter(F.col("parent").isNotNull()).filter(
+            (F.col("low") >= F.col("tin"))
+            & (F.col("high") <= F.col("tout"))
+        ).select(
+            F.least("vid", "parent").alias("u"),
+            F.greatest("vid", "parent").alias("v"),
+        ),
+    })
+
+    from crgp_spark.operators.diameter import component_diameters as _diam
+
+    sections.update({
+        "Exact per-component diameter (double sweep + batched iFUB): "
+        "grouped multi-source BFS advances every component in one "
+        "superstep wave; closing components leave the candidate join":
+            _diam(spark, e_vid, cfg),
+    })
+
+    from crgp_spark.operators.louvain import leiden as _leiden
+
+    sections.update({
+        "Leiden level 1 (Louvain IS moves + Traag connectivity "
+        "refinement): intra-community edge filter + the audited "
+        "components pass — every community provably connected":
+            _leiden(spark, e_vid, cfg, levels=1, rounds=2),
     })
 
     from crgp_spark.functions import md5_num60 as _md5n
