@@ -64,11 +64,14 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
 
 
 def triangles(
-    spark: SparkSession, edges: DataFrame, cfg=None
+    spark: SparkSession, edges: DataFrame, cfg=None,
+    materialize: bool = True,
 ) -> tuple[int, DataFrame]:
     """Returns ``(global_count, per_vertex)`` with
     ``per_vertex(vid, triangles)`` — exact, treating the edge table as an
-    undirected simple graph."""
+    undirected simple graph.  ``materialize=False`` returns the lazy
+    per-vertex plan (cached inputs NOT released — plan-inspection use
+    only, e.g. EXPLAIN.md generation)."""
     o = oriented_edges(edges).persist()
     und = _undirected(edges)
 
@@ -101,14 +104,18 @@ def triangles(
     # driver-gate sessions leak accumulated caches otherwise)
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("triangles", F.lit(0)).alias("triangles")
-    ).localCheckpoint(eager=True)
+    )
+    if not materialize:
+        return total, per_vertex
+    per_vertex = per_vertex.localCheckpoint(eager=True)
     tri.unpersist()
     o.unpersist()
     return total, per_vertex
 
 
 def four_cliques(
-    spark: SparkSession, edges: DataFrame
+    spark: SparkSession, edges: DataFrame,
+    materialize: bool = True,
 ) -> tuple[int, DataFrame]:
     """Exact 4-clique (K4) counting: ``(global_count, per_vertex)``
     with ``per_vertex(vid, k4)`` over the undirected simple graph.
@@ -175,7 +182,10 @@ def four_cliques(
     # sessions run many queries, and leaked caches accumulate (ADVICE r4)
     per_vertex = all_v.join(per_vertex, "vid", "left").select(
         "vid", F.coalesce("k4", F.lit(0)).alias("k4")
-    ).localCheckpoint(eager=True)
+    )
+    if not materialize:
+        return total, per_vertex
+    per_vertex = per_vertex.localCheckpoint(eager=True)
     k4.unpersist()
     o.unpersist()
     return total, per_vertex

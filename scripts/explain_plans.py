@@ -997,7 +997,7 @@ def main() -> None:
             scan_statistic(spark, e_vid),
         "4-clique counting: oriented wedge join -> triangle semi-join "
         "-> extension join + two closing semi-joins, all degeneracy-"
-        "bounded": four_cliques(spark, e_vid)[1],
+        "bounded": four_cliques(spark, e_vid, materialize=False)[1],
         "Dominating set (one round shown): span aggregate over the "
         "U-semi-joined edges, neighbor-comparison anti-join, coverage "
         "semi-join": dominating_set(spark, e_vid, rounds=1),
