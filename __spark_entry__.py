@@ -7801,14 +7801,14 @@ g AS (
   FROM pts
 )
 SELECT n AS n_docs,
-       FLOOR(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
-             THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE)
+       FLOOR(CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) <> 0
+             THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS beta,
        FLOOR((CAST(sy AS DOUBLE)
-              - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
-                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE)
+              - (CASE WHEN CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) <> 0
+                 THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
                  ELSE 0.0 END) * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) * 100.0 + 0.5) / 100.0 AS logk_unats
 FROM g""",

@@ -426,11 +426,13 @@ def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     x = lnq(n_tokens), y = lnq(n_distinct) are BIGINT micro-nats, the
     five OLS moments are exact integer sums (one combinable
     aggregate), and beta / logK are two pinned float expressions.
-    Overflow envelope: Σx² ≤ n_docs·(lnq max_tokens)² — int64-safe to
-    ~2·10⁴ docs of 10⁹ tokens or ~10⁶ docs of 10⁴ tokens; both
-    engines fail loudly beyond (coarsen the lnq scale above it).
-    Plan: the ``token_entropy`` explode + two groupBys, then a 1-row
-    fold."""
+    Overflow envelope: the per-moment sums are int64-safe to ~10⁹
+    docs, and the CROSS-MULTIPLIED slope terms (sx·sy ≈
+    (n·lnq)² ≈ 10²¹ already at 5·10³ docs — caught by the sf0.1 full
+    gate, round 5) are widened to DECIMAL(20,0) products (oracle twin:
+    HUGEINT): exact 128-bit integers in both engines, one double cast
+    at the end.  Plan: the ``token_entropy`` explode + two groupBys,
+    then a 1-row fold."""
     toks = docs.select(
         "doc_id",
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
@@ -456,12 +458,14 @@ def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
+    # cross-multiplied moments overflow BIGINT past ~3000 docs
+    # (sx·sy ≈ (n·ln(T)·10⁶)² ≈ 10²¹ at sf0.1 — caught by the sf0.1
+    # full gate); widen to DECIMAL(20,0)·DECIMAL(20,0) — exact 128-bit
+    # integer products in both engines (oracle twin: HUGEINT), cast to
+    # double once at the end
+    d20 = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    num = (d20("n") * d20("sxy") - d20("sx") * d20("sy")).cast("double")
+    den = (d20("n") * d20("sxx") - d20("sx") * d20("sx")).cast("double")
     beta = F.when(den != 0, num / den).otherwise(F.lit(0.0))
     logk = (
         F.col("sy").cast("double") - beta * F.col("sx").cast("double")
