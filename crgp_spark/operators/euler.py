@@ -50,7 +50,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crgp_spark.config import EngineConfig
-from crgp_spark.plans.superstep import reset_stats, state_hint
+from crgp_spark.plans.superstep import (
+    _release_stale_checkpoints,
+    reset_stats,
+    state_hint,
+)
 
 __all__ = [
     "connectivity_substrate",
@@ -312,8 +316,9 @@ def _rank_arcs(
     ``t → h`` with its successor arc ``nt → nh`` (NULL at the per-tree
     circuit tail) and ``dist`` initialized 1 (0 at the tail).  Returns
     ``(comp, t, h, pos)`` with ``pos`` = 0-based circuit position."""
+    spark = state.sparkSession
     state = state.localCheckpoint(eager=True)
-    for _ in range(_MAX_DOUBLINGS):
+    for _it in range(_MAX_DOUBLINGS):
         done = state.filter(F.col("nt").isNull())
         active = state.filter(F.col("nt").isNotNull())
         tgt = state.select(
@@ -333,6 +338,7 @@ def _rank_arcs(
         state = reset_stats(
             done.unionByName(upd).localCheckpoint(eager=True)
         )
+        _release_stale_checkpoints(spark, _it)
         if state.filter(F.col("nt").isNotNull()).isEmpty():
             break
     else:
